@@ -1,0 +1,158 @@
+"""URL-seen set: partitioned bloom filter + exact anti-join.
+
+North-rule component: the 10^10-URL frontier needs a dedup test whose
+cheap path avoids shuffling every candidate against the full seen table.
+Design:
+
+* **Truth** = exact ``left_anti`` join of candidates against the ``seen``
+  table on the canonical URL (the reference's ``visited`` set,
+  bfs_strategy.py:119-120 — the final seen set must match exactly, so the
+  bloom filter is only ever a pre-filter).
+* **Pre-filter** = a partitioned bloom filter keyed by murmur3_32 of the
+  canonical URL (``F.hash``): the hash space is split into
+  ``n_partitions`` shards; each shard is an independent bloom bit array
+  built per-partition with ``applyInPandas`` (numpy bit ops, no Python
+  loops).  Shards are **mergeable** (bitwise OR), so each wave appends a
+  delta bloom and readers OR deltas per shard — same append-only pattern
+  as the seen table itself.
+* Candidates are routed to their shard by ``pmod(hash, n_partitions)``
+  and tested shard-locally via a cogrouped ``applyInPandas`` — the shard
+  join replaces a broadcast (the full bloom at 10^10 x 10 bits ≈ 12 GB —
+  too big to broadcast; a shard is a few MB).
+
+Rows that the bloom says are *definitely new* skip the anti-join against
+the giant seen table entirely; only the "maybe seen" minority (true
+dupes + ~1% false positives) pays the exact join.  No false negatives by
+construction — verified property in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BLOOM_SCHEMA = T.StructType(
+    [
+        T.StructField("bloom_part", T.IntegerType()),
+        T.StructField("bits", T.BinaryType()),
+        T.StructField("n_items", T.LongType()),
+    ]
+)
+
+_K = 4  # hash functions (double hashing)
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, m_bits: int) -> np.ndarray:
+    """k positions per item via double hashing: (h1 + i*h2) mod m."""
+    idx = np.arange(_K, dtype=np.uint64)[None, :]
+    return (h1[:, None] + idx * h2[:, None]) % np.uint64(m_bits)
+
+
+def _hash_pair(urls: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    import hashlib
+
+    h1 = np.empty(len(urls), np.uint64)
+    h2 = np.empty(len(urls), np.uint64)
+    for i, u in enumerate(urls):
+        d = hashlib.md5(u.encode("utf-8")).digest()
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:], "little") | 1
+    return h1, h2
+
+
+def build_bloom(
+    df: DataFrame, url_col: str = "url", n_partitions: int = 32, m_bits: int = 1 << 20
+) -> DataFrame:
+    """Build per-shard bloom bit arrays for the URLs in ``df``."""
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m_bits // 8, np.uint8)
+        h1, h2 = _hash_pair(pdf[url_col])
+        pos = _positions(h1, h2, m_bits).ravel()
+        np.bitwise_or.at(bits, (pos >> 3).astype(np.int64), (1 << (pos & 7)).astype(np.uint8))
+        return pd.DataFrame(
+            {"bloom_part": [key[0]], "bits": [bits.tobytes()], "n_items": [len(pdf)]}
+        )
+
+    with_part = df.withColumn("bloom_part", F.pmod(F.hash(F.col(url_col)), F.lit(n_partitions)))
+    return with_part.groupBy("bloom_part").applyInPandas(build, BLOOM_SCHEMA)
+
+
+def merge_blooms(blooms: DataFrame) -> DataFrame:
+    """OR together per-shard deltas from multiple waves."""
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for b in pdf["bits"]:
+            arr = np.frombuffer(b, np.uint8)
+            acc = arr.copy() if acc is None else (acc | arr)
+        return pd.DataFrame(
+            {"bloom_part": [key[0]], "bits": [acc.tobytes()], "n_items": [int(pdf["n_items"].sum())]}
+        )
+
+    return blooms.groupBy("bloom_part").applyInPandas(merge, BLOOM_SCHEMA)
+
+
+def bloom_maybe_seen(
+    candidates: DataFrame, blooms: DataFrame, url_col: str = "url", n_partitions: int = 32,
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """Tag candidates with ``maybe_seen`` by testing each row against its
+    shard's bit array (cogrouped shard-local test — no broadcast)."""
+    cand = candidates.withColumn(
+        "bloom_part", F.pmod(F.hash(F.col(url_col)), F.lit(n_partitions))
+    )
+    out_schema = T.StructType(
+        cand.schema.fields + [T.StructField("maybe_seen", T.BooleanType())]
+    )
+
+    def test(key, cdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cdf) == 0:
+            return cdf.assign(maybe_seen=pd.Series([], dtype=bool))
+        if len(bdf) == 0:
+            return cdf.assign(maybe_seen=False)
+        bits = np.frombuffer(bdf["bits"].iloc[0], np.uint8)
+        if len(bdf) > 1:  # unmerged deltas: OR on the fly
+            bits = bits.copy()
+            for b in bdf["bits"].iloc[1:]:
+                bits |= np.frombuffer(b, np.uint8)
+        h1, h2 = _hash_pair(cdf[url_col])
+        pos = _positions(h1, h2, m_bits)
+        hit = (bits[(pos >> 3).astype(np.int64)] >> (pos & 7).astype(np.uint8)) & 1
+        return cdf.assign(maybe_seen=hit.all(axis=1))
+
+    return (
+        cand.groupBy("bloom_part")
+        .cogroup(blooms.groupBy("bloom_part"))
+        .applyInPandas(test, out_schema)
+        .drop("bloom_part")
+    )
+
+
+def anti_join_seen(
+    candidates: DataFrame,
+    seen: DataFrame | None,
+    url_col: str = "url",
+    blooms: DataFrame | None = None,
+) -> DataFrame:
+    """Candidates not yet in the seen set.
+
+    With a bloom pre-filter: definitely-new rows bypass the exact join;
+    only maybe-seen rows shuffle against the seen table. Without: plain
+    left_anti (Spark's runtime bloom-filter join still kicks in via
+    spark.sql.optimizer.runtime.bloomFilter.enabled).
+    """
+    if seen is None:
+        return candidates
+    seen_keys = seen.select(F.col(url_col)).distinct()
+    if blooms is None:
+        return candidates.join(seen_keys, url_col, "left_anti")
+    tagged = bloom_maybe_seen(candidates, blooms, url_col)
+    fresh = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    return fresh.unionByName(maybe.join(seen_keys, url_col, "left_anti"))

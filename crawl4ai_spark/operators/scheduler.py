@@ -1,0 +1,256 @@
+"""Per-host politeness scheduler, robots gate, priority queue.
+
+Re-expresses the reference's RateLimiter + MemoryAdaptiveDispatcher
+semantics (async_dispatcher.py:28-85, 217-226, 470-527) as wave-level
+DataFrame computations:
+
+* **Token bucket as timestamp assignment** — instead of sleeping, each
+  frontier row gets a deterministic ``scheduled_offset`` within the wave:
+  the i-th request to a host fires at ``host_ready + (i-1) * delay``.
+  Rows whose offset exceeds the wave budget are carried to the next wave
+  (their ``wait_waves`` ages them up the priority order — the reference's
+  anti-starvation pass).
+* **Skew-proof per-host ranking** — the per-host rank is a two-phase
+  salted top-K (partial top-K per (host, salt), then top-K per host), so
+  a hot host with 10^7 queued URLs never lands in one window partition.
+  K is small by construction: budget/delay requests per host per wave.
+* **Robots gate** — robots.txt rules live in a broadcast dimension table
+  (the reference's 7-day SQLite cache, utils.py:252-275); ``can_fetch``
+  runs stdlib RobotFileParser inside an Arrow-batched pandas UDF
+  (utils.py:358-365 uses the same parser). Missing rules ⇒ allow
+  (utils.py:350-355); denial ⇒ FAILED row with status 403
+  (async_webcrawler.py:382-395).
+* **Backoff state** — per-host (last_request_time, current_delay,
+  fail_count) folded sequentially inside ``applyInPandas`` per host with
+  the reference's update rule (async_dispatcher.py:65-85) and
+  deterministic jitter (jitter RNG seeded per host — parity tests pin
+  jitter to 1.0).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+HOST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("last_request_time", T.DoubleType()),
+        T.StructField("current_delay", T.DoubleType()),
+        T.StructField("fail_count", T.IntegerType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# robots gate
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.BooleanType())
+def can_fetch_udf(rules: pd.Series, url: pd.Series) -> pd.Series:
+    """stdlib RobotFileParser.can_fetch('*', url); null/empty rules allow."""
+    from urllib.robotparser import RobotFileParser
+
+    cache: dict[str, RobotFileParser] = {}
+    out = []
+    for r, u in zip(rules, url):
+        if r is None or not str(r).strip():
+            out.append(True)
+            continue
+        rp = cache.get(r)
+        if rp is None:
+            rp = RobotFileParser()
+            rp.parse(str(r).splitlines())
+            cache[r] = rp
+        out.append(bool(rp.can_fetch("*", u)))
+    return pd.Series(out, dtype=bool)
+
+
+def robots_gate(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """Adds ``robots_allowed``; robots is a small dim table → broadcast."""
+    if robots is None:
+        return frontier.withColumn("robots_allowed", F.lit(True))
+    joined = frontier.join(
+        F.broadcast(robots.select("host", "rules")), "host", "left"
+    )
+    return joined.withColumn("robots_allowed", can_fetch_udf(F.col("rules"), F.col("url"))).drop(
+        "rules"
+    )
+
+
+# ---------------------------------------------------------------------------
+# priority + aging
+# ---------------------------------------------------------------------------
+
+
+def priority_bucket_expr(
+    retry_count: Column, wait_waves: Column, fairness_waves: int = 10
+) -> Column:
+    """Reference priority: retry_count, unless the item has waited past the
+    fairness timeout, in which case it jumps the queue with a negative
+    priority proportional to its wait (async_dispatcher.py:217-226)."""
+    return (
+        F.when(wait_waves > fairness_waves, -wait_waves)
+        .otherwise(retry_count)
+        .cast("int")
+    )
+
+
+QUEUE_ORDER = [
+    F.col("priority_bucket").asc(),
+    F.col("score").desc(),
+    F.col("depth").asc(),
+    F.col("url").asc(),
+]
+
+
+def per_host_topk(
+    df: DataFrame,
+    k: int,
+    order_cols: list[Column] | None = None,
+    salt_buckets: int = 16,
+    salt_col: str = "url",
+) -> DataFrame:
+    """Two-phase salted per-host top-K → ``rank_in_host`` column (1-based).
+
+    Phase 1 computes a partial top-K inside each (host, salt) slice, so
+    the heaviest host fans across ``salt_buckets`` tasks; phase 2 ranks
+    the ≤ k*salt_buckets survivors per host — tiny by construction.
+    """
+    order_cols = order_cols or QUEUE_ORDER
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_buckets)))
+    w1 = Window.partitionBy("host", "_salt").orderBy(*order_cols)
+    stage1 = (
+        salted.withColumn("_prn", F.row_number().over(w1))
+        .filter(F.col("_prn") <= k)
+        .drop("_prn")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order_cols)
+    return (
+        stage1.withColumn("rank_in_host", F.row_number().over(w2))
+        .filter(F.col("rank_in_host") <= k)
+        .drop("_salt")
+    )
+
+
+def salted_range_partition(df: DataFrame, n_partitions: int, salt_buckets: int = 16) -> DataFrame:
+    """North-rule physical layout: salted range partitioning on
+    (priority_bucket, host_hash) — hot hosts split across salt buckets so
+    no single reducer owns a hot host's queue."""
+    return df.withColumn("_host_hash", F.xxhash64("host")).withColumn(
+        "_salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
+    ).repartitionByRange(n_partitions, "priority_bucket", "_host_hash", "_salt").drop(
+        "_host_hash", "_salt"
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave scheduling (token bucket as timestamps)
+# ---------------------------------------------------------------------------
+
+
+def schedule_wave(
+    frontier: DataFrame,
+    host_state: DataFrame | None,
+    wave_start: float,
+    wave_budget: float,
+    default_delay: float = 1.0,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Assign ``scheduled_offset`` per row and ``admitted`` flag.
+
+    The i-th request to a host in this wave fires at
+    ``max(last_request_time + current_delay - wave_start, 0) + (i-1)*delay``;
+    rows beyond the wave budget are carried (admitted = false).
+    """
+    if host_state is not None:
+        frontier = frontier.join(F.broadcast(host_state), "host", "left")
+    else:
+        frontier = (
+            frontier.withColumn("last_request_time", F.lit(None).cast("double"))
+            .withColumn("current_delay", F.lit(None).cast("double"))
+            .withColumn("fail_count", F.lit(None).cast("int"))
+        )
+    delay = F.coalesce(F.col("current_delay"), F.lit(default_delay))
+    # max rows any host can admit this wave bounds K for the salted top-K
+    k = max(int(wave_budget / max(default_delay * 0.25, 1e-9)), 1)
+    ranked = per_host_topk(frontier, k, salt_buckets=salt_buckets)
+    ready = F.greatest(
+        F.coalesce(F.col("last_request_time") + delay - F.lit(wave_start), F.lit(0.0)),
+        F.lit(0.0),
+    )
+    out = ranked.withColumn(
+        "scheduled_offset", ready + (F.col("rank_in_host") - 1) * delay
+    ).withColumn("admitted", F.col("scheduled_offset") < F.lit(wave_budget))
+    return out.drop("last_request_time", "current_delay", "fail_count")
+
+
+def update_host_state(
+    wave_results: DataFrame,
+    host_state: DataFrame | None,
+    wave_start: float,
+    base_delay: tuple[float, float] = (1.0, 1.0),
+    max_delay: float = 60.0,
+    jitter: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Fold the RateLimiter update rule over each host's wave results in
+    scheduled order (async_dispatcher.py:65-85):
+
+    * 429/503 → fail_count += 1, delay = min(delay * 2 * U(0.75,1.25), max)
+    * success → delay = max(U(base), delay * 0.75), fail_count = 0
+
+    Deterministic mode (default) pins both jitter draws to their midpoint
+    / lower bound so two runs produce identical schedules.
+    """
+    cols = ["host", "status_code", "scheduled_offset"]
+    src = wave_results.select(*cols)
+    if host_state is not None:
+        src = src.join(F.broadcast(host_state), "host", "left")
+    else:
+        src = (
+            src.withColumn("last_request_time", F.lit(None).cast("double"))
+            .withColumn("current_delay", F.lit(None).cast("double"))
+            .withColumn("fail_count", F.lit(None).cast("int"))
+        )
+
+    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        host = key[0]
+        pdf = pdf.sort_values("scheduled_offset")
+        delay = pdf["current_delay"].iloc[0]
+        fails = pdf["fail_count"].iloc[0]
+        delay = float(base_delay[0] if pd.isna(delay) or delay == 0 else delay)
+        fails = int(0 if pd.isna(fails) else fails)
+        import zlib
+
+        rng = np.random.default_rng((seed, zlib.crc32(host.encode())))
+        last = wave_start + float(pdf["scheduled_offset"].max())
+        for status in pdf["status_code"]:
+            if status in (429, 503):
+                fails += 1
+                j = rng.uniform(0.75, 1.25) if jitter else 1.0
+                delay = min(delay * 2 * j, max_delay)
+            else:
+                b = rng.uniform(*base_delay) if jitter else base_delay[0]
+                delay = max(b, delay * 0.75)
+                fails = 0
+        return pd.DataFrame(
+            {
+                "host": [host],
+                "last_request_time": [last],
+                "current_delay": [delay],
+                "fail_count": [fails],
+            }
+        )
+
+    updated = src.groupBy("host").applyInPandas(fold, HOST_STATE_SCHEMA)
+    if host_state is None:
+        return updated
+    untouched = host_state.join(updated.select("host"), "host", "left_anti")
+    return untouched.unionByName(updated)

@@ -1,0 +1,252 @@
+"""Scrape stage: fetched HTML → links / images / metadata.
+
+Re-expresses the reference's LXMLWebScrapingStrategy
+(content_scraping_strategy.py:607-909) and its prefetch short-circuit
+(utils.py:2468-2513 quick_extract_links) as Arrow-batched ``mapInPandas``
+transforms.  The sandbox has no lxml/bs4, so parsing uses the stdlib
+``html.parser`` state machine — slower per byte than lxml but identical
+in plumbing; swapping the parser is a one-function change.
+
+Two modes, mirroring the reference's optimization:
+
+* **link-only** (prefetch, the frontier-expansion default) — emits one
+  row per <a href>; skips images/markdown entirely (= column pruning made
+  explicit, since a UDF is opaque to Catalyst).
+* **full** — also emits <img> rows with the reference's image-score
+  heuristics (content_scraping_strategy.py:410-467) and page metadata.
+
+Both are stateless per-row transforms: no shuffle, linear scaling.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.urls import get_base_domain, is_external_url, normalize_url
+
+LINK_SCHEMA = T.StructType(
+    [
+        T.StructField("src_url", T.StringType()),
+        T.StructField("href", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("rel", T.StringType()),
+        T.StructField("class", T.StringType()),
+        T.StructField("is_external", T.BooleanType()),
+        T.StructField("link_seq", T.IntegerType()),
+    ]
+)
+
+IMAGE_REF_SCHEMA = T.StructType(
+    [
+        T.StructField("src_url", T.StringType()),
+        T.StructField("img_src", T.StringType()),
+        T.StructField("alt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("img_class", T.StringType()),
+        T.StructField("img_seq", T.IntegerType()),
+        T.StructField("score", T.IntegerType()),
+    ]
+)
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("src_url", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("n_links", T.IntegerType()),
+        T.StructField("n_images", T.IntegerType()),
+    ]
+)
+
+_IMG_FORMATS = ("jpg", "jpeg", "png", "webp", "gif", "avif", "svg")
+_ICON_HINTS = ("icon", "logo", "button", "sprite")
+
+
+class _PageParser(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.links: list[dict] = []
+        self.images: list[dict] = []
+        self.base_href: str | None = None
+        self.title = ""
+        self.description = ""
+        self._in_a: dict | None = None
+        self._in_title = False
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag == "a" and a.get("href"):
+            self._in_a = {
+                "href": a["href"],
+                "text": [],
+                "title": a.get("title", ""),
+                "rel": a.get("rel", ""),
+                "class": a.get("class", ""),
+            }
+        elif tag == "img":
+            self.images.append(
+                {
+                    "src": a.get("src") or a.get("data-src") or "",
+                    "alt": a.get("alt", ""),
+                    "width": _to_int(a.get("width")),
+                    "height": _to_int(a.get("height")),
+                    "class": a.get("class", ""),
+                    "srcset": a.get("srcset", ""),
+                }
+            )
+        elif tag == "base" and a.get("href") and self.base_href is None:
+            self.base_href = a["href"]
+        elif tag == "title":
+            self._in_title = True
+        elif tag == "meta" and a.get("name") == "description":
+            self.description = a.get("content", "")
+
+    def handle_endtag(self, tag):
+        if tag == "a" and self._in_a is not None:
+            self._in_a["text"] = " ".join("".join(self._in_a["text"]).split())
+            self.links.append(self._in_a)
+            self._in_a = None
+        elif tag == "title":
+            self._in_title = False
+
+    def handle_data(self, data):
+        if self._in_a is not None:
+            self._in_a["text"].append(data)
+        if self._in_title:
+            self.title += data
+
+
+def _to_int(v) -> int | None:
+    try:
+        return int(str(v).rstrip("px")) if v is not None else None
+    except ValueError:
+        return None
+
+
+def parse_page(url: str, html: str) -> _PageParser:
+    p = _PageParser()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        pass
+    return p
+
+
+def image_score(img: dict, index: int, total: int) -> int:
+    """Reference image heuristic (content_scraping_strategy.py:440-467):
+    +1 each for width>150, height>150, alt present, first-half position,
+    known format in src, srcset present."""
+    s = 0
+    if (img.get("width") or 0) > 150:
+        s += 1
+    if (img.get("height") or 0) > 150:
+        s += 1
+    if img.get("alt"):
+        s += 1
+    if total and index / total < 0.5:
+        s += 1
+    src = (img.get("src") or "").lower()
+    if any(f".{f}" in src for f in _IMG_FORMATS):
+        s += 1
+    if img.get("srcset"):
+        s += 1
+    return s
+
+
+def _is_icon(img: dict) -> bool:
+    cls = (img.get("class") or "").lower()
+    src = (img.get("src") or "").lower()
+    return any(h in cls or h in src for h in _ICON_HINTS)
+
+
+def extract_links(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """Link-only scrape (prefetch mode): pages → edge rows.
+
+    Hrefs are resolved/normalized against the page URL with the extended
+    normalizer (as the reference scraper does at extraction time,
+    content_scraping_strategy.py:244-311) and classified
+    internal/external; per-page first-occurrence dedup preserved via
+    link_seq.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                parser = parse_page(url, html)
+                base = parser.base_href or url
+                page_domain = get_base_domain(url)
+                seen_page: set[str] = set()
+                for i, ln in enumerate(parser.links):
+                    raw = ln["href"]
+                    if raw.startswith(("mailto:", "tel:", "javascript:", "data:")):
+                        continue
+                    norm = normalize_url(raw, base)
+                    if not norm or norm in seen_page:
+                        continue  # first occurrence wins per page
+                    seen_page.add(norm)
+                    rows.append(
+                        (
+                            url,
+                            norm,
+                            ln["text"],
+                            ln["title"],
+                            ln["rel"],
+                            ln["class"],
+                            is_external_url(norm, page_domain),
+                            i,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in LINK_SCHEMA.fields])
+
+    return pages.select(url_col, html_col).mapInPandas(gen, LINK_SCHEMA)
+
+
+def extract_image_refs(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    score_threshold: int = 2,
+) -> DataFrame:
+    """Full-scrape image pass: <img> rows with reference scoring; icon /
+    logo decoys rejected early, low scores filtered (threshold semantics
+    of async_configs.py image_score_threshold)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                parser = parse_page(url, html)
+                total = len(parser.images)
+                for i, img in enumerate(parser.images):
+                    if _is_icon(img):
+                        continue
+                    s = image_score(img, i, total)
+                    rows.append(
+                        (url, img["src"], img["alt"], img["width"], img["height"], img["class"], i, s)
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_REF_SCHEMA.fields])
+
+    out = pages.select(url_col, html_col).mapInPandas(gen, IMAGE_REF_SCHEMA)
+    return out.filter(F.col("score") > F.lit(score_threshold))
+
+
+def extract_metadata(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                p = parse_page(url, html)
+                rows.append((url, p.title.strip(), p.description, len(p.links), len(p.images)))
+            yield pd.DataFrame(rows, columns=[f.name for f in META_SCHEMA.fields])
+
+    return pages.select(url_col, html_col).mapInPandas(gen, META_SCHEMA)
