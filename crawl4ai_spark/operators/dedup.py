@@ -139,6 +139,7 @@ def anti_join_seen(
     seen: DataFrame | None,
     url_col: str = "url",
     blooms: DataFrame | None = None,
+    seen_col: str = "url",
 ) -> DataFrame:
     """Candidates not yet in the seen set.
 
@@ -149,7 +150,7 @@ def anti_join_seen(
     """
     if seen is None:
         return candidates
-    seen_keys = seen.select(F.col(url_col)).distinct()
+    seen_keys = seen.select(F.col(seen_col).alias(url_col)).distinct()
     if blooms is None:
         return candidates.join(seen_keys, url_col, "left_anti")
     tagged = bloom_maybe_seen(candidates, blooms, url_col)

@@ -102,12 +102,15 @@ def priority_bucket_expr(
     )
 
 
-QUEUE_ORDER = [
-    F.col("priority_bucket").asc(),
-    F.col("score").desc(),
-    F.col("depth").asc(),
-    F.col("url").asc(),
-]
+def queue_order() -> list[Column]:
+    """Canonical frontier ordering: priority bucket, then score desc,
+    depth asc, url asc (the logical queue discipline)."""
+    return [
+        F.col("priority_bucket").asc(),
+        F.col("score").desc(),
+        F.col("depth").asc(),
+        F.col("url").asc(),
+    ]
 
 
 def per_host_topk(
@@ -123,7 +126,7 @@ def per_host_topk(
     the heaviest host fans across ``salt_buckets`` tasks; phase 2 ranks
     the ≤ k*salt_buckets survivors per host — tiny by construction.
     """
-    order_cols = order_cols or QUEUE_ORDER
+    order_cols = order_cols or queue_order()
     salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_buckets)))
     w1 = Window.partitionBy("host", "_salt").orderBy(*order_cols)
     stage1 = (

@@ -230,6 +230,22 @@ class CrawlEngine:
         # global visited anti-join (exact seen-set truth)
         disc = anti_join_seen(disc, seen, url_col="canon")
 
+        if cfg.max_pages < math.inf:
+            # capacity computed against successes accumulated in scan order;
+            # a result whose remaining capacity is already 0 adds NOTHING to
+            # the seen set (link_discovery early-returns before visited.add —
+            # bfs_strategy.py:101-104, pinned), so filter BEFORE dedup.
+            w_cum = Window.orderBy("result_seq").rowsBetween(Window.unboundedPreceding, 0)
+            succ = (
+                results.filter("success")
+                .select("result_seq")
+                .withColumn("_cum", F.count("*").over(w_cum))
+            )
+            disc = disc.join(succ, "result_seq", "left").withColumn(
+                "capacity", F.lit(float(cfg.max_pages)) - F.lit(pages_before) - F.col("_cum")
+            )
+            disc = disc.filter(F.col("capacity") > 0)
+
         # within-wave first occurrence by scan order (visited adds mid-wave)
         w_first = Window.partitionBy("canon").orderBy("result_seq", "link_seq")
         passing = (
@@ -237,17 +253,6 @@ class CrawlEngine:
         )
 
         if cfg.max_pages < math.inf:
-            # capacity computed against successes accumulated in scan order
-            w_cum = Window.orderBy("result_seq").rowsBetween(Window.unboundedPreceding, 0)
-            succ = (
-                results.filter("success")
-                .select("result_seq")
-                .withColumn("_cum", F.count("*").over(w_cum))
-            )
-            passing = passing.join(succ, "result_seq", "left").withColumn(
-                "capacity", F.lit(float(cfg.max_pages)) - F.lit(pages_before) - F.col("_cum")
-            )
-            passing = passing.filter(F.col("capacity") > 0)
             w_res = Window.partitionBy("result_seq")
             passing = passing.withColumn("_n_valid", F.count("*").over(w_res))
             sort_flag = (F.col("_n_valid") > F.col("capacity")) & F.lit(
