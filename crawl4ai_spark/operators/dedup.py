@@ -100,7 +100,7 @@ def merge_blooms(blooms: DataFrame) -> DataFrame:
 
 def bloom_maybe_seen(
     candidates: DataFrame, blooms: DataFrame, url_col: str = "url", n_partitions: int = 32,
-    m_bits: int = 1 << 20,
+    m_bits: int | None = None,
 ) -> DataFrame:
     """Tag candidates with ``maybe_seen`` by testing each row against its
     shard's bit array (cogrouped shard-local test — no broadcast)."""
@@ -121,8 +121,9 @@ def bloom_maybe_seen(
             bits = bits.copy()
             for b in bdf["bits"].iloc[1:]:
                 bits |= np.frombuffer(b, np.uint8)
+        mb = len(bits) * 8  # shard is self-describing (m_bits = array size)
         h1, h2 = _hash_pair(cdf[url_col])
-        pos = _positions(h1, h2, m_bits)
+        pos = _positions(h1, h2, mb)
         hit = (bits[(pos >> 3).astype(np.int64)] >> (pos & 7).astype(np.uint8)) & 1
         return cdf.assign(maybe_seen=hit.all(axis=1))
 
@@ -140,6 +141,7 @@ def anti_join_seen(
     url_col: str = "url",
     blooms: DataFrame | None = None,
     seen_col: str = "url",
+    n_partitions: int = 32,
 ) -> DataFrame:
     """Candidates not yet in the seen set.
 
@@ -153,7 +155,7 @@ def anti_join_seen(
     seen_keys = seen.select(F.col(seen_col).alias(url_col)).distinct()
     if blooms is None:
         return candidates.join(seen_keys, url_col, "left_anti")
-    tagged = bloom_maybe_seen(candidates, blooms, url_col)
+    tagged = bloom_maybe_seen(candidates, blooms, url_col, n_partitions=n_partitions)
     fresh = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     return fresh.unionByName(maybe.join(seen_keys, url_col, "left_anti"))

@@ -1,0 +1,183 @@
+"""Politeness scheduler, robots gate, priority aging, bloom seen-set."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators import dedup, scheduler
+
+
+# ---------------------------------------------------------------------------
+# robots
+# ---------------------------------------------------------------------------
+
+
+def test_robots_gate(spark):
+    frontier = spark.createDataFrame(
+        [
+            ("https://a.com/ok", "a.com"),
+            ("https://a.com/admin/x", "a.com"),
+            ("https://b.com/anything", "b.com"),
+            ("https://c.com/x", "c.com"),  # no robots row → allow
+        ],
+        "url string, host string",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /admin/"),
+            ("b.com", "User-agent: *\nDisallow: /"),
+        ],
+        "host string, rules string",
+    )
+    got = {r["url"]: r["robots_allowed"] for r in scheduler.robots_gate(frontier, robots).collect()}
+    assert got["https://a.com/ok"]
+    assert not got["https://a.com/admin/x"]
+    assert not got["https://b.com/anything"]
+    assert got["https://c.com/x"]
+
+
+# ---------------------------------------------------------------------------
+# priority + aging
+# ---------------------------------------------------------------------------
+
+
+def test_priority_bucket(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (2, 0), (0, 11), (1, 12)], "retry_count int, wait_waves int"
+    )
+    got = df.select(
+        scheduler.priority_bucket_expr(F.col("retry_count"), F.col("wait_waves")).alias("p")
+    ).collect()
+    assert [r["p"] for r in got] == [0, 2, -11, -12]
+
+
+# ---------------------------------------------------------------------------
+# wave scheduling
+# ---------------------------------------------------------------------------
+
+
+def _frontier(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, host string, depth int, score double, priority_bucket int"
+    )
+
+
+def test_schedule_wave_spacing_and_budget(spark):
+    rows = [
+        (f"https://h1.com/p{i}", "h1.com", 0, float(10 - i), 0) for i in range(5)
+    ] + [(f"https://h2.com/p{i}", "h2.com", 0, 1.0, 0) for i in range(2)]
+    frontier = _frontier(spark, rows)
+    out = scheduler.schedule_wave(frontier, None, wave_start=0.0, wave_budget=3.0, default_delay=1.0)
+    got = {r["url"]: (r["rank_in_host"], r["scheduled_offset"], r["admitted"]) for r in out.collect()}
+    # h1: 5 urls ranked by score desc → offsets 0,1,2,3,4; budget 3 admits first 3
+    assert got["https://h1.com/p0"] == (1, 0.0, True)
+    assert got["https://h1.com/p1"] == (2, 1.0, True)
+    assert got["https://h1.com/p2"] == (3, 2.0, True)
+    assert got["https://h1.com/p3"][2] is False
+    assert got["https://h1.com/p4"][2] is False
+    # h2 schedules independently (per-host token bucket)
+    assert got["https://h2.com/p0"][1] == 0.0 and got["https://h2.com/p1"][1] == 1.0
+
+
+def test_schedule_wave_carries_host_state(spark):
+    frontier = _frontier(spark, [("https://h1.com/a", "h1.com", 0, 1.0, 0)])
+    host_state = spark.createDataFrame(
+        [("h1.com", 9.0, 2.0, 0)], scheduler.HOST_STATE_SCHEMA
+    )
+    out = scheduler.schedule_wave(frontier, host_state, wave_start=10.0, wave_budget=60.0)
+    r = out.collect()[0]
+    # ready at last(9.0) + delay(2.0) = 11.0 → offset 1.0 into this wave
+    assert r["scheduled_offset"] == pytest.approx(1.0)
+
+
+def test_update_host_state_backoff_and_recovery(spark):
+    results = spark.createDataFrame(
+        [
+            ("h1.com", 429, 0.0),
+            ("h1.com", 429, 1.0),
+            ("h2.com", 200, 0.0),
+        ],
+        "host string, status_code int, scheduled_offset double",
+    )
+    state = scheduler.update_host_state(results, None, wave_start=100.0, base_delay=(1.0, 1.0))
+    got = {r["host"]: r for r in state.collect()}
+    # h1: delay 1 → *2 → 2 → *2 → 4; fail_count 2
+    assert got["h1.com"]["current_delay"] == pytest.approx(4.0)
+    assert got["h1.com"]["fail_count"] == 2
+    assert got["h1.com"]["last_request_time"] == pytest.approx(101.0)
+    # h2: success → delay max(1.0, 1*0.75)=1.0, fail 0
+    assert got["h2.com"]["current_delay"] == pytest.approx(1.0)
+    assert got["h2.com"]["fail_count"] == 0
+
+
+def test_update_host_state_preserves_untouched_hosts(spark):
+    results = spark.createDataFrame(
+        [("h1.com", 200, 0.0)], "host string, status_code int, scheduled_offset double"
+    )
+    prev = spark.createDataFrame(
+        [("h1.com", 1.0, 8.0, 1), ("h9.com", 5.0, 3.0, 2)], scheduler.HOST_STATE_SCHEMA
+    )
+    state = scheduler.update_host_state(results, prev, wave_start=50.0, base_delay=(1.0, 1.0))
+    got = {r["host"]: r for r in state.collect()}
+    assert got["h1.com"]["current_delay"] == pytest.approx(6.0)  # 8*0.75
+    assert got["h1.com"]["fail_count"] == 0
+    assert got["h9.com"]["current_delay"] == pytest.approx(3.0)  # untouched
+
+
+def test_per_host_topk_skew_proof(spark):
+    # one hot host with 500 rows, one cold with 3 — top-5 per host
+    rows = [(f"https://hot.com/p{i}", "hot.com", 0, float(i % 97), 0) for i in range(500)]
+    rows += [(f"https://cold.com/p{i}", "cold.com", 0, 1.0, 0) for i in range(3)]
+    frontier = _frontier(spark, rows)
+    out = scheduler.per_host_topk(frontier, 5).collect()
+    hot = sorted(
+        [(r["rank_in_host"], r["url"]) for r in out if r["host"] == "hot.com"]
+    )
+    assert len(hot) == 5
+    # rank 1 must be the max score (96.0), ties by url asc
+    expected_top = sorted(
+        [(f"https://hot.com/p{i}", float(i % 97)) for i in range(500)],
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    assert [u for _, u in hot] == [u for u, _ in expected_top]
+    assert len([r for r in out if r["host"] == "cold.com"]) == 3
+
+
+# ---------------------------------------------------------------------------
+# bloom seen-set
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_prefilter(spark):
+    seen_urls = [(f"https://h{i % 7}.com/seen{i}",) for i in range(2000)]
+    new_urls = [(f"https://h{i % 7}.com/new{i}",) for i in range(2000)]
+    seen = spark.createDataFrame(seen_urls, "url string")
+    blooms = dedup.build_bloom(seen, n_partitions=8, m_bits=1 << 16)
+    cands = spark.createDataFrame(seen_urls + new_urls, "url string")
+    tagged = dedup.bloom_maybe_seen(cands, blooms, n_partitions=8, m_bits=1 << 16)
+    rows = tagged.collect()
+    fn = [r for r in rows if "seen" in r["url"] and not r["maybe_seen"]]
+    assert not fn  # bloom never misses a seen URL
+    fp_rate = len([r for r in rows if "new" in r["url"] and r["maybe_seen"]]) / 2000
+    assert fp_rate < 0.05
+
+    # end-to-end anti-join equivalence with and without bloom
+    got_bloom = {
+        r["url"]
+        for r in dedup.anti_join_seen(cands, seen, blooms=blooms, n_partitions=8).collect()
+    }
+    got_exact = {r["url"] for r in dedup.anti_join_seen(cands, seen).collect()}
+    assert got_bloom == got_exact == {u for (u,) in new_urls}
+
+
+def test_bloom_merge(spark):
+    a = spark.createDataFrame([(f"https://x.com/a{i}",) for i in range(100)], "url string")
+    b = spark.createDataFrame([(f"https://x.com/b{i}",) for i in range(100)], "url string")
+    blooms = dedup.merge_blooms(
+        dedup.build_bloom(a, n_partitions=4, m_bits=1 << 14).unionByName(
+            dedup.build_bloom(b, n_partitions=4, m_bits=1 << 14)
+        )
+    )
+    both = a.unionByName(b)
+    tagged = dedup.bloom_maybe_seen(both, blooms, n_partitions=4, m_bits=1 << 14)
+    assert tagged.filter(~F.col("maybe_seen")).count() == 0
+    assert blooms.count() <= 4
