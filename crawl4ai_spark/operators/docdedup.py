@@ -1,0 +1,226 @@
+"""Document deduplication for training-data pipelines.
+
+Five dedup families over a documents table (doc_id, text):
+
+* **exact** — md5 groupBy, keep the lowest doc_id per hash.
+* **n-gram Jaccard** — inverted-index join on shingles (explode →
+  self-join on shingle → pair-count), the MapReduce-style pairwise
+  similarity that avoids an O(n²) cross join; Jaccard from
+  |A∩B| / (|A|+|B|-|A∩B|).
+* **MinHash + LSH** — md5-based portable minhash signatures
+  (hashing.minhash_expr), banded into buckets; candidate pairs share a
+  band; verified with exact Jaccard.
+* **SimHash** — 64-bit bit-vote hash over xxhash64(token); near-dups by
+  Hamming distance (JVM bit_count).
+* **embedding cosine** — near-dup pairs above a cosine threshold (see
+  similarity.py for the ANN machinery).
+
+Everything except nothing is JVM-side: no Python UDFs anywhere in this
+module.  Hash choices are deliberate: md5 hex strings where an external
+SQL oracle must reproduce values, xxhash64 where only Spark-side
+consistency matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import minhash_expr
+from ..functions.text import shingles_expr, tokens_expr
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Survivors of exact dedup: lowest id per md5(text)."""
+    hashed = docs.withColumn("_h", F.md5(F.col(text_col)))
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
+    return hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_h", "_rn")
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(hash, n_dups, canonical_id) for groups with >1 member."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+
+def _shingled(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), shingles_expr(F.col(text_col), n).alias("shingles")
+    ).withColumn("n_shingles", F.size("shingles"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs with shingle-Jaccard ≥ threshold.
+
+    Shuffle profile: one explode + self-equi-join on the shingle value +
+    one aggregation — each shingle's posting list joins locally; a
+    stop-shingle appearing in f docs contributes f² pair rows, so
+    extremely common shingles should be length-capped upstream (n≥3 word
+    grams make that rare in practice).
+    """
+    sh = _shingled(docs, text_col, id_col, n)
+    posts = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
+    a = posts.select(
+        F.col("shingle"), F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("na")
+    )
+    b = posts.select(
+        F.col("shingle"), F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("nb")
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return pairs.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(docs: DataFrame, n_perm: int = 16, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sig: array<string>) — md5-based minhash, oracle-portable."""
+    sh = _shingled(docs, text_col, id_col, n)
+    sig = F.array(*[minhash_expr(F.col("shingles"), p) for p in range(n_perm)])
+    return sh.select("doc_id", "n_shingles", "shingles", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_perm: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs share ≥1 LSH band of the minhash signature; each
+    candidate verified with exact shingle Jaccard (so the output has no
+    false positives; banding only bounds recall)."""
+    rows_per_band = n_perm // bands
+    sig = minhash_signature(docs, n_perm, n, text_col, id_col)
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws("|", F.lit(bi), *[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]))
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", "n_shingles", "shingles", F.explode(band_keys).alias("band"))
+    a = banded.select(
+        "band",
+        F.col("doc_id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("na"),
+    )
+    b = banded.select(
+        "band",
+        F.col("doc_id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("nb"),
+    )
+    cand = (
+        a.join(b, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return cand.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_expr(text: Column) -> Column:
+    """64-bit SimHash: per-token xxhash64, per-bit majority vote, packed
+    into a signed long — all column expressions (F.aggregate over the
+    token array; no explode, no Python)."""
+    toks = F.array_distinct(tokens_expr(F.lower(text)))
+    # per-token ±1 bit votes, bit positions unrolled statically (shift
+    # amounts must be literals in Spark)
+    bits_per_token = F.transform(
+        toks,
+        lambda t: F.array(
+            *[
+                (F.shiftrightunsigned(F.xxhash64(t), i).bitwiseAND(F.lit(1)).cast("long") * 2 - 1)
+                for i in range(64)
+            ]
+        ),
+    )
+    votes = F.aggregate(
+        bits_per_token,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, bits: F.zip_with(acc, bits, lambda a, v: a + v),
+    )
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        bit_val = F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
+        packed = packed.bitwiseXOR(
+            F.when(F.element_at(votes, i + 1) > 0, bit_val).otherwise(F.lit(0).cast("long"))
+        )
+    return packed
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 6, text_col: str = "text", id_col: str = "doc_id",
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance; banded like pHash LSH
+    so no O(n²) cross join."""
+    sh = docs.select(F.col(id_col).alias("doc_id"), simhash_expr(F.col(text_col)).alias("simhash"))
+    n_bands = 64 // band_bits
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * band_bits).bitwiseAND(F.lit((1 << band_bits) - 1))
+            for i in range(n_bands)
+        ]
+    )
+    banded = sh.select("doc_id", "simhash", F.posexplode(bands).alias("band_idx", "band_val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

@@ -1,0 +1,190 @@
+"""Image payload pipeline over the (image_id, bytes, w, h, fmt, caption,
+phash) table — the BASELINE.json input_hint shape.
+
+Everything crosses into Python only through Arrow-batched pandas UDFs
+(mapInPandas): decode → validate dims → recompute pHash → PSNR against a
+reference decode.  PNG decode is real (pure-Python codec, png.py);
+JPEG/WebP decoding needs codec libraries absent from this container, so
+those formats route through a clearly-marked stub that raises
+NotImplementedError unless ``allow_stub`` substitutes a deterministic
+fake decode — the Spark plumbing (schema, batch shape, partitioning) is
+identical for every format and fully exercised by the PNG path.
+
+Mirrors the reference's media pipeline: images emitted per page into the
+payload table (content_scraping_strategy.py:333-339), validated and
+scored before landing (SURVEY §2.8).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..png import decode_png, phash64, psnr
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+DECODE_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("decoded_w", T.IntegerType()),
+        T.StructField("decoded_h", T.IntegerType()),
+        T.StructField("phash_recomputed", T.LongType()),
+        T.StructField("phash_matches", T.BooleanType()),
+        T.StructField("dims_match", T.BooleanType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def decode_rgb(data: bytes, fmt: str, allow_stub: bool = False) -> np.ndarray:
+    """Decode image bytes to (h, w, 3) uint8.
+
+    PNG: real decode.  JPEG/WebP: STUB — no codec libs in this container.
+    With allow_stub a deterministic fake decode (seeded from the bytes)
+    stands in so the distributed plumbing can be exercised end-to-end.
+    """
+    fmt = (fmt or "").lower()
+    if fmt == "png":
+        return decode_png(data)
+    if fmt in ("jpeg", "jpg", "webp"):
+        if not allow_stub:
+            raise NotImplementedError(
+                f"{fmt} decode requires an image codec library not present in "
+                "this environment; run with allow_stub=True for the "
+                "deterministic fake-decode path, or install a codec."
+            )
+        import zlib
+
+        rng = np.random.default_rng(zlib.crc32(data))
+        return rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    raise ValueError(f"unknown image format: {fmt}")
+
+
+def decode_and_validate(images: DataFrame, allow_stub: bool = False) -> DataFrame:
+    """Decode every payload row, recompute the perceptual hash, and check
+    the stored metadata (dims + phash).  One pass, no shuffle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    rgb = decode_rgb(r.bytes, r.fmt, allow_stub=allow_stub)
+                    ph = phash64(rgb)
+                    rows.append(
+                        (
+                            r.image_id,
+                            True,
+                            rgb.shape[1],
+                            rgb.shape[0],
+                            ph,
+                            bool(ph == r.phash),
+                            bool(rgb.shape[1] == r.w and rgb.shape[0] == r.h),
+                            None,
+                        )
+                    )
+                except Exception as e:  # failed rows land with the error, never crash the job
+                    rows.append((r.image_id, False, None, None, None, False, False, str(e)[:200]))
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_RESULT_SCHEMA.fields])
+
+    return images.select("image_id", "bytes", "fmt", "w", "h", "phash").mapInPandas(
+        gen, DECODE_RESULT_SCHEMA
+    )
+
+
+def psnr_against(images: DataFrame, reference: DataFrame, allow_stub: bool = False) -> DataFrame:
+    """Per-row decoded-pixel PSNR of ``images`` vs ``reference`` (joined on
+    image_id) + caption equality — the input_hint invariant (PSNR ≥ 40 dB
+    for lossy formats, caption string equality)."""
+    ref = reference.select(
+        F.col("image_id"),
+        F.col("bytes").alias("ref_bytes"),
+        F.col("fmt").alias("ref_fmt"),
+        F.col("caption").alias("ref_caption"),
+    )
+    joined = images.select("image_id", "bytes", "fmt", "caption").join(ref, "image_id")
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("psnr_db", T.DoubleType()),
+            T.StructField("caption_equal", T.BooleanType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    a = decode_rgb(r.bytes, r.fmt, allow_stub=allow_stub)
+                    b = decode_rgb(r.ref_bytes, r.ref_fmt, allow_stub=allow_stub)
+                    p = psnr(a, b) if a.shape == b.shape else 0.0
+                except Exception:
+                    p = 0.0
+                rows.append((r.image_id, p, bool(r.caption == r.ref_caption)))
+            yield pd.DataFrame(rows, columns=["image_id", "psnr_db", "caption_equal"])
+
+    return joined.mapInPandas(gen, schema)
+
+
+def phash_hamming_expr(a, b):
+    """Hamming distance between two int64 pHashes as a column expression
+    (bit_count of xor — JVM-side, used for near-duplicate image grouping)."""
+    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
+
+
+def near_duplicate_images(images: DataFrame, max_hamming: int = 8, band_bits: int = 16) -> DataFrame:
+    """Near-duplicate image pairs by pHash banding: split the 64-bit hash
+    into 64/band_bits bands; candidate pairs share at least one exact band
+    (LSH — any pair within max_hamming ≤ bands-1 bit flips must collide on
+    some band); verify with exact Hamming distance.  All JVM-side."""
+    n_bands = 64 // band_bits
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col("phash"), i * band_bits).bitwiseAND(
+                F.lit((1 << band_bits) - 1)
+            )
+            for i in range(n_bands)
+        ]
+    )
+    with_bands = images.select(
+        "image_id", "phash", F.posexplode(bands).alias("band_idx", "band_val")
+    )
+    a = with_bands.alias("a")
+    b = with_bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.image_id").alias("id_a"),
+            F.col("b.image_id").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.withColumn("hamming", phash_hamming_expr("ph_a", "ph_b")).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

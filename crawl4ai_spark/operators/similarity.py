@@ -1,0 +1,163 @@
+"""Embedding similarity search over array<float> columns.
+
+* :func:`cosine_expr` — dot / (norm·norm) via zip_with + aggregate:
+  pure column expressions, whole-stage-codegen'd.
+* :func:`brute_force_topk` — exact top-k neighbors for a (small,
+  broadcast) query set against N vectors: broadcast nested-loop join +
+  per-query window rank.  This is the baseline/oracle path.
+* :func:`lsh_topk` — the scale path: random-hyperplane signatures bucket
+  the vectors; each query probes only its bucket (plus multi-probe
+  neighbors at Hamming distance 1), then exact cosine re-ranks.  Planes
+  are a deterministic function of (seed, dim) so results are stable.
+* :func:`embedding_near_dup_pairs` — near-duplicate vector pairs above a
+  cosine threshold, LSH-bucketed to avoid the O(n²) cross join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query.  The query side is broadcast (it is
+    small by contract); the big side streams — no shuffle until the final
+    per-query rank, which is tiny (n_queries × N reduced to n_queries × k
+    by partial top-k per partition via the window)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    joined = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")).crossJoin(
+        F.broadcast(q)
+    )
+    scored = joined.withColumn(
+        "cosine", cosine_expr(F.col("_v").cast("array<double>"), F.col("_qvec").cast("array<double>"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def signature_expr(vec: Column, planes: np.ndarray) -> Column:
+    """Random-hyperplane LSH signature as an int (bit i = sign of dot with
+    plane i), computed with pure column expressions."""
+    bits = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        d = dot_expr(vec.cast("array<double>"), lit_plane)
+        bits.append(F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: classic multi-table hyperplane LSH.  Each of
+    ``n_tables`` independent plane sets buckets every vector; a query
+    probes its exact bucket plus (multiprobe) all Hamming-1 neighbors in
+    each table; the union of candidates is exact-cosine re-ranked.
+
+    Scale shape: the vector side is written once with n_tables bucket
+    columns (exploded → n_tables rows per vector); the candidate join is
+    an equi-join on (table, bucket) — shuffle-hash, AQE-skew-safe — never
+    a cross join.  Recall/cost tunes with (n_planes, n_tables, probes):
+    more planes → smaller buckets, more tables/probes → higher recall.
+    """
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+
+    v_buckets = []
+    q_probes = []
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed + 1000 * t)
+        vsig = signature_expr(F.col("_v"), planes)
+        v_buckets.append(F.concat_ws("#", F.lit(t), vsig.cast("string")))
+        qsig = signature_expr(F.col("_qvec"), planes)
+        sigs = [qsig] + (
+            [qsig.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)] if multiprobe else []
+        )
+        q_probes.extend(F.concat_ws("#", F.lit(t), s.cast("string")) for s in sigs)
+
+    v = v.select("neighbor_id", "_v", F.explode(F.array(*v_buckets)).alias("bucket"))
+    q = q.select("query_id", "_qvec", F.explode(F.array(*q_probes)).alias("bucket"))
+    cand = v.join(F.broadcast(q), "bucket").dropDuplicates(["query_id", "neighbor_id"]).withColumn(
+        "cosine", cosine_expr(F.col("_v").cast("array<double>"), F.col("_qvec").cast("array<double>"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    dim: int | None = None,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Vector pairs with cosine ≥ threshold; LSH-bucketed candidates (same
+    signature) verified exactly.  High thresholds → colliding signatures
+    with high probability; recall grows with fewer planes."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = _planes(dim, n_planes, seed)
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
+        "bucket", signature_expr(F.col("vec"), planes)
+    )
+    a = v.select(F.col("bucket"), F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    b = v.select(F.col("bucket"), F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    scored = cand.withColumn(
+        "cosine", cosine_expr(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
+    )
+    return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

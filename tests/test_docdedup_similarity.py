@@ -1,0 +1,135 @@
+"""Training-data ops: dedup families, similarity search, text analysis."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.functions import text as tx
+from crawl4ai_spark.operators import docdedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog near the river bank tomorrow"),  # near dup
+        (3, "completely different text about spark partitions and shuffle behavior here"),
+        (4, "another unrelated document describing bloom filters and politeness budgets"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    survivors = {r["doc_id"] for r in docdedup.exact_dedup(docs).collect()}
+    assert survivors == {0, 2, 3, 4}
+    groups = docdedup.exact_dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == 2 and groups[0]["canonical_id"] == 0
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in docdedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_minhash_lsh_vs_exact_jaccard(spark, docs):
+    lsh = {(r["id_a"], r["id_b"]) for r in docdedup.minhash_lsh_pairs(docs, threshold=0.5, n_perm=16, bands=8).collect()}
+    exact = {(r["id_a"], r["id_b"]) for r in docdedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    # verification step removes false positives; recall here should be total
+    # for the exact-dup pair, and the near-dup pair collides with 8 bands
+    assert lsh <= exact
+    assert (0, 1) in lsh
+
+
+def test_simhash(spark, docs):
+    # band_bits=4 → 16 bands: any pair within hamming 15 shares a clean band
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in docdedup.simhash_pairs(docs, max_hamming=10, band_bits=4).collect()
+    }
+    assert pairs.get((0, 1)) == 0  # identical text → identical simhash
+    assert (0, 2) in pairs  # one-word difference → few bit flips
+    assert not any((p[0] in (3, 4)) or (p[1] in (3, 4)) for p in pairs if p != (3, 4))
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_brute_force_topk(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(vectors, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        # self is its own nearest neighbor
+        assert rs[0]["neighbor_id"] == qid and rs[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+        assert all(rs[i]["cosine"] >= rs[i + 1]["cosine"] - 1e-9 for i in range(len(rs) - 1))
+
+
+def test_lsh_topk_recall(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(vectors, queries, k=10)
+    approx = similarity.lsh_topk(vectors, queries, k=10, n_planes=6, n_tables=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5  # multiprobe hyperplane LSH on clustered data
+
+
+def test_embedding_near_dup(spark, vectors):
+    # duplicate a vector under a new id → must be found as a near-dup
+    dup = vectors.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = similarity.embedding_near_dup_pairs(vectors.unionByName(dup), threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (7, 100007) in got
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def test_text_ops(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox and the lazy dog walk to the river in the morning."),
+            (2, "el la de que los " * 3),
+            (3, "!!! ??? ### $$$"),
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        tx.token_count_expr(F.col("text")).alias("n_tokens"),
+        tx.bpe_token_count_expr(F.col("text")).alias("n_bpe"),
+        tx.quality_score_expr(F.col("text")).alias("quality"),
+        tx.lang_id_expr(F.col("text")).alias("lang"),
+        tx.fingerprint_expr(F.col("text")).alias("fp"),
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[1]["n_tokens"] == 15
+    assert rows[1]["lang"] == "en"
+    assert rows[2]["lang"] == "es"
+    assert rows[3]["lang"] == "unknown"
+    assert rows[1]["quality"] > rows[3]["quality"]
+    assert rows[1]["n_bpe"] > rows[1]["n_tokens"]  # punctuation split off
+    assert len(rows[1]["fp"]) == 32  # md5 hex
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    got = df.select(tx.shingles_expr(F.col("text"), 3).alias("s")).collect()[0]["s"]
+    assert got == ["a b c", "b c d"]

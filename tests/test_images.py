@@ -1,0 +1,72 @@
+"""Image payload pipeline: decode/validate, PSNR + caption invariant,
+pHash near-dup banding, stub gating for absent codecs."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators import multimodal
+from crawl4ai_spark.png import encode_png, phash64
+from crawl4ai_spark.sources.corpus import generate_corpus
+
+
+@pytest.fixture(scope="module")
+def images_df(spark):
+    corpus = generate_corpus(seed=42, n_hosts=2, pages_per_host=8, images_per_page=2)
+    pdf = corpus["images"][["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]]
+    return spark.createDataFrame(pdf, schema=multimodal.IMAGE_SCHEMA)
+
+
+def test_decode_and_validate(spark, images_df):
+    out = multimodal.decode_and_validate(images_df).collect()
+    assert len(out) == images_df.count() > 0
+    for r in out:
+        assert r["ok"], r["error"]
+        assert r["dims_match"]
+        assert r["phash_matches"]  # stored pHash == recomputed from pixels
+
+
+def test_psnr_and_caption_invariant(spark, images_df):
+    out = multimodal.psnr_against(images_df, images_df).collect()
+    for r in out:
+        assert r["psnr_db"] == float("inf")  # lossless roundtrip
+        assert r["caption_equal"]
+
+
+def test_corrupted_row_isolated(spark, images_df):
+    bad = spark.createDataFrame(
+        [("broken", bytearray(b"garbage"), 1, 1, "png", "x", 0)], multimodal.IMAGE_SCHEMA
+    )
+    out = multimodal.decode_and_validate(images_df.unionByName(bad))
+    rows = {r["image_id"]: r for r in out.collect()}
+    assert not rows["broken"]["ok"]
+    assert rows["broken"]["error"]
+    assert all(v["ok"] for k, v in rows.items() if k != "broken")
+
+
+def test_jpeg_stub_gating(spark):
+    df = spark.createDataFrame(
+        [("j1", bytearray(b"\xff\xd8fakejpeg"), 32, 32, "jpeg", "cap", 0)],
+        multimodal.IMAGE_SCHEMA,
+    )
+    strict = multimodal.decode_and_validate(df, allow_stub=False).collect()[0]
+    assert not strict["ok"] and "NotImplementedError" in str(strict["error"]) or "decode" in str(strict["error"])
+    stubbed = multimodal.decode_and_validate(df, allow_stub=True).collect()[0]
+    assert stubbed["ok"]  # plumbing exercised via deterministic fake decode
+
+
+def test_near_duplicate_images(spark):
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    near = base.copy()
+    near[:2, :2] = 0  # tiny perturbation → small pHash distance
+    far = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    rows = [
+        ("a", bytearray(encode_png(base)), 48, 48, "png", "c", phash64(base)),
+        ("b", bytearray(encode_png(near)), 48, 48, "png", "c", phash64(near)),
+        ("c", bytearray(encode_png(far)), 48, 48, "png", "c", phash64(far)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.IMAGE_SCHEMA)
+    pairs = {(r["id_a"], r["id_b"]) for r in multimodal.near_duplicate_images(df, max_hamming=10).collect()}
+    assert ("a", "b") in pairs
+    assert ("a", "c") not in pairs and ("b", "c") not in pairs
