@@ -556,6 +556,28 @@ def corpus_fetcher(pages: DataFrame) -> FetchFn:
     return fetch
 
 
+def canonical_corpus_fetcher(pages: DataFrame) -> FetchFn:
+    """corpus_fetcher keyed by the canonical (deep-normalized) page URL —
+    for pipelines whose frontier holds canonical URLs (CrawlJob), where
+    the corpus's raw keys ('https://host/' with trailing slash) must
+    resolve for canonical requests ('https://host')."""
+    src = pages.select(
+        normalize_deep_udf(F.col("url"), F.col("url")).alias("_page_url"),
+        "html",
+        F.col("status_code").alias("_sc"),
+    ).dropDuplicates(["_page_url"])
+
+    def fetch(wave: DataFrame) -> DataFrame:
+        j = wave.join(src, wave["url"] == src["_page_url"], "left")
+        return (
+            j.withColumn("success", F.col("_page_url").isNotNull() & (F.col("_sc") == 200))
+            .withColumn("status_code", F.coalesce(F.col("_sc"), F.lit(404)))
+            .drop("_page_url", "_sc")
+        )
+
+    return fetch
+
+
 def mock_child_fetcher(n_children: int = 3, max_calls: int | None = None) -> FetchFn:
     """Reference-test fetch mock (tests/deep_crawling/test_deep_crawl_resume.py:40-100):
     every URL succeeds and links to ``{url}/child{n}_{i}`` children,

@@ -1,0 +1,391 @@
+"""CrawlJob — the production composition of every engine component.
+
+One scheduling wave (SURVEY §3.3's Spark-native main loop):
+
+    frontier ──robots gate──► schedule (per-host token bucket, salted
+    top-K) ──► fetch (pandas-UDF / corpus join) ──► scrape (links +
+    image refs) ──► image payload emit (decode/validate → payload table)
+    ──► expand (canonicalize → bloom prefilter → exact anti-join seen →
+    filter/score) ──► next frontier (carried + retries + discoveries)
+    ──► host-state backoff update ──► snapshot commit (+ lineage row per
+    partition)
+
+Relationship to traversal.CrawlEngine: CrawlEngine is the *parity*
+engine (exact reference ordering semantics, oracle-tested); CrawlJob is
+the *scale* composition adding politeness, priority aging, robots,
+retries, the image payload path, and checkpoint/resume.  The ordering
+contract here is the deterministic logical queue discipline:
+(wave_id, priority_bucket, score desc, depth, url) per host, spaced by
+the politeness delay — the same discipline the reference's dispatcher
+implements with wall-clock sleeps (async_dispatcher.py:28-85), made
+reproducible.
+
+Everything is append-only at scale: seen/bloom/images/results/lineage
+grow by per-wave deltas; only frontier and host_state (both O(open
+work), not O(history)) are rewritten.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .functions.urls import host_expr, is_valid_url_expr, normalize_deep_udf
+from .operators import scrape
+from .operators.dedup import anti_join_seen, build_bloom
+from .operators.scheduler import (
+    priority_bucket_expr,
+    robots_gate,
+    salted_range_partition,
+    schedule_wave,
+    update_host_state,
+)
+from .sources.catalog import SnapshotCatalog, lineage_from_wave
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("url_hash", T.IntegerType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("host_hash", T.LongType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("parent_url", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("priority_bucket", T.IntegerType()),
+        T.StructField("retry_count", T.IntegerType()),
+        T.StructField("wait_waves", T.IntegerType()),
+        T.StructField("wave_id", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+    ]
+)
+
+
+@dataclass
+class JobConfig:
+    max_depth: int = 3
+    max_pages: float = math.inf
+    max_waves: int = 100
+    wave_budget: float = 60.0  # politeness budget per wave (seconds)
+    default_delay: float = 1.0
+    max_retries: int = 3  # on 429/503 (RateLimiter semantics)
+    score_expr: object | None = None  # Column -> Column on canonical url
+    filter_expr: object | None = None  # Column -> Column on raw href
+    include_external: bool = False
+    use_bloom: bool = True
+    bloom_partitions: int = 32
+    bloom_bits: int = 1 << 20
+    fairness_waves: int = 10
+    emit_images: bool = True
+    n_partitions: int = 0  # 0 → defaultParallelism
+
+
+@dataclass
+class WaveStats:
+    wave_id: int
+    scheduled: int
+    admitted: int
+    fetched_ok: int
+    failed: int
+    discovered: int
+    dedup_hits: int
+    images: int
+    duration_ms: int
+
+
+class CrawlJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        fetch_fn,
+        catalog_root: str,
+        config: JobConfig | None = None,
+        robots: DataFrame | None = None,
+        image_store: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.fetch_fn = fetch_fn
+        self.cfg = config or JobConfig()
+        self.catalog = SnapshotCatalog(catalog_root, spark)
+        self.robots = robots
+        self.image_store = image_store  # image_id → payload (the synthetic "CDN")
+        self.stats: list[WaveStats] = []
+
+    # ------------------------------------------------------------------ API
+    def seed(self, seeds: DataFrame) -> DataFrame:
+        """seeds(url[, priority]) → initial frontier (wave 0 snapshot).
+        Cross-source duplicate seeds collapse (async_url_seeder.py:429-459)."""
+        cfg = self.cfg
+        canon = normalize_deep_udf(F.col("url"), F.col("url"))
+        pri = F.col("priority") if "priority" in seeds.columns else F.lit(1.0)
+        frontier = (
+            seeds.select(canon.alias("url"), pri.cast("double").alias("score"))
+            .filter(F.col("url").isNotNull() & is_valid_url_expr(F.col("url")))
+            .dropDuplicates(["url"])
+            .select(
+                "url",
+                F.hash("url").alias("url_hash"),
+                host_expr(F.col("url")).alias("host"),
+                F.xxhash64(host_expr(F.col("url"))).alias("host_hash"),
+                F.lit(0).alias("depth"),
+                F.lit(None).cast("string").alias("parent_url"),
+                F.col("score"),
+                F.lit(0).alias("priority_bucket"),
+                F.lit(0).alias("retry_count"),
+                F.lit(0).alias("wait_waves"),
+                F.lit(0).alias("wave_id"),
+                F.lit("QUEUED").alias("status"),
+            )
+        )
+        seen0 = frontier.select("url")
+        state = {"frontier": frontier, "host_state": self._empty_host_state()}
+        appends = {"seen": seen0}
+        if cfg.use_bloom:
+            appends["bloom"] = build_bloom(seen0, n_partitions=cfg.bloom_partitions, m_bits=cfg.bloom_bits)
+        self.catalog.commit_wave(0, state=state, appends=appends)
+        return frontier
+
+    def run(self, max_waves: int | None = None) -> dict:
+        """Advance waves until the frontier drains (or limits hit).
+        Restartable: always resumes from the latest snapshot."""
+        cfg = self.cfg
+        max_waves = max_waves or cfg.max_waves
+        pages_crawled = self._crawled_so_far()
+        waves_done = 0
+        while waves_done < max_waves and pages_crawled < cfg.max_pages:
+            snap = self.catalog.latest_snapshot()
+            frontier = self.catalog.read("frontier", snap)
+            if frontier is None or frontier.rdd.isEmpty():
+                break
+            stats = self._wave(snap, frontier)
+            self.stats.append(stats)
+            pages_crawled += stats.fetched_ok
+            waves_done += 1
+            if stats.scheduled == 0:
+                break
+        return {
+            "waves": waves_done,
+            "pages_crawled": pages_crawled,
+            "stats": [s.__dict__ for s in self.stats],
+        }
+
+    # ------------------------------------------------------------- the wave
+    def _wave(self, snap: dict, frontier: DataFrame) -> WaveStats:
+        cfg = self.cfg
+        t0 = time.time()
+        wave_id = int(snap["wave_id"]) + 1
+        host_state = self.catalog.read("host_state", snap)
+        wave_start = (wave_id - 1) * cfg.wave_budget
+
+        frontier = frontier.withColumn(
+            "priority_bucket",
+            priority_bucket_expr(F.col("retry_count"), F.col("wait_waves"), cfg.fairness_waves),
+        )
+        n_parts = cfg.n_partitions or self.spark.sparkContext.defaultParallelism
+        frontier = salted_range_partition(frontier, n_parts)
+
+        # robots gate: denials become FAILED results without a fetch
+        gated = robots_gate(frontier, self.robots)
+        denied = gated.filter(~F.col("robots_allowed"))
+        allowed = gated.filter(F.col("robots_allowed")).drop("robots_allowed")
+
+        # politeness schedule; carried rows age up
+        sched = schedule_wave(
+            allowed, host_state, wave_start=wave_start, wave_budget=cfg.wave_budget,
+            default_delay=cfg.default_delay,
+        )
+        sched = self._ckpt(sched, f"sched_{wave_id}")
+        admitted = sched.filter("admitted").drop("admitted")
+        carried = (
+            sched.filter(~F.col("admitted"))
+            .drop("admitted", "rank_in_host", "scheduled_offset")
+            .withColumn("wait_waves", F.col("wait_waves") + 1)
+        )
+
+        n_sched = sched.count()
+        n_admit = admitted.count()
+
+        # fetch
+        fetched = self.fetch_fn(admitted)
+        fetched = self._ckpt(fetched, f"fetched_{wave_id}")
+        ok = fetched.filter("success")
+        rate_limited = fetched.filter(F.col("status_code").isin(429, 503))
+        hard_fail = fetched.filter(~F.col("success") & ~F.col("status_code").isin(429, 503))
+
+        # retries: requeue with retry_count+1 until max_retries (dispatcher
+        # requeue semantics, async_dispatcher.py:289-317 / RateLimiter give-up)
+        retry_rows = (
+            rate_limited.filter(F.col("retry_count") < cfg.max_retries)
+            .select(*[f.name for f in FRONTIER_SCHEMA.fields])
+            .withColumn("retry_count", F.col("retry_count") + 1)
+            .withColumn("status", F.lit("QUEUED"))
+        )
+
+        n_ok = ok.count()
+        n_failed = denied.count() + hard_fail.count() + rate_limited.filter(
+            F.col("retry_count") >= cfg.max_retries
+        ).count()
+
+        # results log (lineage-grade, not the payload)
+        results_log = fetched.select(
+            "url", "host", "depth", "parent_url", "status_code", "success",
+            "scheduled_offset", F.lit(wave_id).alias("wave_id"),
+        ).unionByName(
+            denied.select(
+                "url", "host", "depth", "parent_url",
+                F.lit(403).alias("status_code"), F.lit(False).alias("success"),
+                F.lit(0.0).alias("scheduled_offset"), F.lit(wave_id).alias("wave_id"),
+            )
+        )
+
+        # image payload emit
+        images_delta, n_images = None, 0
+        if cfg.emit_images and self.image_store is not None:
+            images_delta = self._emit_images(ok, wave_id)
+            n_images = images_delta.count()
+
+        # frontier expansion
+        seen = self.catalog.read("seen", snap)
+        blooms = self.catalog.read("bloom", snap) if cfg.use_bloom else None
+        new_rows, seen_delta, n_disc, n_dedup = self._expand(ok, seen, blooms, wave_id)
+
+        # host state update (politeness backoff fold)
+        new_host_state = update_host_state(
+            fetched.select("host", "status_code", "scheduled_offset"),
+            host_state,
+            wave_start=wave_start,
+            base_delay=(cfg.default_delay, cfg.default_delay),
+        )
+
+        next_frontier = carried.unionByName(retry_rows).unionByName(new_rows)
+
+        lineage = lineage_from_wave(
+            wave_id,
+            results_log.withColumn("status", F.when(F.col("success"), "OK").otherwise("FAILED")),
+            None,
+        ).withColumn("urls_out", F.lit(n_disc).cast("long")).withColumn(
+            "dedup_hits", F.lit(n_dedup).cast("long")
+        ).withColumn("duration_ms", F.lit(int((time.time() - t0) * 1000)).cast("long"))
+
+        appends = {"seen": seen_delta, "results": results_log, "lineage": lineage}
+        if cfg.use_bloom:
+            appends["bloom"] = build_bloom(
+                seen_delta, n_partitions=cfg.bloom_partitions, m_bits=cfg.bloom_bits
+            )
+        if images_delta is not None:
+            appends["images"] = images_delta
+        self.catalog.commit_wave(
+            wave_id,
+            state={"frontier": next_frontier, "host_state": new_host_state},
+            appends=appends,
+        )
+        return WaveStats(
+            wave_id=wave_id,
+            scheduled=n_sched,
+            admitted=n_admit,
+            fetched_ok=n_ok,
+            failed=n_failed,
+            discovered=n_disc,
+            dedup_hits=n_dedup,
+            images=n_images,
+            duration_ms=int((time.time() - t0) * 1000),
+        )
+
+    # ------------------------------------------------------------- helpers
+    def _expand(self, ok: DataFrame, seen, blooms, wave_id: int):
+        cfg = self.cfg
+        ok = ok.filter(F.col("depth") + 1 <= cfg.max_depth)
+        links = scrape.extract_links(ok, url_col="url", html_col="html")
+        meta = ok.select(F.col("url").alias("src_url"), "depth")
+        disc = links.join(meta, "src_url")
+        if not cfg.include_external:
+            disc = disc.filter(~F.col("is_external"))
+        disc = disc.withColumn("canon", normalize_deep_udf(F.col("href"), F.col("src_url")))
+        disc = disc.filter(F.col("canon").isNotNull() & is_valid_url_expr(F.col("href")))
+        if cfg.filter_expr is not None:
+            disc = disc.filter(cfg.filter_expr(F.col("href")))
+        disc = disc.dropDuplicates(["canon"])
+        n_before = disc.count()
+        fresh = anti_join_seen(
+            disc, seen, url_col="canon", blooms=blooms, n_partitions=cfg.bloom_partitions
+        )
+        fresh = self._ckpt(fresh, f"fresh_{wave_id}")
+        n_fresh = fresh.count()
+        score = (
+            cfg.score_expr(F.col("canon")) if cfg.score_expr is not None else F.lit(0.0)
+        ).cast("double")
+        new_rows = fresh.select(
+            F.col("canon").alias("url"),
+            F.hash("canon").alias("url_hash"),
+            host_expr(F.col("canon")).alias("host"),
+            F.xxhash64(host_expr(F.col("canon"))).alias("host_hash"),
+            (F.col("depth") + 1).cast("int").alias("depth"),
+            F.col("src_url").alias("parent_url"),
+            score.alias("score"),
+            F.lit(0).alias("priority_bucket"),
+            F.lit(0).alias("retry_count"),
+            F.lit(0).alias("wait_waves"),
+            F.lit(wave_id).alias("wave_id"),
+            F.lit("QUEUED").alias("status"),
+        )
+        seen_delta = new_rows.select("url")
+        return new_rows, seen_delta, n_fresh, n_before - n_fresh
+
+    def _emit_images(self, ok: DataFrame, wave_id: int) -> DataFrame:
+        """Scrape <img> refs from fetched pages, look the payloads up in
+        the image store (the synthetic CDN), land validated rows in the
+        payload table with caption = alt text."""
+        from .operators.multimodal import decode_and_validate
+
+        refs = scrape.extract_image_refs(ok, url_col="url", html_col="html", score_threshold=2)
+        refs = refs.withColumn(
+            "image_id", F.regexp_extract(F.col("img_src"), r"/img/([A-Za-z0-9\-]+)\.", 1)
+        ).filter(F.col("image_id") != "")
+        payload = refs.join(self.image_store, "image_id").select(
+            "image_id",
+            "bytes",
+            "w",
+            "h",
+            "fmt",
+            F.col("alt").alias("caption"),
+            "phash",
+        ).dropDuplicates(["image_id"])
+        payload = self._ckpt(payload, f"img_payload_{wave_id}")
+        checks = decode_and_validate(payload)
+        valid_ids = checks.filter("ok AND dims_match AND phash_matches").select("image_id")
+        return payload.join(valid_ids, "image_id")
+
+    def _crawled_so_far(self) -> int:
+        res = self.catalog.read("results")
+        if res is None:
+            return 0
+        return res.filter("success").count()
+
+    def _empty_host_state(self) -> DataFrame:
+        from .operators.scheduler import HOST_STATE_SCHEMA
+
+        return self.spark.createDataFrame([], HOST_STATE_SCHEMA)
+
+    def _ckpt(self, df: DataFrame, name: str) -> DataFrame:
+        import os
+
+        path = os.path.join(self.catalog.root, "tmp", name)
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    # ------------------------------------------------------------- queries
+    def seen_urls(self) -> DataFrame:
+        return self.catalog.read("seen")
+
+    def results(self) -> DataFrame:
+        return self.catalog.read("results")
+
+    def images(self) -> DataFrame | None:
+        return self.catalog.read("images")
+
+    def lineage(self) -> DataFrame:
+        return self.catalog.lineage()

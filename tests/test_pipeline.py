@@ -1,0 +1,149 @@
+"""End-to-end CrawlJob: seeds → waves → payload table, with robots,
+politeness, dedup lineage, and snapshot resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators.multimodal import IMAGE_SCHEMA, psnr_against
+from crawl4ai_spark.operators.traversal import canonical_corpus_fetcher
+from crawl4ai_spark.pipeline import CrawlJob, JobConfig
+from crawl4ai_spark.sources.corpus import generate_corpus, host_name, page_url
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    corpus = generate_corpus(seed=42, n_hosts=5, pages_per_host=12, images_per_page=1)
+    return {
+        "pages": spark.createDataFrame(corpus["pages"]),
+        "seeds": spark.createDataFrame(corpus["seeds"]),
+        "robots": spark.createDataFrame(corpus["robots"]),
+        "images": spark.createDataFrame(
+            corpus["images"][["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]],
+            schema=IMAGE_SCHEMA,
+        ),
+        "images_pdf": corpus["images"],
+    }
+
+
+def make_job(spark, world, root, **cfg_kw):
+    cfg = JobConfig(
+        max_depth=3,
+        wave_budget=100.0,
+        default_delay=1.0,
+        use_bloom=cfg_kw.pop("use_bloom", True),
+        bloom_partitions=8,
+        bloom_bits=1 << 16,
+        **cfg_kw,
+    )
+    return CrawlJob(
+        spark,
+        canonical_corpus_fetcher(world["pages"]),
+        catalog_root=root,
+        config=cfg,
+        robots=world["robots"],
+        image_store=world["images"],
+    )
+
+
+@pytest.fixture(scope="module")
+def finished(spark, world, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("crawl"))
+    job = make_job(spark, world, root)
+    job.seed(world["seeds"])
+    summary = job.run(max_waves=12)
+    return job, summary
+
+
+def test_job_crawls_and_respects_robots(finished):
+    job, summary = finished
+    assert summary["pages_crawled"] > 10
+    res = job.results()
+    ok_urls = {r["url"] for r in res.filter("success").collect()}
+    # disallow-all host (host4): only its seed appears, as a 403 failure
+    denied = res.filter(~F.col("success") & (F.col("status_code") == 403))
+    denied_hosts = {r["host"] for r in denied.collect()}
+    assert host_name(4) in denied_hosts
+    assert not any(host_name(4) in u for u in ok_urls)
+    # /admin/ disallowed on host1 (h%5==1)
+    assert not any("/admin/" in u and host_name(1) in u for u in ok_urls)
+    # but /admin/ pages crawled on unrestricted hosts
+    assert any("/admin/" in u for u in ok_urls)
+
+
+def test_job_seen_set_no_refetch(finished):
+    job, _ = finished
+    res = job.results().filter("success").collect()
+    urls = [r["url"] for r in res]
+    assert len(urls) == len(set(urls))  # every page fetched at most once
+    seen = {r["url"] for r in job.seen_urls().collect()}
+    assert set(urls) <= seen
+
+
+def test_job_politeness_spacing(finished):
+    job, _ = finished
+    res = job.results().filter("success").collect()
+    by_host_wave = {}
+    for r in res:
+        by_host_wave.setdefault((r["host"], r["wave_id"]), []).append(r["scheduled_offset"])
+    for (host, wave), offsets in by_host_wave.items():
+        offsets.sort()
+        for a, b in zip(offsets, offsets[1:]):
+            assert b - a >= 0.75 - 1e-9, f"{host} wave {wave}: {offsets}"
+
+
+def test_job_images_payload_invariant(spark, finished, world):
+    job, _ = finished
+    images = job.images()
+    assert images is not None and images.count() > 0
+    # caption equality + PSNR vs the ground-truth store
+    chk = psnr_against(images, world["images"])
+    rows = chk.collect()
+    assert all(r["caption_equal"] for r in rows)
+    assert all(r["psnr_db"] == float("inf") for r in rows)  # png lossless
+    # only images of successfully crawled pages landed
+    from crawl4ai_spark.functions.urls import normalize_url_for_deep_crawl
+
+    crawled = {r["url"] for r in job.results().filter("success").collect()}
+    pages_of = dict(zip(world["images_pdf"]["image_id"], world["images_pdf"]["page_url"]))
+    for r in images.select("image_id").collect():
+        page = pages_of[r["image_id"]]
+        assert normalize_url_for_deep_crawl(page, page) in crawled
+
+
+def test_job_lineage(finished):
+    job, summary = finished
+    lin = job.lineage()
+    assert lin.count() > 0
+    agg = lin.agg(F.sum("urls_in").alias("in"), F.sum("dedup_hits").alias("dh")).collect()[0]
+    assert agg["in"] >= summary["pages_crawled"]
+    # corpus contains duplicate hrefs by construction → dedup hits observed
+    assert agg["dh"] > 0
+
+
+def test_job_resume_equals_single_run(spark, world, tmp_path_factory, finished):
+    # run A: all at once (the `finished` fixture). run B: 2 waves, then a
+    # NEW job instance resumes from the snapshot → identical seen set.
+    job_a, _ = finished
+    root_b = str(tmp_path_factory.mktemp("crawl_resume"))
+    job_b1 = make_job(spark, world, root_b)
+    job_b1.seed(world["seeds"])
+    job_b1.run(max_waves=2)
+    job_b2 = make_job(spark, world, root_b)  # fresh instance, same catalog
+    job_b2.run(max_waves=10)
+    seen_a = {r["url"] for r in job_a.seen_urls().collect()}
+    seen_b = {r["url"] for r in job_b2.seen_urls().collect()}
+    assert seen_a == seen_b
+    res_a = {(r["url"], r["wave_id"]) for r in job_a.results().collect()}
+    res_b = {(r["url"], r["wave_id"]) for r in job_b2.results().collect()}
+    assert res_a == res_b
+
+
+def test_job_bloom_off_equivalence(spark, world, tmp_path_factory, finished):
+    job_a, _ = finished
+    root = str(tmp_path_factory.mktemp("crawl_nobloom"))
+    job = make_job(spark, world, root, use_bloom=False)
+    job.seed(world["seeds"])
+    job.run(max_waves=12)
+    assert {r["url"] for r in job.seen_urls().collect()} == {
+        r["url"] for r in job_a.seen_urls().collect()
+    }
