@@ -1,38 +1,839 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per operator family from SURVEY.md §2 —
+URL canonicalization / scoring / filtering, the seen-set anti-join, the
+politeness scheduler, the priority queue, BM25, the five dedup families,
+embedding similarity search, text analysis, the image payload pipeline,
+and the BFS crawl engine — each run against the driver's parquet tables
+at ``sf_dir``.  ``oracle_sql()`` carries a DuckDB-ANSI twin for every
+query whose semantics SQL can express (binary image decode, xxhash64
+SimHash, and the iterative crawl loop get the weaker rows-only check).
+
+Determinism/portability conventions shared by both sides:
+* synthesized inputs (URLs, duplicate documents, duplicate vectors) are
+  pure column expressions over the driver tables — identical in Spark
+  and DuckDB;
+* float scores are exported as micro-unit BIGINTs
+  (``CAST(round(x * 1e6) AS BIGINT)``) so value hashes never hinge on
+  double formatting;
+* portable hashes are md5 hex strings (identical in Spark/DuckDB);
+  engine-side-only hashes (xxhash64) stay out of oracle-checked queries.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from crawl4ai_spark.functions import filters as flt
+from crawl4ai_spark.functions import scorers
+from crawl4ai_spark.functions.text import (
+    bpe_token_count_expr,
+    fingerprint_expr,
+    lang_id_expr,
+    quality_score_expr,
+    token_count_expr,
+)
+from crawl4ai_spark.functions.urls import (
+    base_domain_expr,
+    host_expr,
+    normalize_deep_udf,
+)
+from crawl4ai_spark.operators import docdedup, similarity
+from crawl4ai_spark.operators.bm25 import bm25_scores, bm25_sql
+from crawl4ai_spark.operators.dedup import anti_join_seen, build_bloom
+from crawl4ai_spark.operators.scheduler import priority_bucket_expr, schedule_wave
+from crawl4ai_spark.operators.traversal import global_sequence
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+BM25_TERMS = ["spark", "join", "fast"]
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _e6(c: Column) -> Column:
+    return F.round(c * F.lit(1000000.0)).cast("long")
+
+
+def _e4(c: Column) -> Column:
+    return F.round(c * F.lit(10000.0)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# shared synthesized inputs (Spark side; SQL twins below)
+# ---------------------------------------------------------------------------
+
+
+def _docs_aug(docs: DataFrame) -> DataFrame:
+    """documents ∪ exact duplicates (doc_id%5==0 → +10000) ∪ near
+    duplicates with a 3-token tail appended (doc_id%7==0 → +20000)."""
+    base = docs.select("doc_id", "text")
+    dups = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    near = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz9 zz9 zz9")).alias("text"),
+    )
+    return base.unionByName(dups).unionByName(near)
+
+
+_DOCS_AUG_SQL = """
+docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL SELECT doc_id + 20000 AS doc_id, text || ' zz9 zz9 zz9' AS text
+    FROM documents WHERE doc_id % 7 = 0
+)"""
+
+_SHINGLES_SQL = """
+sh AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           [array_to_string(toks[i:i+2], ' ')
+            FOR i IN range(1, greatest(len(toks) - 2, 0) + 1)])) AS shingles
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+    FROM docs_aug)
+)"""
+
+
+def _event_urls(ev: DataFrame) -> DataFrame:
+    """Deterministic messy URL per event: mixed-case host, tracking params,
+    blank query values, trailing slashes, fragments — exercising every
+    branch of the deep-crawl canonicalizer."""
+    m3 = F.col("event_id") % 3
+    url = F.concat(
+        F.lit("https://Host"),
+        (F.col("user_id") % 40).cast("string"),
+        F.lit(".Example.COM/"),
+        F.col("event_type"),
+        F.lit("/item"),
+        (F.col("event_id") % 500).cast("string"),
+        F.when(m3 == 2, F.lit("/")).otherwise(F.lit("")),
+        F.when(m3 == 0, F.lit("?utm_source=feed&q=spark"))
+        .when(m3 == 1, F.lit("?q=spark&utm_campaign=x&empty="))
+        .otherwise(F.lit("")),
+        F.when(F.col("event_id") % 7 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return ev.select("event_id", "user_id", "event_type", "value", url.alias("url"))
+
+
+_EV_SQL = """
+ev AS (
+  SELECT event_id, user_id, event_type, value,
+    'https://Host' || CAST(user_id % 40 AS VARCHAR) || '.Example.COM/' || event_type
+      || '/item' || CAST(event_id % 500 AS VARCHAR)
+      || CASE WHEN event_id % 3 = 2 THEN '/' ELSE '' END
+      || CASE WHEN event_id % 3 = 0 THEN '?utm_source=feed&q=spark'
+              WHEN event_id % 3 = 1 THEN '?q=spark&utm_campaign=x&empty=' ELSE '' END
+      || CASE WHEN event_id % 7 = 0 THEN '#sec' ELSE '' END AS url
+  FROM events
+)"""
+
+# what normalize_url_for_deep_crawl provably produces on the _EV_SQL family
+_CANON_SQL = (
+    "'https://host' || CAST(user_id % 40 AS VARCHAR) || '.example.com/' || event_type"
+    " || '/item' || CAST(event_id % 500 AS VARCHAR)"
+    " || CASE WHEN event_id % 3 IN (0, 1) THEN '?q=spark' ELSE '' END"
+)
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(trim({src}), '\\s+'), x -> x <> '')"
+
+_STOPWORDS = {
+    "de": ["der", "die", "und", "das", "nicht"],
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def _hits_sql(lang: str) -> str:
+    terms = " + ".join(
+        f"CASE WHEN contains(' ' || lower(text) || ' ', ' {w} ') THEN 1 ELSE 0 END"
+        for w in _STOPWORDS[lang]
+    )
+    return f"({terms})"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
+        bpe_token_count_expr(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", _e6(quality_score_expr(F.col("text"))).alias("quality_e6"))
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_expr(F.col("text")).alias("lang_pred"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_expr(F.col("text")).alias("fp"))
+
+
+def q_docs_by_lang(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.length("text")) * 100).cast("long").alias("avg_chars_e2"),
+    )
+
+
+def q_bm25_rank(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(docs, BM25_TERMS).select("doc_id", _e6(F.col("bm25")).alias("bm25_e6"))
+
+
+def q_exact_dedup_groups(spark, sf_dir):
+    aug = _docs_aug(_t(spark, sf_dir, "documents"))
+    return docdedup.exact_dup_groups(aug)
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    aug = _docs_aug(_t(spark, sf_dir, "documents"))
+    pairs = docdedup.ngram_jaccard_pairs(aug, threshold=0.8, n=3)
+    return pairs.select("id_a", "id_b", _e6(F.col("jaccard")).alias("jaccard_e6"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    aug = _docs_aug(_t(spark, sf_dir, "documents"))
+    sig = docdedup.minhash_signature(aug, n_perm=4)
+    return sig.select(
+        "doc_id", *[F.col("sig")[i].alias(f"sig_{i}") for i in range(4)]
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    aug = _docs_aug(_t(spark, sf_dir, "documents"))
+    pairs = docdedup.minhash_lsh_pairs(aug, threshold=0.5, n_perm=16, bands=4, n=3)
+    return pairs.select("id_a", "id_b", _e6(F.col("jaccard")).alias("jaccard_e6"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    aug = _docs_aug(_t(spark, sf_dir, "documents"))
+    return docdedup.simhash_pairs(aug, max_hamming=6)
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = similarity.brute_force_topk(emb, queries, k=5)
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        _e4(F.col("cosine")).alias("cosine_e4"),
+    )
+
+
+def _emb_aug(emb: DataFrame) -> DataFrame:
+    copies = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return emb.select("vec_id", "embedding").unionByName(copies)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    aug = _emb_aug(_t(spark, sf_dir, "embeddings"))
+    pairs = similarity.embedding_near_dup_pairs(aug, threshold=0.95, n_planes=12, dim=64)
+    return pairs.select("id_a", "id_b", _e4(F.col("cosine")).alias("cosine_e4"))
+
+
+def q_url_canonicalize(spark, sf_dir):
+    ev = _event_urls(_t(spark, sf_dir, "events"))
+    return ev.select(
+        "event_id", normalize_deep_udf(F.col("url"), F.col("url")).alias("canon")
+    )
+
+
+def q_url_host_parts(spark, sf_dir):
+    ev = _event_urls(_t(spark, sf_dir, "events"))
+    return ev.select(
+        "event_id",
+        host_expr(F.col("url")).alias("host"),
+        base_domain_expr(F.col("url")).alias("base_domain"),
+        scorers.path_depth_expr(F.col("url")).cast("long").alias("path_depth"),
+    )
+
+
+def _order_urls(orders: DataFrame) -> DataFrame:
+    yr = (F.lit(2017) + F.col("o_orderkey") % 8).cast("string")
+    url = F.concat(
+        F.lit("https://shop.example.com/"),
+        yr,
+        F.lit("/order-"),
+        F.col("o_orderkey").cast("string"),
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit("/x")).otherwise(F.lit("")),
+    )
+    return orders.select("o_orderkey", url.alias("url"))
+
+
+_ORDER_URL_SQL = """
+ou AS (
+  SELECT o_orderkey,
+    'https://shop.example.com/' || CAST(2017 + o_orderkey % 8 AS VARCHAR)
+      || '/order-' || CAST(o_orderkey AS VARCHAR)
+      || CASE WHEN o_orderkey % 4 = 0 THEN '/x' ELSE '' END AS url
+  FROM orders
+)"""
+
+
+def q_url_scorers(spark, sf_dir):
+    ou = _order_urls(_t(spark, sf_dir, "orders"))
+    fresh = scorers.freshness(weight=1.0, current_year=2024)
+    depth = scorers.path_depth(optimal_depth=2, weight=1.0)
+    kw = scorers.keyword_relevance(["order", "2024", "blog"], weight=1.0)
+    comp = scorers.composite([fresh, depth, kw], normalize=True)
+    u = F.col("url")
+    return ou.select(
+        "o_orderkey",
+        _e6(fresh(u)).alias("freshness_e6"),
+        _e6(depth(u)).alias("depth_score_e6"),
+        _e6(kw(u)).alias("keyword_e6"),
+        _e6(comp(u)).alias("composite_e6"),
+    )
+
+
+def _part_urls(part: DataFrame) -> DataFrame:
+    host = (
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("files.example.com"))
+        .when(F.col("p_partkey") % 3 == 1, F.lit("cdn.example.org"))
+        .otherwise(F.lit("www.blog.example.co.uk"))
+    )
+    ext = (
+        F.when(F.col("p_partkey") % 5 == 0, F.lit(".html"))
+        .when(F.col("p_partkey") % 5 == 1, F.lit(".pdf"))
+        .when(F.col("p_partkey") % 5 == 2, F.lit(".png"))
+        .when(F.col("p_partkey") % 5 == 3, F.lit(""))
+        .otherwise(F.lit(".php"))
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/assets/p"), F.col("p_partkey").cast("string"), ext
+    )
+    return part.select("p_partkey", url.alias("url"))
+
+
+_PART_URL_SQL = """
+pu AS (
+  SELECT p_partkey,
+    'https://' ||
+    CASE WHEN p_partkey % 3 = 0 THEN 'files.example.com'
+         WHEN p_partkey % 3 = 1 THEN 'cdn.example.org'
+         ELSE 'www.blog.example.co.uk' END
+    || '/assets/p' || CAST(p_partkey AS VARCHAR) ||
+    CASE WHEN p_partkey % 5 = 0 THEN '.html'
+         WHEN p_partkey % 5 = 1 THEN '.pdf'
+         WHEN p_partkey % 5 = 2 THEN '.png'
+         WHEN p_partkey % 5 = 3 THEN ''
+         ELSE '.php' END AS url
+  FROM part
+)"""
+
+
+def q_url_filters(spark, sf_dir):
+    pu = _part_urls(_t(spark, sf_dir, "part"))
+    pattern = flt.url_pattern("*.html")
+    ctype = flt.content_type("text/html")
+    dom = flt.domain(
+        allowed_domains=["example.com", "example.co.uk"],
+        blocked_domains=["cdn.example.org"],
+    )
+    u = F.col("url")
+    return pu.select(
+        "p_partkey",
+        "url",
+        pattern(u).alias("pass_pattern"),
+        ctype(u).alias("pass_ctype"),
+        dom(u).alias("pass_domain"),
+    )
+
+
+def q_frontier_seen_antijoin(spark, sf_dir):
+    ev = _event_urls(_t(spark, sf_dir, "events"))
+    canon = ev.withColumn("canon", normalize_deep_udf(F.col("url"), F.col("url")))
+    frontier = canon.select("canon", "event_id").dropDuplicates(["canon"])
+    seen = (
+        canon.filter(F.col("event_id") % 3 == 0)
+        .select(F.col("canon").alias("url"))
+        .dropDuplicates(["url"])
+    )
+    blooms = build_bloom(seen, n_partitions=8, m_bits=1 << 18)
+    fresh = anti_join_seen(frontier, seen, url_col="canon", blooms=blooms, n_partitions=8)
+    return fresh.select(F.col("canon").alias("url"))
+
+
+def q_politeness_schedule(spark, sf_dir):
+    ev = _event_urls(_t(spark, sf_dir, "events"))
+    # frontier rows are unique per canonical URL by pipeline invariant;
+    # collapse the synthetic URL collisions deterministically
+    frontier = (
+        ev.groupBy("url")
+        .agg(
+            F.max("value").alias("score"),
+            F.min(F.col("event_id") % 4).cast("int").alias("depth"),
+        )
+        .select(
+            "url",
+            host_expr(F.col("url")).alias("host"),
+            "score",
+            "depth",
+            F.lit(0).alias("priority_bucket"),
+        )
+    )
+    sched = schedule_wave(
+        frontier, None, wave_start=0.0, wave_budget=60.0, default_delay=1.0
+    )
+    return sched.select(
+        "url",
+        "host",
+        F.col("rank_in_host").cast("long").alias("rank_in_host"),
+        F.round(F.col("scheduled_offset") * 1000).cast("long").alias("sched_ms"),
+        "admitted",
+    )
+
+
+def q_priority_topk(spark, sf_dir):
+    ev = _event_urls(_t(spark, sf_dir, "events"))
+    fr = ev.select(
+        "url",
+        priority_bucket_expr(
+            (F.col("event_id") % 5).cast("int"),
+            (F.col("event_id") % 13).cast("int"),
+            fairness_waves=10,
+        ).alias("priority_bucket"),
+        F.col("value").alias("score"),
+        (F.col("event_id") % 4).cast("int").alias("depth"),
+    )
+    order = [
+        F.col("priority_bucket").asc(),
+        F.col("score").desc(),
+        F.col("depth").asc(),
+        F.col("url").asc(),
+    ]
+    top = fr.orderBy(*order).limit(200)
+    seq = global_sequence(top, order, "rank0")
+    return seq.select("url", "priority_bucket", (F.col("rank0") + 1).alias("rank"))
+
+
+def _gen_images(spark, sf_dir, n: int = 200) -> DataFrame:
+    """Deterministic PNG payload per part row — the synthetic CDN for the
+    image pipeline queries (real encode/decode via the pure-Python codec)."""
+    import pandas as pd
+
+    from crawl4ai_spark.operators.multimodal import IMAGE_SCHEMA
+
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < n)
+        .select("p_partkey", "p_name")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from crawl4ai_spark.png import encode_png, phash64
+
+        for pdf in batches:
+            rows = []
+            for k, name in zip(pdf["p_partkey"], pdf["p_name"]):
+                rng = np.random.default_rng(int(k))
+                rgb = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+                rows.append(
+                    (str(int(k)), encode_png(rgb), 24, 16, "png", f"part {name}", phash64(rgb))
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    return parts.mapInPandas(gen, IMAGE_SCHEMA)
+
+
+def q_image_pipeline(spark, sf_dir):
+    from crawl4ai_spark.operators.multimodal import decode_and_validate
+
+    images = _gen_images(spark, sf_dir)
+    checks = decode_and_validate(images)
+    return checks.select("image_id", "ok", "dims_match", "phash_matches", "phash_recomputed")
+
+
+def q_image_near_dup(spark, sf_dir):
+    from crawl4ai_spark.operators.multimodal import near_duplicate_images
+
+    images = _gen_images(spark, sf_dir)
+    dups = images.filter(F.col("image_id").cast("int") % 10 == 0).withColumn(
+        "image_id", F.concat(F.lit("copy-"), F.col("image_id"))
+    )
+    aug = images.unionByName(dups)
+    return near_duplicate_images(aug, max_hamming=8)
+
+
+def q_crawl_bfs(spark, sf_dir):
+    from crawl4ai_spark.operators.traversal import CrawlConfig, CrawlEngine, corpus_fetcher
+    from crawl4ai_spark.sources.corpus import generate_corpus, page_url
+
+    corpus = generate_corpus(seed=42, n_hosts=3, pages_per_host=14, with_images=False)
+    pages = spark.createDataFrame(corpus["pages"])
+    engine = CrawlEngine(spark, corpus_fetcher(pages), CrawlConfig(max_depth=2))
+    run = engine.crawl_bfs(page_url(0, 0))
+    return run.results.select("url", "depth", "parent_url", "wave_id", "result_seq", "success")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "text_stats": q_text_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "docs_by_lang": q_docs_by_lang,
+        "bm25_rank": q_bm25_rank,
+        "exact_dedup_groups": q_exact_dedup_groups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_topk": q_ann_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "url_canonicalize": q_url_canonicalize,
+        "url_host_parts": q_url_host_parts,
+        "url_scorers": q_url_scorers,
+        "url_filters": q_url_filters,
+        "frontier_seen_antijoin": q_frontier_seen_antijoin,
+        "politeness_schedule": q_politeness_schedule,
+        "priority_topk": q_priority_topk,
+        "image_pipeline": q_image_pipeline,
+        "image_near_dup": q_image_near_dup,
+        "crawl_bfs": q_crawl_bfs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+
+def _quality_sql() -> str:
+    hits = _hits_sql("en")
+    return f"""
+SELECT doc_id, CAST(round((
+    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+  + greatest(1.0 - (CAST(len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) AS DOUBLE)
+                    / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 4.0, 0.0) * 0.3
+  + (CAST({hits} AS DOUBLE) / 5.0) * 0.3
+) * 1000000) AS BIGINT) AS quality_e6
+FROM documents
+"""
+
+
+def _lang_id_sql() -> str:
+    cols = ", ".join(f"{_hits_sql(lang)} AS h_{lang}" for lang in sorted(_STOPWORDS))
+    hmax = "greatest(h_de, h_en, h_es, h_fr, h_zh)"
+    return f"""
+WITH hits AS (SELECT doc_id, {cols} FROM documents)
+SELECT doc_id,
+  CASE WHEN {hmax} = 0 THEN 'unknown'
+       WHEN h_de = {hmax} THEN 'de'
+       WHEN h_en = {hmax} THEN 'en'
+       WHEN h_es = {hmax} THEN 'es'
+       WHEN h_fr = {hmax} THEN 'fr'
+       ELSE 'zh' END AS lang_pred
+FROM hits
+"""
+
+
+def _minhash_sig_sql(perm: int) -> str:
+    return f"list_min(list_transform(shingles, s -> md5('{perm}|' || s)))"
+
+
+def _minhash_signatures_sql() -> str:
+    sigs = ", ".join(f"{_minhash_sig_sql(p)} AS sig_{p}" for p in range(4))
+    return f"WITH {_DOCS_AUG_SQL}, {_SHINGLES_SQL} SELECT doc_id, {sigs} FROM sh"
+
+
+def _minhash_lsh_sql() -> str:
+    sigs = ", ".join(f"{_minhash_sig_sql(p)} AS s{p}" for p in range(16))
+    bands = ", ".join(
+        "md5(concat_ws('|', {b}, s{a0}, s{a1}, s{a2}, s{a3}))".format(
+            b=bi, a0=bi * 4, a1=bi * 4 + 1, a2=bi * 4 + 2, a3=bi * 4 + 3
+        )
+        for bi in range(4)
+    )
+    return f"""
+WITH {_DOCS_AUG_SQL}, {_SHINGLES_SQL},
+sigs AS (SELECT doc_id, shingles, len(shingles) AS nsh, {sigs} FROM sh),
+banded AS (SELECT doc_id, shingles, nsh, unnest([{bands}]) AS band FROM sigs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.shingles AS sa, b.shingles AS sb, a.nsh AS na, b.nsh AS nb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+           / (na + nb - len(list_intersect(sa, sb))) AS jaccard
+  FROM cand
+)
+SELECT id_a, id_b, CAST(round(jaccard * 1000000) AS BIGINT) AS jaccard_e6
+FROM verified WHERE jaccard >= 0.5
+"""
+
+
+def _ngram_jaccard_sql() -> str:
+    return f"""
+WITH {_DOCS_AUG_SQL}, {_SHINGLES_SQL},
+sized AS (SELECT doc_id, shingles, len(shingles) AS nsh FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / (a.nsh + b.nsh - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+  FROM sized a JOIN sized b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+)
+SELECT id_a, id_b, CAST(round(jaccard * 1000000) AS BIGINT) AS jaccard_e6
+FROM pairs WHERE jaccard >= 0.8
+"""
+
+
+def _url_filters_sql() -> str:
+    # mirrors url_pattern('*.html') / content_type('text/html') / domain(...)
+    return f"""
+WITH {_PART_URL_SQL},
+parsed AS (
+  SELECT p_partkey, url,
+    list_extract(string_split(
+      list_extract(string_split(string_split(url, '?')[1], '/'), -1), '.'), -1) AS last_ext,
+    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS after_scheme,
+    lower(regexp_extract(url, '://([^/]+)', 1)) AS dom
+  FROM pu
+), parsed2 AS (
+  SELECT *, regexp_extract(after_scheme, '(/.*)$', 1) AS path FROM parsed
+), parsed3 AS (
+  SELECT *,
+    CASE WHEN contains(path, '/') THEN list_extract(string_split(path, '/'), -1) ELSE '' END AS filename
+  FROM parsed2
+), parsed4 AS (
+  SELECT *,
+    CASE WHEN contains(filename, '.') THEN lower(regexp_extract(filename, '\\.([^.]*)$', 1)) ELSE '' END AS ext
+  FROM parsed3
+)
+SELECT p_partkey, url,
+  last_ext = 'html' AS pass_pattern,
+  (ext = '' OR ext IN ('htm', 'html')) AS pass_ctype,
+  (NOT (dom = 'cdn.example.org' OR ends_with(dom, '.cdn.example.org')))
+    AND (dom = 'example.com' OR ends_with(dom, '.example.com')
+         OR dom = 'example.co.uk' OR ends_with(dom, '.example.co.uk')) AS pass_domain
+FROM parsed4
+"""
+
+
+def _url_scorers_sql() -> str:
+    freshness = """
+  CASE WHEN yr IS NULL THEN 0.5
+       WHEN 2024 - yr = 0 THEN 1.0
+       WHEN 2024 - yr = 1 THEN 0.9
+       WHEN 2024 - yr = 2 THEN 0.8
+       WHEN 2024 - yr = 3 THEN 0.7
+       WHEN 2024 - yr = 4 THEN 0.6
+       WHEN 2024 - yr = 5 THEN 0.5
+       ELSE greatest(0.1, 1.0 - (2024 - yr) * 0.1) END"""
+    depth = """
+  CASE WHEN abs(pd - 2) = 0 THEN 1.0
+       WHEN abs(pd - 2) = 1 THEN 0.5
+       WHEN abs(pd - 2) = 2 THEN 0.3333333333333333
+       WHEN abs(pd - 2) = 3 THEN 0.25
+       ELSE 1.0 / (1.0 + abs(pd - 2)) END"""
+    kw = """
+  (CAST((CASE WHEN contains(lower(url), 'order') THEN 1 ELSE 0 END)
+      + (CASE WHEN contains(lower(url), '2024') THEN 1 ELSE 0 END)
+      + (CASE WHEN contains(lower(url), 'blog') THEN 1 ELSE 0 END) AS DOUBLE) / 3.0)"""
+    return f"""
+WITH {_ORDER_URL_SQL},
+feat AS (
+  SELECT o_orderkey, url,
+    list_max(list_filter(
+      list_transform(regexp_extract_all(url, '(?:/|[-_])((?:19|20)\\d{{2}})', 1),
+                     v -> CAST(v AS INTEGER)),
+      v -> v <= 2024)) AS yr,
+    len(list_filter(string_split(
+      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/]*(/.*)?$', 1), '/'),
+      x -> x <> '')) AS pd
+  FROM ou
+), scored AS (
+  SELECT o_orderkey, ({freshness}) AS f, ({depth}) AS d, {kw} AS k FROM feat
+)
+SELECT o_orderkey,
+  CAST(round(f * 1000000) AS BIGINT) AS freshness_e6,
+  CAST(round(d * 1000000) AS BIGINT) AS depth_score_e6,
+  CAST(round(k * 1000000) AS BIGINT) AS keyword_e6,
+  CAST(round((f + d + k) / 3.0 * 1000000) AS BIGINT) AS composite_e6
+FROM scored
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _TOKS_SQL.format(src="text")
+    toks_l = _TOKS_SQL.format(src="lower(text)")
+    return {
+        "text_stats": f"""
+SELECT doc_id,
+  CAST(len({toks}) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+        "quality_scores": _quality_sql(),
+        "lang_id": _lang_id_sql(),
+        "doc_fingerprint": f"""
+SELECT doc_id, md5(array_to_string(({toks_l})[1:64], ' ')) AS fp FROM documents
+""",
+        "docs_by_lang": """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(round(AVG(CAST(length(text) AS DOUBLE)) * 100) AS BIGINT) AS avg_chars_e2
+FROM documents GROUP BY lang
+""",
+        "bm25_rank": f"""
+SELECT doc_id, CAST(round(bm25 * 1000000) AS BIGINT) AS bm25_e6
+FROM ({bm25_sql(BM25_TERMS)})
+""",
+        "exact_dedup_groups": f"""
+WITH {_DOCS_AUG_SQL}
+SELECT md5(text) AS text_hash, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_id
+FROM docs_aug GROUP BY md5(text) HAVING COUNT(*) > 1
+""",
+        "ngram_jaccard_pairs": _ngram_jaccard_sql(),
+        "minhash_signatures": _minhash_signatures_sql(),
+        "minhash_lsh_pairs": _minhash_lsh_sql(),
+        "ann_topk": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, list_cosine_similarity(e.v, q.qv) AS cos
+  FROM e CROSS JOIN q
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+       CAST(round(cos * 10000) AS BIGINT) AS cosine_e4
+FROM ranked WHERE rn <= 5
+""",
+        "embedding_near_dup": """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 25 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(round(list_cosine_similarity(a.v, b.v) * 10000) AS BIGINT) AS cosine_e4
+FROM base a JOIN base b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+""",
+        "url_canonicalize": f"""
+WITH {_EV_SQL}
+SELECT event_id, {_CANON_SQL} AS canon FROM ev
+""",
+        "url_host_parts": f"""
+WITH {_EV_SQL}
+SELECT event_id,
+  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)) AS host,
+  'example.com' AS base_domain,
+  CAST(len(list_filter(string_split(
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/]*(/.*)?$', 1), '/'),
+    x -> x <> '')) AS BIGINT) AS path_depth
+FROM ev
+""",
+        "url_scorers": _url_scorers_sql(),
+        "url_filters": _url_filters_sql(),
+        "frontier_seen_antijoin": f"""
+WITH {_EV_SQL},
+canon AS (SELECT event_id, {_CANON_SQL} AS canon FROM ev),
+frontier AS (SELECT DISTINCT canon FROM canon),
+seen AS (SELECT DISTINCT canon FROM canon WHERE event_id % 3 = 0)
+SELECT f.canon AS url FROM frontier f
+WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.canon = f.canon)
+""",
+        "politeness_schedule": f"""
+WITH {_EV_SQL},
+fr0 AS (
+  SELECT url, MAX(value) AS score, CAST(MIN(event_id % 4) AS INTEGER) AS depth
+  FROM ev GROUP BY url
+), fr AS (
+  SELECT url,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)) AS host,
+    score, depth
+  FROM fr0
+), ranked AS (
+  SELECT url, host,
+    row_number() OVER (PARTITION BY host ORDER BY score DESC, depth ASC, url ASC) AS rn
+  FROM fr
+)
+SELECT url, host,
+  CASE WHEN rn <= 240 THEN CAST(rn AS BIGINT) END AS rank_in_host,
+  CASE WHEN rn <= 240 THEN CAST((rn - 1) * 1000 AS BIGINT) END AS sched_ms,
+  (rn <= 60) AS admitted
+FROM ranked
+""",
+        "priority_topk": f"""
+WITH {_EV_SQL},
+fr AS (
+  SELECT url,
+    CAST(CASE WHEN event_id % 13 > 10 THEN -(event_id % 13) ELSE event_id % 5 END AS INTEGER)
+      AS priority_bucket,
+    value AS score, CAST(event_id % 4 AS INTEGER) AS depth
+  FROM ev
+), ranked AS (
+  SELECT url, priority_bucket,
+    row_number() OVER (ORDER BY priority_bucket ASC, score DESC, depth ASC, url ASC) AS rn
+  FROM fr
+)
+SELECT url, priority_bucket, CAST(rn AS BIGINT) AS rank FROM ranked WHERE rn <= 200
+""",
+        # simhash_pairs: xxhash64-based — not portable to DuckDB (rows-only)
+        # image_pipeline / image_near_dup: binary PNG codec — rows-only
+        # crawl_bfs: iterative traversal — rows-only
+    }
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: full text-profile of the sf0.001 documents table — token
+    counts, quality, language ID, portable fingerprint, and the first
+    minhash band — one pass, all JVM-side column expressions."""
+    docs = _t(spark, SF_SMOKE, "documents")
+    sig0 = docdedup.minhash_signature(docs, n_perm=4).select(
+        "doc_id", F.col("sig")[0].alias("minhash_0")
+    )
+    profile = docs.select(
+        "doc_id",
+        token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
+        _e6(quality_score_expr(F.col("text"))).alias("quality_e6"),
+        lang_id_expr(F.col("text")).alias("lang_pred"),
+        fingerprint_expr(F.col("text")).alias("fp"),
+    )
+    return profile.join(sig0, "doc_id")

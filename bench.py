@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round; also the local feedback loop).
+
+Headline: one full frontier scheduling wave at scale — canonicalize
+(Arrow pandas UDF) → murmur3 → bloom-prefiltered exact seen-set anti-join
+→ priority bucketing → salted range partition → per-host politeness
+schedule — reported as URLs/sec, plus the image payload path (PNG
+decode + validate + pHash) as rows/sec, plus per-query timings of the
+__spark_entry__ operator suite at $SPARK_GRAFT_SF_DIR.
+
+Environment knobs:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  BENCH_FRONTIER_N     frontier size override (default 20M * sf)
+
+Prints ONE JSON line on stdout. Run at two parallelism levels (e.g.
+SPARK_GRAFT_CPUS=8 and =32) on identical input for the scaling-efficiency
+evidence recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_frontier_wave(spark, n_urls: int, n_parts: int):
+    """One production scheduling wave over a synthetic frontier."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.functions.urls import normalize_deep_udf
+    from crawl4ai_spark.operators.dedup import anti_join_seen, build_bloom
+    from crawl4ai_spark.operators.scheduler import (
+        priority_bucket_expr,
+        salted_range_partition,
+        schedule_wave,
+    )
+    from crawl4ai_spark.sources.corpus import synth_frontier
+
+    fr = synth_frontier(spark, n_urls).cache()
+    fr.count()
+    # seen-set state carried from previous waves (pre-built, cached — its
+    # construction is historical state, not this wave's work)
+    seen = fr.filter(F.xxhash64("url") % 3 == 0).select("url").cache()
+    seen.count()
+    blooms = build_bloom(seen, n_partitions=32, m_bits=1 << 22).cache()
+    blooms.count()
+
+    t0 = time.time()
+    canon = fr.withColumn("canon", normalize_deep_udf(F.col("url"), F.col("url")))
+    fresh = anti_join_seen(canon, seen, url_col="canon", blooms=blooms, n_partitions=32)
+    sched_in = fresh.select(
+        F.col("canon").alias("url"),
+        "host",
+        "score",
+        "depth",
+        priority_bucket_expr(F.col("retry_count"), F.lit(0), fairness_waves=10).alias(
+            "priority_bucket"
+        ),
+    )
+    sched_in = salted_range_partition(sched_in, n_parts)
+    sched = schedule_wave(sched_in, None, wave_start=0.0, wave_budget=120.0, default_delay=0.05)
+    n_admitted = sched.filter("admitted").count()
+    dt = time.time() - t0
+    fr.unpersist()
+    seen.unpersist()
+    blooms.unpersist()
+    return dt, n_admitted
+
+
+def bench_images(spark, sf_dir: str, n_images: int):
+    """Image payload path: PNG decode + dim/pHash validation rows/sec."""
+    import __spark_entry__ as em
+    from crawl4ai_spark.operators.multimodal import decode_and_validate
+
+    images = em._gen_images(spark, sf_dir, n=n_images).cache()
+    n = images.count()  # encode (the synthetic CDN) outside the timed path
+    t0 = time.time()
+    ok = decode_and_validate(images).filter("ok AND dims_match AND phash_matches").count()
+    dt = time.time() - t0
+    images.unpersist()
+    return dt, n, ok
+
+
+ENTRY_QUERIES = [
+    "url_canonicalize",
+    "frontier_seen_antijoin",
+    "politeness_schedule",
+    "priority_topk",
+    "bm25_rank",
+    "exact_dedup_groups",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "ann_topk",
+    "embedding_near_dup",
+    "quality_scores",
+    "lang_id",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    from crawl4ai_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="bench", shuffle_partitions=max(cpus, 8))
+
+    n_frontier = int(os.environ.get("BENCH_FRONTIER_N", int(20_000_000 * sf)))
+    n_images = max(200, int(20_000 * sf))
+
+    queries: dict[str, float] = {}
+    t_all = time.time()
+
+    log(f"frontier wave: {n_frontier} URLs on local[{cpus}]")
+    dt, n_admitted = bench_frontier_wave(spark, n_frontier, n_parts=max(cpus, 8))
+    queries["frontier_wave"] = round(dt, 3)
+    urls_per_sec = n_frontier / dt
+    log(f"  {dt:.1f}s → {urls_per_sec:,.0f} urls/sec ({n_admitted} admitted)")
+
+    log(f"image payload: {n_images} rows")
+    dt, n_img, n_ok = bench_images(spark, sf_dir, n_images)
+    queries["image_payload"] = round(dt, 3)
+    img_rows_per_sec = n_img / dt
+    log(f"  {dt:.1f}s → {img_rows_per_sec:,.0f} rows/sec ({n_ok}/{n_img} valid)")
+
+    import __spark_entry__ as em
+
+    qmap = em.queries()
+    for name in ENTRY_QUERIES:
+        t0 = time.time()
+        n = qmap[name](spark, sf_dir).count()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        log(f"{name}: {dt:.1f}s ({n} rows)")
+
+    total = time.time() - t_all
+    print(
+        json.dumps(
+            {
+                "metric": "frontier URLs scheduled+deduped/sec (and fetched image rows/sec)",
+                "value": round(total, 3),
+                "unit": "sec",
+                "sf": sf,
+                "cpus": cpus,
+                "frontier_n": n_frontier,
+                "frontier_urls_per_sec": round(urls_per_sec, 1),
+                "image_rows_per_sec": round(img_rows_per_sec, 1),
+                "queries": queries,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,10 @@ def shingles_expr(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the lowercased text (sorted, so
     the array itself is deterministic and oracle-comparable)."""
     toks = tokens_expr(F.lower(text))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    n_grams = F.size(toks) - (n - 1)
+    # sequence(1, 0) would DESCEND in Spark; guard docs shorter than n tokens
+    idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.expr("cast(array() as array<int>)")
+    )
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return F.array_sort(F.array_distinct(grams))

@@ -54,15 +54,13 @@ def _positions(h1: np.ndarray, h2: np.ndarray, m_bits: int) -> np.ndarray:
 
 
 def _hash_pair(urls: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    import hashlib
-
-    h1 = np.empty(len(urls), np.uint64)
-    h2 = np.empty(len(urls), np.uint64)
-    for i, u in enumerate(urls):
-        d = hashlib.md5(u.encode("utf-8")).digest()
-        h1[i] = int.from_bytes(d[:8], "little")
-        h2[i] = int.from_bytes(d[8:], "little") | 1
-    return h1, h2
+    """Two independent 64-bit hashes per URL, fully vectorized (pandas'
+    cython siphash with fixed keys — no per-row Python).  Only internal
+    build/test consistency matters for a bloom filter, not portability."""
+    arr = urls.to_numpy(dtype=object)
+    h1 = pd.util.hash_array(arr, hash_key="crawl4ai_bloom_1", categorize=False)
+    h2 = pd.util.hash_array(arr, hash_key="crawl4ai_bloom_2", categorize=False) | np.uint64(1)
+    return h1.astype(np.uint64), h2.astype(np.uint64)
 
 
 def build_bloom(

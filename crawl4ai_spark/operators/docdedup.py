@@ -129,23 +129,32 @@ def minhash_lsh_pairs(
             for bi in range(bands)
         ]
     )
-    banded = sig.select("doc_id", "n_shingles", "shingles", F.explode(band_keys).alias("band"))
-    a = banded.select(
-        "band",
-        F.col("doc_id").alias("id_a"),
-        F.col("shingles").alias("sh_a"),
-        F.col("n_shingles").alias("na"),
-    )
-    b = banded.select(
-        "band",
-        F.col("doc_id").alias("id_b"),
-        F.col("shingles").alias("sh_b"),
-        F.col("n_shingles").alias("nb"),
-    )
+    # the band self-join carries ONLY (doc_id, band) — shingle arrays are
+    # attached after candidate dedup, so the shuffle stays narrow even
+    # when documents (and their shingle sets) are large
+    banded = sig.select("doc_id", F.explode(band_keys).alias("band"))
     cand = (
-        a.join(b, "band")
+        banded.alias("a")
+        .join(banded.alias("b"), "band")
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = sig.select("doc_id", "shingles", "n_shingles")
+    cand = cand.join(
+        sh.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("shingles").alias("sh_a"),
+            F.col("n_shingles").alias("na"),
+        ),
+        "id_a",
+    ).join(
+        sh.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("shingles").alias("sh_b"),
+            F.col("n_shingles").alias("nb"),
+        ),
+        "id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter / (F.col("na") + F.col("nb") - inter)
@@ -189,13 +198,46 @@ def simhash_expr(text: Column) -> Column:
     return packed
 
 
+def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash) — same values as :func:`simhash_expr` but computed
+    as explode → groupBy bit-vote sums instead of one giant per-row
+    expression tree.  The unrolled transform builds a 64-wide lambda per
+    token that codegens into ~30 MB task binaries; this shape keeps each
+    expression tiny (64 scalar sums), shuffles once on doc_id with
+    map-side combine, and is the scale path."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens_expr(F.lower(F.col(text_col))))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        bit_val = F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
+        packed = packed.bitwiseXOR(
+            F.when(F.col(f"v{i}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
+        )
+    votes = votes.select("doc_id", packed.alias("simhash"))
+    # docs with zero tokens vanish in the explode; their simhash is 0
+    empty = docs.select(F.col(id_col).alias("doc_id")).join(
+        votes.select("doc_id"), "doc_id", "left_anti"
+    ).withColumn("simhash", F.lit(0).cast("long"))
+    return votes.unionByName(empty)
+
+
 def simhash_pairs(
     docs: DataFrame, max_hamming: int = 6, text_col: str = "text", id_col: str = "doc_id",
     band_bits: int = 16,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance; banded like pHash LSH
     so no O(n²) cross join."""
-    sh = docs.select(F.col(id_col).alias("doc_id"), simhash_expr(F.col(text_col)).alias("simhash"))
+    sh = simhash_table(docs, text_col=text_col, id_col=id_col)
     n_bands = 64 // band_bits
     bands = F.array(
         *[

@@ -119,27 +119,36 @@ def per_host_topk(
     order_cols: list[Column] | None = None,
     salt_buckets: int = 16,
     salt_col: str = "url",
+    keep_tail: bool = False,
 ) -> DataFrame:
     """Two-phase salted per-host top-K → ``rank_in_host`` column (1-based).
 
     Phase 1 computes a partial top-K inside each (host, salt) slice, so
     the heaviest host fans across ``salt_buckets`` tasks; phase 2 ranks
     the ≤ k*salt_buckets survivors per host — tiny by construction.
+
+    With ``keep_tail`` rows beyond the top-K are returned too, with a
+    NULL ``rank_in_host`` — tagged, never dropped, and without any extra
+    join: the tail branches re-read the same window exchanges (Spark
+    reuses them), so a host with millions of queued URLs keeps its tail
+    at the cost of one filter.  Requires ``df`` rows unique per
+    ``salt_col`` (the frontier's canonical-URL invariant) for the
+    branch split to be deterministic under ties.
     """
     order_cols = order_cols or queue_order()
     salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_buckets)))
     w1 = Window.partitionBy("host", "_salt").orderBy(*order_cols)
-    stage1 = (
-        salted.withColumn("_prn", F.row_number().over(w1))
-        .filter(F.col("_prn") <= k)
-        .drop("_prn")
-    )
+    stage1 = salted.withColumn("_prn", F.row_number().over(w1))
+    surv = stage1.filter(F.col("_prn") <= k)
     w2 = Window.partitionBy("host").orderBy(*order_cols)
-    return (
-        stage1.withColumn("rank_in_host", F.row_number().over(w2))
-        .filter(F.col("rank_in_host") <= k)
-        .drop("_salt")
-    )
+    ranked_all = surv.withColumn("rank_in_host", F.row_number().over(w2))
+    top = ranked_all.filter(F.col("rank_in_host") <= k)
+    if not keep_tail:
+        return top.drop("_salt", "_prn")
+    null_rank = F.lit(None).cast("int")
+    overflow = ranked_all.filter(F.col("rank_in_host") > k).withColumn("rank_in_host", null_rank)
+    tail = stage1.filter(F.col("_prn") > k).withColumn("rank_in_host", null_rank)
+    return top.unionByName(overflow).unionByName(tail).drop("_salt", "_prn")
 
 
 def salted_range_partition(df: DataFrame, n_partitions: int, salt_buckets: int = 16) -> DataFrame:
@@ -181,16 +190,22 @@ def schedule_wave(
             .withColumn("fail_count", F.lit(None).cast("int"))
         )
     delay = F.coalesce(F.col("current_delay"), F.lit(default_delay))
-    # max rows any host can admit this wave bounds K for the salted top-K
+    # max rows any host can admit this wave bounds K for the salted top-K;
+    # rows beyond K come back with NULL rank (keep_tail) and carry to the
+    # next wave — a host with more queued URLs than K never loses its tail
     k = max(int(wave_budget / max(default_delay * 0.25, 1e-9)), 1)
-    ranked = per_host_topk(frontier, k, salt_buckets=salt_buckets)
+    ranked = per_host_topk(frontier, k, salt_buckets=salt_buckets, keep_tail=True)
     ready = F.greatest(
         F.coalesce(F.col("last_request_time") + delay - F.lit(wave_start), F.lit(0.0)),
         F.lit(0.0),
     )
     out = ranked.withColumn(
-        "scheduled_offset", ready + (F.col("rank_in_host") - 1) * delay
-    ).withColumn("admitted", F.col("scheduled_offset") < F.lit(wave_budget))
+        "scheduled_offset",
+        F.when(F.col("rank_in_host").isNotNull(), ready + (F.col("rank_in_host") - 1) * delay),
+    ).withColumn(
+        "admitted",
+        F.coalesce(F.col("scheduled_offset") < F.lit(wave_budget), F.lit(False)),
+    )
     return out.drop("last_request_time", "current_delay", "fail_count")
 
 
