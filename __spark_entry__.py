@@ -501,6 +501,156 @@ def q_crawl_bfs(spark, sf_dir):
     return run.results.select("url", "depth", "parent_url", "wave_id", "result_seq", "success")
 
 
+def _link_rows(part: DataFrame) -> DataFrame:
+    """Synthesized edges table over part: every attribute family the link
+    scorer reads, driven by deterministic key arithmetic."""
+    k = F.col("p_partkey")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(k % 2 == 0, F.lit("docs.example.com")).otherwise(F.lit("shop.example.com")),
+        F.when(k % 4 == 0, F.lit("/docs/"))
+        .when(k % 4 == 1, F.lit("/blog/"))
+        .when(k % 4 == 2, F.lit("/cart/"))
+        .otherwise(F.lit("/x/y/z/w/q/")),
+        F.lit("p"),
+        k.cast("string"),
+    )
+    title = F.when(k % 3 == 0, F.lit("a descriptive title")).otherwise(F.lit(""))
+    cls = (
+        F.when(k % 5 == 0, F.lit("nav-main"))
+        .when(k % 5 == 1, F.lit("ad-banner"))
+        .otherwise(F.lit("content"))
+    )
+    rel = (
+        F.when(k % 7 == 0, F.lit("canonical"))
+        .when(k % 7 == 1, F.lit("nofollow"))
+        .otherwise(F.lit(""))
+    )
+    terms = F.array_distinct(
+        F.filter(
+            F.transform(F.split(F.lower(F.col("p_type")), " "), lambda w: w),
+            lambda w: F.length(w) > 2,
+        )
+    )
+    return part.select(
+        "p_partkey",
+        F.col("p_name").alias("text"),
+        url.alias("url"),
+        title.alias("title"),
+        cls.alias("cls"),
+        rel.alias("rel"),
+        terms.alias("terms"),
+        (k % 2 == 0).alias("is_docs"),
+        ((k % 100).cast("double") / 100.0).alias("contextual"),
+    )
+
+
+def q_link_scores(spark, sf_dir):
+    from crawl4ai_spark.functions.links import intrinsic_score_expr, total_score_expr
+
+    lr = _link_rows(_t(spark, sf_dir, "part"))
+    intr = intrinsic_score_expr(
+        F.col("text"), F.col("url"), F.col("title"), F.col("cls"), F.col("rel"),
+        page_terms=F.col("terms"), is_docs_site=F.col("is_docs"),
+    )
+    lr = lr.withColumn("_i", intr)
+    total = total_score_expr(F.col("_i"), F.col("contextual"), True, True)
+    return lr.select(
+        "p_partkey", _e6(F.col("_i")).alias("intrinsic_e6"), _e6(total).alias("total_e6")
+    )
+
+
+def _seeder_urls(ev: DataFrame) -> DataFrame:
+    m13 = F.col("event_id") % 13
+    path = (
+        F.when(m13 == 0, F.lit("/robots.txt"))
+        .when(m13 == 1, F.lit("/sitemap/news.xml"))
+        .when(m13 == 2, F.lit("/favicon.ico"))
+        .when(m13 == 3, F.lit("/.git/config"))
+        .when(m13 == 4, F.lit("/wp-admin/options.php"))
+        .when(m13 == 5, F.lit("/page?print=1"))
+        .when(m13 == 6, F.lit("/ab"))
+        .when(m13 == 7, F.lit("/en"))
+        .otherwise(F.concat(F.lit("/"), F.col("event_type"), F.lit("/item"), (F.col("event_id") % 500).cast("string")))
+    )
+    url = F.concat(
+        F.lit("https://host"), (F.col("user_id") % 40).cast("string"), F.lit(".example.com"), path
+    )
+    return ev.select("event_id", url.alias("url"))
+
+
+def q_seeder_filter(spark, sf_dir):
+    from crawl4ai_spark.operators.seeder import glob_match_expr, is_nonsense_url_expr
+
+    su = _seeder_urls(_t(spark, sf_dir, "events"))
+    return su.select(
+        "event_id",
+        "url",
+        is_nonsense_url_expr(F.col("url")).alias("is_nonsense"),
+        glob_match_expr(F.col("url"), "*example.com/*item*").alias("matches_pattern"),
+    )
+
+
+def q_chunking(spark, sf_dir):
+    from crawl4ai_spark.functions.chunking import sliding_window_chunks_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id", sliding_window_chunks_expr(F.col("text"), 20, 10).alias("chunks")
+    )
+    return chunks.select(
+        "doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk")
+    ).withColumn("chunk_idx", F.col("chunk_idx").cast("long"))
+
+
+def q_cache_join(spark, sf_dir):
+    from crawl4ai_spark.operators.cache import cache_lookup
+
+    ev = _event_urls(_t(spark, sf_dir, "events"))
+    keyed = ev.groupBy("url").agg(F.min("event_id").alias("k"))
+    frontier = keyed.select("url")
+    cache = keyed.filter(F.col("k") % 2 == 0).select(
+        "url",
+        F.concat(F.lit("<html>"), F.col("url")).alias("html"),
+        F.md5("url").alias("etag"),
+        F.md5(F.concat(F.lit("fp"), F.col("url"))).alias("head_fingerprint"),
+    )
+    live = keyed.filter(F.col("k") % 5 != 1).select(
+        "url",
+        F.when(F.col("k") % 3 == 0, F.md5("url")).otherwise(F.lit("changed")).alias("etag"),
+        F.when(F.col("k") % 4 == 0, F.md5(F.concat(F.lit("fp"), F.col("url"))))
+        .otherwise(F.lit("diff"))
+        .alias("head_fingerprint"),
+    )
+    out = cache_lookup(frontier, cache, live, check_freshness=True)
+    return out.select("url", "cache_status", "cached_html")
+
+
+def q_adaptive_term_stats(spark, sf_dir):
+    from crawl4ai_spark.operators.adaptive import term_stats
+
+    stats = term_stats(_t(spark, sf_dir, "documents"))
+    return stats.select("term", F.col("tf").cast("long"), F.col("df").cast("long"))
+
+
+def q_adaptive_consistency(spark, sf_dir):
+    from crawl4ai_spark.operators.adaptive import consistency_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 15)
+    pairs = consistency_pairs(docs)
+    return pairs.select("id_a", "id_b", _e6(F.col("jaccard")).alias("jaccard_e6"))
+
+
+def q_new_terms_per_wave(spark, sf_dir):
+    from crawl4ai_spark.operators.adaptive import new_terms_per_wave
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "wave_id", (F.col("doc_id") % 5).cast("int")
+    )
+    out = new_terms_per_wave(docs)
+    return out.select(F.col("wave_id").cast("long"), F.col("new_terms").cast("long"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": q_text_stats,
@@ -526,6 +676,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pipeline": q_image_pipeline,
         "image_near_dup": q_image_near_dup,
         "crawl_bfs": q_crawl_bfs,
+        "link_scores": q_link_scores,
+        "seeder_filter": q_seeder_filter,
+        "chunking": q_chunking,
+        "cache_join": q_cache_join,
+        "adaptive_term_stats": q_adaptive_term_stats,
+        "adaptive_consistency": q_adaptive_consistency,
+        "new_terms_per_wave": q_new_terms_per_wave,
     }
 
 
@@ -691,6 +848,173 @@ FROM scored
 """
 
 
+def _link_scores_sql() -> str:
+    def contains_any(col: str, needles: list[str]) -> str:
+        return " OR ".join(f"contains({col}, '{n}')" for n in needles)
+
+    punct = r'[.,!?;:"()\[\]{}]'
+    lw = (
+        "list_distinct(list_filter(list_transform("
+        "list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> ''),"
+        f" w -> lower(regexp_replace(regexp_replace(w, '^{punct}+', ''), '{punct}+$', ''))"
+        "), w -> length(w) > 2))"
+    )
+    return f"""
+WITH lr AS (
+  SELECT p_partkey,
+    p_name AS text,
+    'https://' || CASE WHEN p_partkey % 2 = 0 THEN 'docs.example.com' ELSE 'shop.example.com' END
+      || CASE WHEN p_partkey % 4 = 0 THEN '/docs/' WHEN p_partkey % 4 = 1 THEN '/blog/'
+              WHEN p_partkey % 4 = 2 THEN '/cart/' ELSE '/x/y/z/w/q/' END
+      || 'p' || CAST(p_partkey AS VARCHAR) AS url,
+    CASE WHEN p_partkey % 3 = 0 THEN 'a descriptive title' ELSE '' END AS title,
+    CASE WHEN p_partkey % 5 = 0 THEN 'nav-main' WHEN p_partkey % 5 = 1 THEN 'ad-banner'
+         ELSE 'content' END AS cls,
+    CASE WHEN p_partkey % 7 = 0 THEN 'canonical' WHEN p_partkey % 7 = 1 THEN 'nofollow'
+         ELSE '' END AS rel,
+    list_distinct(list_filter(string_split(lower(p_type), ' '), w -> length(w) > 2)) AS terms,
+    (p_partkey % 2 = 0) AS is_docs,
+    CAST(p_partkey % 100 AS DOUBLE) / 100.0 AS contextual
+  FROM part
+), feat AS (
+  SELECT p_partkey, contextual,
+    length(url) - length(replace(url, '/', '')) - 2 AS depth,
+    len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')) AS wc,
+    {lw} AS lw,
+    * FROM lr
+), scored AS (
+  SELECT p_partkey, contextual,
+    greatest(0.0, least(
+        (CASE WHEN length(trim(title)) > 3 THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN {contains_any("lower(cls)", ["nav", "menu", "primary", "main", "important"])} THEN 1.5 ELSE 0.0 END)
+      - (CASE WHEN {contains_any("lower(cls)", ["ad", "sponsor", "track", "promo", "banner"])} THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN {contains_any("lower(rel)", ["canonical", "next", "prev", "chapter"])} THEN 1.0 ELSE 0.0 END)
+      - (CASE WHEN {contains_any("lower(rel)", ["nofollow", "sponsored", "ugc"])} THEN 0.5 ELSE 0.0 END)
+      + (CASE WHEN {contains_any("lower(url)", ["/docs/", "/api/", "/guide/", "/tutorial/", "/reference/", "/manual/"])} THEN 2.0
+              WHEN {contains_any("lower(url)", ["/blog/", "/article/", "/post/", "/news/"])} THEN 1.0 ELSE 0.0 END)
+      - (CASE WHEN {contains_any("lower(url)", ["/admin/", "/login/", "/cart/", "/checkout/", "/track/", "/click/"])} THEN 1.5 ELSE 0.0 END)
+      + (CASE WHEN depth <= 2 THEN 1.0 ELSE 0.0 END)
+      - (CASE WHEN depth > 5 THEN 0.5 ELSE 0.0 END)
+      + (CASE WHEN starts_with(url, 'https://') THEN 0.5 ELSE 0.0 END)
+      + (CASE WHEN length(trim(text)) > 3 THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN wc >= 2 THEN 0.5 ELSE 0.0 END)
+      + (CASE WHEN wc >= 4 THEN 0.5 ELSE 0.0 END)
+      - (CASE WHEN lower(trim(text)) IN ('click here', 'read more', 'more info', 'link', 'here') THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN len(lw) > 0 AND len(list_intersect(lw, terms)) > 0
+              THEN CAST(len(list_intersect(lw, terms)) AS DOUBLE) / least(len(lw), 10) * 2.0
+              ELSE 0.0 END)
+      + (CASE WHEN is_docs AND ({contains_any("lower(text)", ["api", "reference", "guide", "tutorial", "example"])}) THEN 1.0 ELSE 0.0 END)
+    , 10.0)) AS intrinsic
+  FROM feat
+)
+SELECT p_partkey,
+  CAST(round(intrinsic * 1000000) AS BIGINT) AS intrinsic_e6,
+  CAST(round(greatest(0.0, least(intrinsic * 0.7 + least(contextual * 10.0, 10.0) * 0.3, 10.0)) * 1000000) AS BIGINT) AS total_e6
+FROM scored
+"""
+
+
+_SEEDER_URL_SQL = """
+su AS (
+  SELECT event_id,
+    'https://host' || CAST(user_id % 40 AS VARCHAR) || '.example.com' ||
+    CASE WHEN event_id % 13 = 0 THEN '/robots.txt'
+         WHEN event_id % 13 = 1 THEN '/sitemap/news.xml'
+         WHEN event_id % 13 = 2 THEN '/favicon.ico'
+         WHEN event_id % 13 = 3 THEN '/.git/config'
+         WHEN event_id % 13 = 4 THEN '/wp-admin/options.php'
+         WHEN event_id % 13 = 5 THEN '/page?print=1'
+         WHEN event_id % 13 = 6 THEN '/ab'
+         WHEN event_id % 13 = 7 THEN '/en'
+         ELSE '/' || event_type || '/item' || CAST(event_id % 500 AS VARCHAR) END AS url
+  FROM events
+)"""
+
+
+def _seeder_filter_sql() -> str:
+    utility = ", ".join(
+        f"'/{f}'"
+        for f in [
+            "ads.txt", "humans.txt", "security.txt", ".well-known/security.txt",
+            "crossdomain.xml", "browserconfig.xml", "manifest.json",
+            "apple-app-site-association", ".well-known/apple-app-site-association",
+            "favicon.ico", "apple-touch-icon.png", "android-chrome-192x192.png",
+        ]
+    )
+    non_content = ", ".join(
+        f"'{p}'"
+        for p in [
+            "/wp-admin", "/wp-includes", "/wp-content/uploads", "/admin", "/login",
+            "/signin", "/signup", "/register", "/checkout", "/cart", "/account",
+            "/profile", "/search", "/404", "/error", "/.git", "/.svn", "/.hg",
+            "/cgi-bin", "/scripts", "/includes",
+        ]
+    )
+    rx = "^(?s).*example\\.com/.*item.*$"
+    return f"""
+WITH {_SEEDER_URL_SQL},
+parsed AS (
+  SELECT event_id, url,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)) AS path,
+    lower(url) AS ul,
+    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS canon
+  FROM su
+)
+SELECT event_id, url,
+  (   ends_with(path, '/robots.txt') OR ends_with(path, '/sitemap.xml') OR ends_with(path, '/sitemap_index.xml')
+   OR (contains(path, '/sitemap') AND (ends_with(path, '.xml') OR ends_with(path, '.xml.gz') OR ends_with(path, '.txt')))
+   OR len(list_filter([{utility}], f -> ends_with(path, f))) > 0
+   OR contains(path, '/.')
+   OR len(list_filter([{non_content}], p -> contains(path, p))) > 0
+   OR contains(ul, '?print=') OR contains(ul, '&print=') OR contains(ul, '/print/') OR contains(ul, '_print.')
+   OR (length(regexp_replace(regexp_replace(path, '^/+', ''), '/+$', '')) < 3
+       AND path NOT IN ('/', '/en', '/de', '/fr', '/es', '/it'))
+  ) AS is_nonsense,
+  (regexp_matches(url, '{rx}') OR regexp_matches(canon, '{rx}')
+   OR regexp_matches(regexp_replace(canon, '^www\\.', ''), '{rx}')) AS matches_pattern
+FROM parsed
+"""
+
+
+def _chunking_sql() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    CASE WHEN len(w) <= 20 THEN [text]
+    ELSE [array_to_string(w[i*10+1:i*10+20], ' ')
+          FOR i IN range(0, CAST(floor((len(w) - 20) / 10.0) AS INT) + 1)]
+      || CASE WHEN CAST(floor((len(w) - 20) / 10.0) AS INT) * 10 + 20 < len(w)
+              THEN [array_to_string(w[len(w)-19:len(w)], ' ')] ELSE [] END
+    END AS chunks
+  FROM t
+)
+SELECT doc_id, u.s.idx - 1 AS chunk_idx, u.s.chunk AS chunk
+FROM c, unnest([{'idx': i, 'chunk': chunks[i]} FOR i IN range(1, len(chunks) + 1)]) AS u(s)
+"""
+
+
+def _cache_join_sql() -> str:
+    return f"""
+WITH {_EV_SQL},
+keyed AS (SELECT url, MIN(event_id) AS k FROM ev GROUP BY url),
+st AS (
+  SELECT url, k,
+    CASE WHEN k % 2 <> 0 THEN 'miss'
+         WHEN k % 5 = 1 THEN 'hit_fallback'
+         WHEN (k % 3 = 0) OR (k % 4 = 0) THEN 'hit_validated'
+         ELSE 'miss' END AS cache_status
+  FROM keyed
+)
+SELECT url, cache_status,
+  CASE WHEN cache_status <> 'miss' THEN '<html>' || url END AS cached_html
+FROM st
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = _TOKS_SQL.format(src="text")
     toks_l = _TOKS_SQL.format(src="lower(text)")
@@ -809,6 +1133,34 @@ fr AS (
   FROM fr
 )
 SELECT url, priority_bucket, CAST(rn AS BIGINT) AS rank FROM ranked WHERE rn <= 200
+""",
+        "link_scores": _link_scores_sql(),
+        "seeder_filter": _seeder_filter_sql(),
+        "chunking": _chunking_sql(),
+        "cache_join": _cache_join_sql(),
+        "adaptive_term_stats": f"""
+SELECT term, CAST(COUNT(*) AS BIGINT) AS tf, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM (SELECT doc_id, unnest({_TOKS_SQL.format(src="lower(text)")}) AS term FROM documents)
+GROUP BY term
+""",
+        "adaptive_consistency": f"""
+WITH sets AS (
+  SELECT doc_id, list_distinct({_TOKS_SQL.format(src="lower(text)")}) AS terms
+  FROM documents WHERE doc_id < 15
+), nonempty AS (SELECT * FROM sets WHERE len(terms) > 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(round(CAST(len(list_intersect(a.terms, b.terms)) AS DOUBLE)
+             / len(list_distinct(a.terms || b.terms)) * 1000000) AS BIGINT) AS jaccard_e6
+FROM nonempty a, nonempty b WHERE a.doc_id < b.doc_id
+""",
+        "new_terms_per_wave": f"""
+WITH toks AS (
+  SELECT doc_id % 5 AS wave_id,
+         unnest(list_distinct({_TOKS_SQL.format(src="lower(text)")})) AS term
+  FROM documents
+), first AS (SELECT term, MIN(wave_id) AS wave_id FROM toks GROUP BY term)
+SELECT CAST(wave_id AS BIGINT) AS wave_id, CAST(COUNT(*) AS BIGINT) AS new_terms
+FROM first GROUP BY wave_id
 """,
         # simhash_pairs: xxhash64-based — not portable to DuckDB (rows-only)
         # image_pipeline / image_near_dup: binary PNG codec — rows-only

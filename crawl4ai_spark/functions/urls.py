@@ -219,6 +219,47 @@ def is_valid_url_udf(url: pd.Series) -> pd.Series:
     return url.map(lambda u: is_valid_crawl_url(u) if u is not None else False)
 
 
+_SIMPLE_URL_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#;\s]+(/[^?#;\s]*)?$"
+_HEAD_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#;\s]+)"
+_PATH_ONLY_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#;\s]+(/[^?#;\s]*)?$"
+
+
+def with_canonical(df, href_col: str, base_col: str, out_col: str = "canon"):
+    """Hybrid deep-crawl canonicalizer (split-union, each row evaluated
+    exactly once):
+
+    * **fast path (JVM)** — hrefs that are already absolute http(s)-style
+      URLs with no query/fragment/params/whitespace/dot-segments are
+      *self-canonical up to case+slashes*: ``normalize_url_for_deep_crawl``
+      provably reduces to lower(scheme://netloc) + path.rstrip('/') on
+      this subset (urljoin is the identity — no dot segments — and the
+      query/fragment branches are vacuous).  Pure column expressions,
+      whole-stage-codegen'd.
+    * **slow path (Arrow UDF)** — everything else keeps exact stdlib
+      parity via :func:`normalize_deep_udf`.
+
+    Property-tested equal to the UDF on mixed corpora (tests/test_urls.py).
+
+    Measured note (local[32], 2M short URLs): the plain Arrow UDF ran
+    3.0 s vs 6.5 s for this hybrid — the split-union's double scan plus
+    three JVM regex extracts cost more than batched urllib.parse.  The
+    hybrid only pays off when per-row Python is much pricier than Arrow
+    batching makes it here; production paths therefore default to the
+    UDF, and this stays available as a measured alternative.
+    """
+    href = F.col(href_col)
+    simple = href.isNotNull() & href.rlike(_SIMPLE_URL_RE) & ~href.contains("/.")
+    fast = F.concat(
+        F.lower(F.regexp_extract(href, _HEAD_RE, 1)),
+        F.regexp_replace(F.regexp_extract(href, _PATH_ONLY_RE, 1), "/+$", ""),
+    )
+    fast_rows = df.filter(simple).withColumn(out_col, fast)
+    slow_rows = df.filter(~simple).withColumn(
+        out_col, normalize_deep_udf(href, F.col(base_col))
+    )
+    return fast_rows.unionByName(slow_rows)
+
+
 # ---------------------------------------------------------------------------
 # pure-Catalyst fast paths (JVM-side, codegen'd — no Python at all)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,83 @@
+"""Cache-read path: frontier ⟕ results-cache with freshness validation.
+
+Re-expresses the reference's cache lifecycle
+(/root/reference/crawl4ai/async_webcrawler.py:269-335 + cache_validator.py)
+as one left join plus a CASE column:
+
+* no cached row                         → ``miss``  (fetch)
+* cached, freshness check disabled      → ``hit``
+* cached, etag or head-fingerprint
+  matches the live head                 → ``hit_validated``
+* cached, live head unavailable
+  (validator ERROR → use cache)         → ``hit_fallback``
+* cached but live head differs (STALE)  → ``miss`` (force recrawl)
+
+The reference runs a HEAD request per URL at crawl time; at engine
+scale the "live head" is itself a table (the HEAD-peek stage's output,
+SURVEY §2.1), so validation is a second broadcast-or-shuffle equi-join
+on url instead of per-row I/O.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cache_lookup(
+    frontier: DataFrame,
+    cache: DataFrame | None,
+    live_heads: DataFrame | None = None,
+    check_freshness: bool = False,
+    url_col: str = "url",
+) -> DataFrame:
+    """Adds ``cache_status`` ∈ {hit, hit_validated, hit_fallback, miss}
+    and ``cached_html`` (null on miss/stale).
+
+    ``cache``: (url, html, etag, head_fingerprint).
+    ``live_heads``: (url, etag, head_fingerprint) — current values from
+    the HEAD-peek stage; rows absent ⇒ validation ERROR ⇒ fallback.
+    """
+    if cache is None:
+        return frontier.withColumn("cache_status", F.lit("miss")).withColumn(
+            "cached_html", F.lit(None).cast("string")
+        )
+    c = cache.select(
+        F.col(url_col),
+        F.col("html").alias("_c_html"),
+        F.col("etag").alias("_c_etag"),
+        F.col("head_fingerprint").alias("_c_fp"),
+    )
+    out = frontier.join(c, url_col, "left")
+    if not check_freshness or live_heads is None:
+        status = F.when(F.col("_c_html").isNotNull(), "hit").otherwise("miss")
+        return (
+            out.withColumn("cache_status", status)
+            .withColumn("cached_html", F.col("_c_html"))
+            .drop("_c_html", "_c_etag", "_c_fp")
+        )
+    lh = live_heads.select(
+        F.col(url_col),
+        F.col("etag").alias("_l_etag"),
+        F.col("head_fingerprint").alias("_l_fp"),
+        F.lit(True).alias("_l_present"),
+    )
+    out = out.join(lh, url_col, "left")
+    fresh = (
+        (F.col("_c_etag").isNotNull() & (F.col("_c_etag") == F.col("_l_etag")))
+        | (F.col("_c_fp").isNotNull() & (F.col("_c_fp") == F.col("_l_fp")))
+    )
+    status = (
+        F.when(F.col("_c_html").isNull(), "miss")
+        .when(F.col("_l_present").isNull(), "hit_fallback")
+        .when(fresh, "hit_validated")
+        .otherwise("miss")  # STALE/UNKNOWN → force recrawl
+    )
+    return (
+        out.withColumn("cache_status", status)
+        .withColumn(
+            "cached_html",
+            F.when(F.col("cache_status") != "miss", F.col("_c_html")),
+        )
+        .drop("_c_html", "_c_etag", "_c_fp", "_l_etag", "_l_fp", "_l_present")
+    )

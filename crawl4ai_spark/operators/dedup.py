@@ -53,14 +53,24 @@ def _positions(h1: np.ndarray, h2: np.ndarray, m_bits: int) -> np.ndarray:
     return (h1[:, None] + idx * h2[:, None]) % np.uint64(m_bits)
 
 
-def _hash_pair(urls: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Two independent 64-bit hashes per URL, fully vectorized (pandas'
-    cython siphash with fixed keys — no per-row Python).  Only internal
-    build/test consistency matters for a bloom filter, not portability."""
-    arr = urls.to_numpy(dtype=object)
-    h1 = pd.util.hash_array(arr, hash_key="crawl4ai_bloom_1", categorize=False)
-    h2 = pd.util.hash_array(arr, hash_key="crawl4ai_bloom_2", categorize=False) | np.uint64(1)
-    return h1.astype(np.uint64), h2.astype(np.uint64)
+def _with_bloom_keys(df: DataFrame, url_col: str, n_partitions: int) -> DataFrame:
+    """Shard id + the two 64-bit double-hashing keys, all JVM-side:
+    murmur3 routes to the shard (the north rule's murmur3-of-canonical-URL
+    key) and two seeded xxhash64 values drive the k probe positions.  No
+    Python touches a URL string anywhere in the bloom build/test path —
+    the pandas stages below only do numpy bit arithmetic on int64s."""
+    url = F.col(url_col)
+    return (
+        df.withColumn("bloom_part", F.pmod(F.hash(url), F.lit(n_partitions)))
+        .withColumn("_h1", F.xxhash64(url))
+        .withColumn("_h2", F.xxhash64(F.lit("bloom2"), url))
+    )
+
+
+def _key_arrays(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    h1 = pdf["_h1"].to_numpy(np.int64).view(np.uint64)
+    h2 = pdf["_h2"].to_numpy(np.int64).view(np.uint64) | np.uint64(1)
+    return h1, h2
 
 
 def build_bloom(
@@ -70,14 +80,14 @@ def build_bloom(
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros(m_bits // 8, np.uint8)
-        h1, h2 = _hash_pair(pdf[url_col])
+        h1, h2 = _key_arrays(pdf)
         pos = _positions(h1, h2, m_bits).ravel()
         np.bitwise_or.at(bits, (pos >> 3).astype(np.int64), (1 << (pos & 7)).astype(np.uint8))
         return pd.DataFrame(
             {"bloom_part": [key[0]], "bits": [bits.tobytes()], "n_items": [len(pdf)]}
         )
 
-    with_part = df.withColumn("bloom_part", F.pmod(F.hash(F.col(url_col)), F.lit(n_partitions)))
+    with_part = _with_bloom_keys(df, url_col, n_partitions)
     return with_part.groupBy("bloom_part").applyInPandas(build, BLOOM_SCHEMA)
 
 
@@ -102,9 +112,7 @@ def bloom_maybe_seen(
 ) -> DataFrame:
     """Tag candidates with ``maybe_seen`` by testing each row against its
     shard's bit array (cogrouped shard-local test — no broadcast)."""
-    cand = candidates.withColumn(
-        "bloom_part", F.pmod(F.hash(F.col(url_col)), F.lit(n_partitions))
-    )
+    cand = _with_bloom_keys(candidates, url_col, n_partitions)
     out_schema = T.StructType(
         cand.schema.fields + [T.StructField("maybe_seen", T.BooleanType())]
     )
@@ -120,7 +128,7 @@ def bloom_maybe_seen(
             for b in bdf["bits"].iloc[1:]:
                 bits |= np.frombuffer(b, np.uint8)
         mb = len(bits) * 8  # shard is self-describing (m_bits = array size)
-        h1, h2 = _hash_pair(cdf[url_col])
+        h1, h2 = _key_arrays(cdf)
         pos = _positions(h1, h2, mb)
         hit = (bits[(pos >> 3).astype(np.int64)] >> (pos & 7).astype(np.uint8)) & 1
         return cdf.assign(maybe_seen=hit.all(axis=1))
@@ -129,7 +137,7 @@ def bloom_maybe_seen(
         cand.groupBy("bloom_part")
         .cogroup(blooms.groupBy("bloom_part"))
         .applyInPandas(test, out_schema)
-        .drop("bloom_part")
+        .drop("bloom_part", "_h1", "_h2")
     )
 
 
@@ -140,6 +148,7 @@ def anti_join_seen(
     blooms: DataFrame | None = None,
     seen_col: str = "url",
     n_partitions: int = 32,
+    bloom_broadcast_max_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Candidates not yet in the seen set.
 
@@ -147,13 +156,66 @@ def anti_join_seen(
     only maybe-seen rows shuffle against the seen table. Without: plain
     left_anti (Spark's runtime bloom-filter join still kicks in via
     spark.sql.optimizer.runtime.bloomFilter.enabled).
+
+    The bloom test itself picks its physical strategy by size: a bloom
+    under ``bloom_broadcast_max_bytes`` broadcasts (no shuffle at all for
+    definitely-new rows); a bigger one routes candidates to their shard
+    via the cogrouped test.
     """
     if seen is None:
         return candidates
     seen_keys = seen.select(F.col(seen_col).alias(url_col)).distinct()
     if blooms is None:
         return candidates.join(seen_keys, url_col, "left_anti")
-    tagged = bloom_maybe_seen(candidates, blooms, url_col, n_partitions=n_partitions)
+    total = blooms.agg(F.sum(F.length("bits"))).first()[0] or 0
+    if total <= bloom_broadcast_max_bytes:
+        tagged = _bloom_tag_broadcast(candidates, blooms, url_col, n_partitions)
+        # no shuffle boundary below the mapInPandas → the fresh/maybe
+        # branch split would re-run the whole upstream twice; pin it once
+        tagged = tagged.localCheckpoint(eager=False)
+    else:
+        # the cogroup's own groupBy exchange is reused by both branches
+        tagged = bloom_maybe_seen(candidates, blooms, url_col, n_partitions=n_partitions)
     fresh = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     return fresh.unionByName(maybe.join(seen_keys, url_col, "left_anti"))
+
+
+def _bloom_tag_broadcast(
+    candidates: DataFrame, blooms: DataFrame, url_col: str, n_partitions: int
+) -> DataFrame:
+    """Shuffle-free bloom tag: merged shards broadcast to executors,
+    candidates tested in-place by mapInPandas (vectorized numpy).
+    ``n_partitions`` must be the shard count the bloom was built with —
+    routing uses the identical pmod(murmur3(url)) expression."""
+    shards: dict[int, np.ndarray] = {}
+    for r in blooms.collect():
+        arr = np.frombuffer(r["bits"], np.uint8)
+        p = int(r["bloom_part"])
+        shards[p] = arr.copy() if p not in shards else (shards[p] | arr)
+    bc = candidates.sparkSession.sparkContext.broadcast(shards)
+    with_part = _with_bloom_keys(candidates, url_col, n_partitions)
+    out_schema = T.StructType(
+        with_part.schema.fields + [T.StructField("maybe_seen", T.BooleanType())]
+    )
+
+    def gen(batches):
+        local = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(maybe_seen=pd.Series([], dtype=bool))
+                continue
+            maybe = np.zeros(len(pdf), dtype=bool)
+            h1, h2 = _key_arrays(pdf)
+            parts = pdf["bloom_part"].to_numpy()
+            for p in np.unique(parts):
+                bits = local.get(int(p))
+                if bits is None:
+                    continue
+                sel = parts == p
+                pos = _positions(h1[sel], h2[sel], len(bits) * 8)
+                hit = (bits[(pos >> 3).astype(np.int64)] >> (pos & 7).astype(np.uint8)) & 1
+                maybe[sel] = hit.all(axis=1)
+            yield pdf.assign(maybe_seen=maybe)
+
+    return with_part.mapInPandas(gen, out_schema).drop("bloom_part", "_h1", "_h2")

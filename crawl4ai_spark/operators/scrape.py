@@ -28,7 +28,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.urls import get_base_domain, is_external_url, normalize_url
+from ..functions.urls import (
+    get_base_domain,
+    is_external_url,
+    normalize_url,
+    normalize_url_for_deep_crawl,
+)
 
 LINK_SCHEMA = T.StructType(
     [
@@ -42,6 +47,8 @@ LINK_SCHEMA = T.StructType(
         T.StructField("link_seq", T.IntegerType()),
     ]
 )
+
+LINK_SCHEMA_CANON = T.StructType(LINK_SCHEMA.fields + [T.StructField("canon", T.StringType())])
 
 IMAGE_REF_SCHEMA = T.StructType(
     [
@@ -168,7 +175,12 @@ def _is_icon(img: dict) -> bool:
     return any(h in cls or h in src for h in _ICON_HINTS)
 
 
-def extract_links(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+def extract_links(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    with_canon: bool = False,
+) -> DataFrame:
     """Link-only scrape (prefetch mode): pages → edge rows.
 
     Hrefs are resolved/normalized against the page URL with the extended
@@ -176,7 +188,15 @@ def extract_links(pages: DataFrame, url_col: str = "url", html_col: str = "html"
     content_scraping_strategy.py:244-311) and classified
     internal/external; per-page first-occurrence dedup preserved via
     link_seq.
+
+    ``with_canon`` also emits the deep-crawl canonical URL (the seen-set
+    identity) from the SAME Python pass.  This matters physically:
+    chaining a second Python evaluator (pandas UDF) after this mapInPandas
+    in one stage measured 3-5x slower than fusing the work here — two
+    Python phases per task serialize through the JVM — so the frontier
+    expansion always uses with_canon=True.
     """
+    schema = LINK_SCHEMA_CANON if with_canon else LINK_SCHEMA
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -194,21 +214,22 @@ def extract_links(pages: DataFrame, url_col: str = "url", html_col: str = "html"
                     if not norm or norm in seen_page:
                         continue  # first occurrence wins per page
                     seen_page.add(norm)
-                    rows.append(
-                        (
-                            url,
-                            norm,
-                            ln["text"],
-                            ln["title"],
-                            ln["rel"],
-                            ln["class"],
-                            is_external_url(norm, page_domain),
-                            i,
-                        )
+                    row = (
+                        url,
+                        norm,
+                        ln["text"],
+                        ln["title"],
+                        ln["rel"],
+                        ln["class"],
+                        is_external_url(norm, page_domain),
+                        i,
                     )
-            yield pd.DataFrame(rows, columns=[f.name for f in LINK_SCHEMA.fields])
+                    if with_canon:
+                        row = row + (normalize_url_for_deep_crawl(norm, url),)
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return pages.select(url_col, html_col).mapInPandas(gen, LINK_SCHEMA)
+    return pages.select(url_col, html_col).mapInPandas(gen, schema)
 
 
 def extract_image_refs(

@@ -1,0 +1,139 @@
+"""Seeds-ingest job: the AsyncUrlSeeder pipeline re-expressed in
+DataFrame algebra (SURVEY §7.2 milestone 10).
+
+Reference flow (async_url_seeder.py:364-549): stream candidate URLs from
+sitemap/Common-Crawl sources → glob pattern match (`_match`, :178-183) →
+nonsense-URL reject (`_is_nonsense_url`, :1585-1679) → cross-source
+dedup (:451-454) → optional BM25 relevance scoring over head text
+(:1681-1725) → relevance sort + ``max_urls`` cut (:483-502, 536-549).
+
+Spark mapping: unionByName of source DataFrames → boolean column
+filters (all JVM-side string ops) → dropDuplicates → BM25 via the
+bm25 module's aggregates → orderBy(desc).limit(max_urls).  The
+bounded-queue producer/consumer concurrency of the reference is
+Spark's own parallelism.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_UTILITY_FILES = [
+    "ads.txt", "humans.txt", "security.txt", ".well-known/security.txt",
+    "crossdomain.xml", "browserconfig.xml", "manifest.json",
+    "apple-app-site-association", ".well-known/apple-app-site-association",
+    "favicon.ico", "apple-touch-icon.png", "android-chrome-192x192.png",
+]
+
+_NON_CONTENT_PATHS = [
+    "/wp-admin", "/wp-includes", "/wp-content/uploads",
+    "/admin", "/login", "/signin", "/signup", "/register",
+    "/checkout", "/cart", "/account", "/profile",
+    "/search", "/404", "/error",
+    "/.git", "/.svn", "/.hg",
+    "/cgi-bin", "/scripts", "/includes",
+]
+
+_PRINT_PATTERNS = ["?print=", "&print=", "/print/", "_print."]
+
+_SHORT_PATH_WHITELIST = ["/", "/en", "/de", "/fr", "/es", "/it"]
+
+
+def path_expr(url: Column) -> Column:
+    """Lowercased urlparse().path for absolute http(s) URLs."""
+    return F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1))
+
+
+def _ends_with_any(col: Column, suffixes: list[str]) -> Column:
+    out = F.lit(False)
+    for s in suffixes:
+        out = out | col.endswith(s)
+    return out
+
+
+def _contains_any(col: Column, needles: list[str]) -> Column:
+    out = F.lit(False)
+    for n in needles:
+        out = out | col.contains(n)
+    return out
+
+
+def is_nonsense_url_expr(url: Column) -> Column:
+    """`_is_nonsense_url` (async_url_seeder.py:1585-1679) as a boolean
+    column expression — active rules only (the reference's commented-out
+    rule groups 4-8 are likewise omitted)."""
+    path = path_expr(url)
+    url_lower = F.lower(url)
+
+    robots_sitemap = _ends_with_any(path, ["/robots.txt", "/sitemap.xml", "/sitemap_index.xml"])
+    sitemap_var = path.contains("/sitemap") & _ends_with_any(path, [".xml", ".xml.gz", ".txt"])
+    utility = _ends_with_any(path, [f"/{f}" for f in _UTILITY_FILES])
+    # any path part starting with '.' ⇒ the path contains "/."
+    hidden = path.contains("/.")
+    non_content = _contains_any(path, _NON_CONTENT_PATHS)
+    printish = _contains_any(url_lower, _PRINT_PATTERNS)
+    stripped = F.regexp_replace(F.regexp_replace(path, "^/+", ""), "/+$", "")
+    short = (F.length(stripped) < 3) & ~path.isin(_SHORT_PATH_WHITELIST)
+
+    return robots_sitemap | sitemap_var | utility | hidden | non_content | printish | short
+
+
+def _glob_to_regex(pattern: str) -> str:
+    """Simple glob → anchored regex, identical semantics in Java regex and
+    RE2 (no fnmatch dialect quirks): '*' → '.*', '?' → '.', rest escaped."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^(?s)" + "".join(out) + "$"
+
+
+def glob_match_expr(url: Column, pattern: str) -> Column:
+    """`_match` (async_url_seeder.py:178-183): fnmatch against the full
+    URL, the scheme-stripped form, and the www-stripped form."""
+    rx = _glob_to_regex(pattern)
+    canon = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    no_www = F.regexp_replace(canon, r"^www\.", "")
+    return url.rlike(rx) | canon.rlike(rx) | no_www.rlike(rx)
+
+
+def seed_urls(
+    sources: list[DataFrame],
+    pattern: str = "*",
+    filter_nonsense: bool = True,
+    query_terms: list[str] | None = None,
+    max_urls: int = -1,
+    url_col: str = "url",
+    head_text_col: str = "head_text",
+) -> DataFrame:
+    """The full seeds-ingest job.  Each source needs ``url`` (and
+    ``head_text`` when scoring).  Returns (url[, relevance_score])
+    sorted by relevance when scoring, cut to ``max_urls`` (≤0 = all)."""
+    seeds = sources[0]
+    for s in sources[1:]:
+        seeds = seeds.unionByName(s)  # source="sitemap+cc" union (:407-438)
+    if pattern != "*":
+        seeds = seeds.filter(glob_match_expr(F.col(url_col), pattern))
+    if filter_nonsense:
+        seeds = seeds.filter(~is_nonsense_url_expr(F.col(url_col)))
+    seeds = seeds.dropDuplicates([url_col])  # cross-source dedup (:451-454)
+
+    if query_terms:
+        from .bm25 import bm25_scores
+
+        scored = bm25_scores(
+            seeds, query_terms, text_col=head_text_col, id_col=url_col, normalize=True
+        ).withColumnRenamed("doc_id", url_col).withColumnRenamed("bm25", "relevance_score")
+        seeds = seeds.join(scored, url_col).orderBy(
+            F.col("relevance_score").desc(), F.col(url_col).asc()
+        )
+    if max_urls and max_urls > 0:
+        seeds = seeds.limit(max_urls)
+    return seeds

@@ -208,7 +208,7 @@ class CrawlEngine:
         """
         cfg = self.cfg
         ok = results.filter(F.col("success") & (F.col("depth") + 1 <= cfg.max_depth))
-        links = scrape.extract_links(ok, url_col="url", html_col="html")
+        links = scrape.extract_links(ok, url_col="url", html_col="html", with_canon=True)
         meta = ok.select(
             F.col("url").alias("src_url"), "depth", "result_seq"
         )
@@ -216,7 +216,6 @@ class CrawlEngine:
         if not cfg.include_external:
             disc = disc.filter(~F.col("is_external"))
         disc = disc.withColumn("next_depth", (F.col("depth") + 1).cast("int"))
-        disc = disc.withColumn("canon", normalize_deep_udf(F.col("href"), F.col("src_url")))
         disc = disc.filter(F.col("canon").isNotNull() & is_valid_url_expr(F.col("href")))
         if cfg.filter_expr is not None:
             disc = disc.filter(cfg.filter_expr(F.col("href")))
@@ -364,10 +363,9 @@ class CrawlEngine:
             [(u, None, 0, i) for i, u in enumerate(todo)], WAVE_SCHEMA
         )
         fetched = self.fetch_fn(wave).select("url", "success", "status_code", "html")
-        links = scrape.extract_links(fetched.filter("success"), "url", "html")
+        links = scrape.extract_links(fetched.filter("success"), "url", "html", with_canon=True)
         if not cfg.include_external:
             links = links.filter(~F.col("is_external"))
-        links = links.withColumn("canon", normalize_deep_udf(F.col("href"), F.col("src_url")))
         passing = is_valid_url_expr(F.col("href"))
         if cfg.filter_expr is not None:
             passing = passing & cfg.filter_expr(F.col("href"))
@@ -461,12 +459,11 @@ class CrawlEngine:
             if not broke and emitted:
                 em_ok = [e[0] for e in emitted if e[5]]
                 src = fetched.filter(F.col("url").isin(em_ok))
-                links = scrape.extract_links(src, "url", "html")
+                links = scrape.extract_links(src, "url", "html", with_canon=True)
                 if not cfg.include_external:
                     links = links.filter(~F.col("is_external"))
                 meta = wave.select(F.col("url").alias("src_url"), F.col("depth").alias("pdepth"), F.col("result_seq"))
                 disc = links.join(meta, "src_url").filter(F.col("pdepth") + 1 <= cfg.max_depth)
-                disc = disc.withColumn("canon", normalize_deep_udf(F.col("href"), F.col("src_url")))
                 disc = disc.filter(F.col("canon").isNotNull() & is_valid_url_expr(F.col("href")))
                 if cfg.filter_expr is not None:
                     disc = disc.filter(cfg.filter_expr(F.col("href")))

@@ -120,11 +120,13 @@ class CrawlJob:
         """seeds(url[, priority]) → initial frontier (wave 0 snapshot).
         Cross-source duplicate seeds collapse (async_url_seeder.py:429-459)."""
         cfg = self.cfg
-        canon = normalize_deep_udf(F.col("url"), F.col("url"))
         pri = F.col("priority") if "priority" in seeds.columns else F.lit(1.0)
+        base = seeds.select(
+            normalize_deep_udf(F.col("url"), F.col("url")).alias("url"),
+            pri.cast("double").alias("score"),
+        )
         frontier = (
-            seeds.select(canon.alias("url"), pri.cast("double").alias("score"))
-            .filter(F.col("url").isNotNull() & is_valid_url_expr(F.col("url")))
+            base.filter(F.col("url").isNotNull() & is_valid_url_expr(F.col("url")))
             .dropDuplicates(["url"])
             .select(
                 "url",
@@ -186,7 +188,6 @@ class CrawlJob:
             priority_bucket_expr(F.col("retry_count"), F.col("wait_waves"), cfg.fairness_waves),
         )
         n_parts = cfg.n_partitions or self.spark.sparkContext.defaultParallelism
-        frontier = salted_range_partition(frontier, n_parts)
 
         # robots gate: denials become FAILED results without a fetch
         gated = robots_gate(frontier, self.robots)
@@ -261,7 +262,12 @@ class CrawlJob:
             base_delay=(cfg.default_delay, cfg.default_delay),
         )
 
-        next_frontier = carried.unionByName(retry_rows).unionByName(new_rows)
+        # the salted (priority_bucket, host_hash) range layout is applied at
+        # WRITE time — the scheduler's own windows re-shuffle by host, so
+        # partitioning the input frontier first would just add a shuffle
+        next_frontier = salted_range_partition(
+            carried.unionByName(retry_rows).unionByName(new_rows), n_parts
+        )
 
         lineage = lineage_from_wave(
             wave_id,
@@ -299,12 +305,11 @@ class CrawlJob:
     def _expand(self, ok: DataFrame, seen, blooms, wave_id: int):
         cfg = self.cfg
         ok = ok.filter(F.col("depth") + 1 <= cfg.max_depth)
-        links = scrape.extract_links(ok, url_col="url", html_col="html")
+        links = scrape.extract_links(ok, url_col="url", html_col="html", with_canon=True)
         meta = ok.select(F.col("url").alias("src_url"), "depth")
         disc = links.join(meta, "src_url")
         if not cfg.include_external:
             disc = disc.filter(~F.col("is_external"))
-        disc = disc.withColumn("canon", normalize_deep_udf(F.col("href"), F.col("src_url")))
         disc = disc.filter(F.col("canon").isNotNull() & is_valid_url_expr(F.col("href")))
         if cfg.filter_expr is not None:
             disc = disc.filter(cfg.filter_expr(F.col("href")))

@@ -181,3 +181,54 @@ def test_bloom_merge(spark):
     tagged = dedup.bloom_maybe_seen(both, blooms, n_partitions=4, m_bits=1 << 14)
     assert tagged.filter(~F.col("maybe_seen")).count() == 0
     assert blooms.count() <= 4
+
+
+def test_bloom_broadcast_equals_cogroup(spark):
+    """anti_join_seen must produce identical survivors whether the bloom
+    test broadcasts (small bloom) or cogroups (big bloom)."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.dedup import anti_join_seen, build_bloom
+
+    cand = spark.range(2000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                 F.lit(".com/p"), F.col("id").cast("string")).alias("url")
+    )
+    seen = cand.filter(F.col("url").rlike("p[0-9]*[02468]$")).select("url")
+    blooms = build_bloom(seen, n_partitions=8, m_bits=1 << 16)
+    via_bcast = anti_join_seen(
+        cand, seen, blooms=blooms, n_partitions=8, bloom_broadcast_max_bytes=1 << 30
+    )
+    via_cogroup = anti_join_seen(
+        cand, seen, blooms=blooms, n_partitions=8, bloom_broadcast_max_bytes=0
+    )
+    exact = cand.join(seen, "url", "left_anti")
+    a = sorted(r["url"] for r in via_bcast.collect())
+    b = sorted(r["url"] for r in via_cogroup.collect())
+    c = sorted(r["url"] for r in exact.collect())
+    assert a == b == c
+
+
+def test_schedule_wave_keeps_tail(spark):
+    """Hosts with more queued URLs than the per-wave K keep their tail
+    rows (NULL rank, unadmitted) — nothing is dropped."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.scheduler import schedule_wave
+
+    fr = spark.range(12).select(
+        F.concat(F.lit("https://hot.com/p"), F.col("id").cast("string")).alias("url"),
+        F.lit("hot.com").alias("host"),
+        (F.col("id") % 5).cast("double").alias("score"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("priority_bucket"),
+    )
+    # budget 2.0, delay 1.0 → K = 8, admitted = 2
+    out = schedule_wave(fr, None, wave_start=0.0, wave_budget=2.0, default_delay=1.0)
+    rows = out.collect()
+    assert len(rows) == 12
+    ranked = [r for r in rows if r["rank_in_host"] is not None]
+    tail = [r for r in rows if r["rank_in_host"] is None]
+    assert len(ranked) == 8 and len(tail) == 4
+    assert sum(1 for r in rows if r["admitted"]) == 2
+    assert all(not r["admitted"] and r["scheduled_offset"] is None for r in tail)

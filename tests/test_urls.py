@@ -15,6 +15,7 @@ from crawl4ai_spark.functions.urls import (
     normalize_deep_udf,
     normalize_url,
     normalize_url_for_deep_crawl,
+    with_canonical,
 )
 
 NORMALIZE_CASES = [
@@ -119,3 +120,41 @@ def test_light_normalize_expr_matches_python(spark):
     got = [r["n"] for r in df.select(light_normalize_expr(F.col("url")).alias("n")).collect()]
     expected = [efficient_normalize(u, u) for u in urls]
     assert got == expected
+
+
+def test_with_canonical_equals_udf_on_mixed_corpus(spark):
+    """The hybrid JVM-fast-path canonicalizer must agree with the exact
+    stdlib UDF on every URL shape — clean, messy, relative, dotted,
+    tracking-tainted, fragmented, uppercase, short."""
+    hrefs = [
+        # fast-path shapes
+        "https://Example.COM/a/b/",
+        "http://host7.example.com/view/item42",
+        "https://x.com",
+        "https://x.com/",
+        "HTTPS://X.com/A//B///",
+        "https://x.com/a-b_c~d",
+        # slow-path shapes
+        "https://x.com/p?utm_source=a&q=1#frag",
+        "https://x.com/p?b=2&a=&c=3",
+        "/relative/path",
+        "page2.html",
+        "../up/one",
+        "https://x.com/a/./b/../c",
+        "  https://x.com/spaced  ",
+        "https://x.com/semi;params",
+        "mailto:a@b.com",
+        None,
+        "",
+        "https://x.com/.hidden/dir",
+    ]
+    base = "https://base.example.com/dir/page"
+    df = spark.createDataFrame([(i, h, base) for i, h in enumerate(hrefs)], "i int, href string, base string")
+    got = {
+        r["i"]: r["canon"]
+        for r in with_canonical(df, "href", "base", "canon").collect()
+    }
+    for i, h in enumerate(hrefs):
+        expected = normalize_url_for_deep_crawl(h, base)
+        assert got[i] == expected, (h, got[i], expected)
+    assert len(got) == len(hrefs)  # split-union loses no rows
