@@ -651,6 +651,96 @@ def q_new_terms_per_wave(spark, sf_dir):
     return out.select(F.col("wave_id").cast("long"), F.col("new_terms").cast("long"))
 
 
+def _head_fields(docs: DataFrame) -> DataFrame:
+    """Synthesized head-section fields per document (deterministic)."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.when(d % 8 == 0, F.lit("archive/1999/")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("a_b/")).otherwise(F.lit("")),
+        F.repeat(F.lit("p"), (d % 10).cast("int") * 10),
+        F.lit("/page"),
+        F.when(d % 6 == 0, F.lit("?q=1")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.expr("substring(text, 1, 10 + cast(doc_id % 80 as int))").alias("title"),
+        F.expr("substring(text, 3, 100 + cast(doc_id % 130 as int))").alias("descr"),
+        F.when(d % 3 == 0, F.lit(None).cast("string"))
+        .when(d % 3 == 1, url)
+        .otherwise(F.lit("https://other.com/x"))
+        .alias("canonical"),
+        F.when(d % 4 == 0, F.lit("noindex,follow")).otherwise(F.lit("index,follow")).alias("robots"),
+        F.when(
+            d % 5 == 0,
+            F.lit('<head><script type="application/ld+json">x</script></head>'),
+        )
+        .otherwise(F.lit("<head><title>t</title></head>"))
+        .alias("head_html"),
+    )
+
+
+_HEAD_FIELDS_SQL = """
+hf AS (
+  SELECT doc_id,
+    'https://' || source || '.example.com/'
+      || CASE WHEN doc_id % 8 = 0 THEN 'archive/1999/' ELSE '' END
+      || CASE WHEN doc_id % 7 = 0 THEN 'a_b/' ELSE '' END
+      || repeat('p', CAST(doc_id % 10 AS INT) * 10)
+      || '/page'
+      || CASE WHEN doc_id % 6 = 0 THEN '?q=1' ELSE '' END AS url,
+    substring(text, 1, 10 + CAST(doc_id % 80 AS INT)) AS title,
+    substring(text, 3, 100 + CAST(doc_id % 130 AS INT)) AS descr,
+    CASE WHEN doc_id % 3 = 0 THEN NULL
+         WHEN doc_id % 3 = 1 THEN
+    'https://' || source || '.example.com/'
+      || CASE WHEN doc_id % 8 = 0 THEN 'archive/1999/' ELSE '' END
+      || CASE WHEN doc_id % 7 = 0 THEN 'a_b/' ELSE '' END
+      || repeat('p', CAST(doc_id % 10 AS INT) * 10)
+      || '/page'
+      || CASE WHEN doc_id % 6 = 0 THEN '?q=1' ELSE '' END
+         ELSE 'https://other.com/x' END AS canonical,
+    CASE WHEN doc_id % 4 = 0 THEN 'noindex,follow' ELSE 'index,follow' END AS robots,
+    CASE WHEN doc_id % 5 = 0 THEN '<head><script type="application/ld+json">x</script></head>'
+         ELSE '<head><title>t</title></head>' END AS head_html
+  FROM documents
+)"""
+
+
+def q_seo_scores(spark, sf_dir):
+    from crawl4ai_spark.functions.filters import seo_score_expr
+
+    hf = _head_fields(_t(spark, sf_dir, "documents"))
+    return hf.select(
+        "doc_id",
+        _e6(
+            seo_score_expr(
+                F.col("url"), F.col("title"), F.col("descr"), F.col("canonical"),
+                F.col("robots"), F.col("head_html"), keywords=["spark", "join"],
+            )
+        ).alias("seo_e6"),
+    )
+
+
+def q_head_bm25(spark, sf_dir):
+    from crawl4ai_spark.functions.filters import head_bm25_score_expr
+
+    hf = _head_fields(_t(spark, sf_dir, "documents"))
+    kw = F.substring(F.col("descr"), 1, 20)
+    all_meta = F.concat_ws(" ", F.col("descr"), kw)
+    return hf.select(
+        "doc_id",
+        _e6(
+            head_bm25_score_expr(
+                F.col("title"), F.col("descr"), kw, all_meta, ["spark", "data"]
+            )
+        ).alias("head_bm25_e6"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": q_text_stats,
@@ -683,6 +773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_term_stats": q_adaptive_term_stats,
         "adaptive_consistency": q_adaptive_consistency,
         "new_terms_per_wave": q_new_terms_per_wave,
+        "seo_scores": q_seo_scores,
+        "head_bm25": q_head_bm25,
     }
 
 
@@ -845,6 +937,72 @@ SELECT o_orderkey,
   CAST(round(k * 1000000) AS BIGINT) AS keyword_e6,
   CAST(round((f + d + k) / 3.0 * 1000000) AS BIGINT) AS composite_e6
 FROM scored
+"""
+
+
+def _seo_scores_sql() -> str:
+    ldjson_re = """<script[^>]+type=["'']application/ld\\+json"""
+    return f"""
+WITH {_HEAD_FIELDS_SQL},
+feat AS (
+  SELECT doc_id, url, title, descr, canonical, robots, head_html,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM hf
+), comp AS (
+  SELECT doc_id,
+    CASE WHEN length(title) BETWEEN 50 AND 60 THEN 1.0
+         WHEN (length(title) >= 40 AND length(title) < 50)
+           OR (length(title) > 60 AND length(title) <= 70) THEN 0.7
+         ELSE 0.3 END AS s_tl,
+    least(CAST(len(regexp_extract_all(title, '(?i)\\b(spark|join)\\b')) AS DOUBLE) * 0.3, 1.0) AS s_kw,
+    CASE WHEN length(descr) BETWEEN 140 AND 160 THEN 1.0
+         WHEN length(descr) BETWEEN 120 AND 200 THEN 0.5 ELSE 0.2 END AS s_md,
+    CASE WHEN canonical IS NULL OR canonical = '' THEN 0.5
+         WHEN canonical = url THEN 1.0 ELSE 0.2 END AS s_can,
+    CASE WHEN contains(coalesce(robots, ''), 'noindex') THEN 0.0 ELSE 1.0 END AS s_rob,
+    CASE WHEN regexp_matches(head_html, '{ldjson_re}') THEN 1.0 ELSE 0.0 END AS s_schema,
+    (1.0
+     * CASE WHEN length(path) > 80 THEN 0.7 ELSE 1.0 END
+     * CASE WHEN regexp_matches(path, '\\d{{4}}') THEN 0.8 ELSE 1.0 END
+     * CASE WHEN query <> '' THEN 0.6 ELSE 1.0 END
+     * CASE WHEN contains(path, '_') THEN 0.9 ELSE 1.0 END) AS s_uq
+  FROM feat
+)
+SELECT doc_id, CAST(round(
+  (0.15 * s_tl + 0.18 * s_kw + 0.12 * s_md + 0.10 * s_can
+   + 0.20 * s_rob + 0.10 * s_schema + 0.15 * s_uq) * 1000000) AS BIGINT) AS seo_e6
+FROM comp
+"""
+
+
+def _head_bm25_sql() -> str:
+    def term(t: str) -> str:
+        return (
+            f"ln(2.0 / (tf_{t} + 0.5) + 1.0) * (tf_{t} * (1.2 + 1.0))"
+            f" / (tf_{t} + 1.2 * (0.25 + 0.75 * (dl / 1000.0)))"
+        )
+
+    return f"""
+WITH {_HEAD_FIELDS_SQL},
+d AS (SELECT doc_id, title, descr, substring(descr, 1, 20) AS kw FROM hf),
+docd AS (
+  SELECT doc_id,
+    concat_ws(' ', repeat(title, 3), repeat(descr, 2), kw, concat_ws(' ', descr, kw)) AS doc
+  FROM d
+), tk AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(doc), '\\s+'), x -> x <> '') AS toks
+  FROM docd
+), sc AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+    CAST(len(list_filter(toks, x -> x = 'data')) AS DOUBLE) AS tf_data,
+    CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf_spark
+  FROM tk
+)
+SELECT doc_id,
+  CAST(round((0.0 + {term("data")} + {term("spark")}) * 1000000) AS BIGINT) AS head_bm25_e6
+FROM sc
 """
 
 
@@ -1134,6 +1292,8 @@ fr AS (
 )
 SELECT url, priority_bucket, CAST(rn AS BIGINT) AS rank FROM ranked WHERE rn <= 200
 """,
+        "seo_scores": _seo_scores_sql(),
+        "head_bm25": _head_bm25_sql(),
         "link_scores": _link_scores_sql(),
         "seeder_filter": _seeder_filter_sql(),
         "chunking": _chunking_sql(),

@@ -187,6 +187,12 @@ def main() -> None:
     except ValueError:
         sf = 0.1
 
+    # shuffle on tmpfs when available: the sandbox virtio disk's erratic
+    # latency otherwise dominates shuffle-stage variance (±4x run-to-run)
+    if os.path.isdir("/dev/shm") and not os.environ.get("SPARK_LOCAL_DIRS"):
+        os.makedirs("/dev/shm/spark-local", exist_ok=True)
+        os.environ["SPARK_LOCAL_DIRS"] = "/dev/shm/spark-local"
+
     from crawl4ai_spark.session import get_spark
 
     spark = get_spark(master=f"local[{cpus}]", app_name="bench", shuffle_partitions=max(cpus, 8))

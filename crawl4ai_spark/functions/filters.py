@@ -174,15 +174,122 @@ def domain(allowed_domains=None, blocked_domains=None):
 
 
 def url_quality_score_expr(url: Column) -> Column:
-    """SEOFilter's URL-quality feature (filters.py:688-698 semantics):
-    multiplicative penalties — len>80 ×0.7, a 4-digit run ×0.8, query
-    present ×0.6, underscore ×0.9 — starting from 1.0."""
+    """SEOFilter's URL-quality feature (filters.py:682-698 exact):
+    multiplicative penalties on the lowercased urlparse *path* — len>80
+    ×0.7, a 4-digit run ×0.8, query present ×0.6, underscore ×0.9."""
+    path = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1))
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
     score = F.lit(1.0)
-    score = score * F.when(F.length(url) > 80, F.lit(0.7)).otherwise(F.lit(1.0))
-    score = score * F.when(url.rlike(r"\d{4}"), F.lit(0.8)).otherwise(F.lit(1.0))
-    score = score * F.when(url.contains("?"), F.lit(0.6)).otherwise(F.lit(1.0))
-    score = score * F.when(url.contains("_"), F.lit(0.9)).otherwise(F.lit(1.0))
+    score = score * F.when(F.length(path) > 80, F.lit(0.7)).otherwise(F.lit(1.0))
+    score = score * F.when(path.rlike(r"\d{4}"), F.lit(0.8)).otherwise(F.lit(1.0))
+    score = score * F.when(query != "", F.lit(0.6)).otherwise(F.lit(1.0))
+    score = score * F.when(path.contains("_"), F.lit(0.9)).otherwise(F.lit(1.0))
     return score
+
+
+def head_bm25_score_expr(
+    title: Column,
+    description: Column,
+    keywords: Column,
+    all_meta: Column,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    avgdl: int = 1000,
+) -> Column:
+    """ContentRelevanceFilter's simplified BM25 over the weighted head
+    document (filters.py:509-585).  Pinned quirk: field weighting is
+    PYTHON STRING REPETITION — ``title * 3`` concatenates copies with no
+    separator, so the boundary tokens fuse ('a b'*3 → 'a ba ba b').
+    ``all_meta`` is the space-joined concatenation of every meta value
+    (which re-includes description/keywords, as ``meta.values()`` does).
+    IDF = log(2/(tf+0.5)+1) — a per-document constant-N variant."""
+    doc = F.concat_ws(
+        " ",
+        F.repeat(F.coalesce(title, F.lit("")), 3),
+        F.repeat(F.coalesce(description, F.lit("")), 2),
+        F.coalesce(keywords, F.lit("")),
+        F.coalesce(all_meta, F.lit("")),
+    )
+    toks = F.filter(F.split(F.lower(doc), r"\s+"), lambda t: t != "")
+    dl = F.size(toks).cast("double")
+    score = F.lit(0.0)
+    for term in sorted({t for t in " ".join(query_terms).lower().split()}):
+        tf = F.size(F.filter(toks, lambda t: t == F.lit(term))).cast("double")
+        idf = F.log(F.lit(2.0) / (tf + 0.5) + 1.0)
+        score = score + idf * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * (dl / float(avgdl)))
+        )
+    return score
+
+
+SEO_DEFAULT_WEIGHTS = {
+    "title_length": 0.15,
+    "title_kw": 0.18,
+    "meta_description": 0.12,
+    "canonical": 0.10,
+    "robot_ok": 0.20,
+    "schema_org": 0.10,
+    "url_quality": 0.15,
+}
+
+
+def seo_score_expr(
+    url: Column,
+    title: Column,
+    description: Column,
+    canonical: Column,
+    robots: Column,
+    head_html: Column,
+    keywords: list[str] | None = None,
+    weights: dict[str, float] | None = None,
+) -> Column:
+    """SEOFilter's quantitative head-quality score (filters.py:588-698):
+    weighted sum of title-length band, keyword hits (0.3 each, capped),
+    meta-description band, canonical match, robots noindex gate, ld+json
+    presence, and URL quality."""
+    w = weights or SEO_DEFAULT_WEIGHTS
+    t_len = F.length(F.coalesce(title, F.lit("")))
+    title_length = (
+        F.when((t_len >= 50) & (t_len <= 60), 1.0)
+        .when(((t_len >= 40) & (t_len < 50)) | ((t_len > 60) & (t_len <= 70)), 0.7)
+        .otherwise(0.3)
+    )
+    if keywords:
+        pat = r"(?i)\b(" + "|".join(re.escape(k) for k in keywords) + r")\b"
+        matches = F.size(F.regexp_extract_all(F.coalesce(title, F.lit("")), F.lit(pat), 0))
+        title_kw = F.least(matches.cast("double") * 0.3, F.lit(1.0))
+    else:
+        title_kw = F.lit(0.0)
+    d_len = F.length(F.coalesce(description, F.lit("")))
+    meta_description = (
+        F.when((d_len >= 140) & (d_len <= 160), 1.0)
+        .when((d_len >= 120) & (d_len <= 200), 0.5)
+        .otherwise(0.2)
+    )
+    canonical_s = (
+        F.when(canonical.isNull() | (canonical == ""), 0.5)
+        .when(canonical == url, 1.0)
+        .otherwise(0.2)
+    )
+    robot_ok = F.when(F.coalesce(robots, F.lit("")).contains("noindex"), 0.0).otherwise(1.0)
+    schema_org = F.when(
+        F.coalesce(head_html, F.lit("")).rlike(r"""<script[^>]+type=["']application/ld\+json"""),
+        1.0,
+    ).otherwise(0.0)
+    parts = {
+        "title_length": title_length,
+        "title_kw": title_kw,
+        "meta_description": meta_description,
+        "canonical": canonical_s,
+        "robot_ok": robot_ok,
+        "schema_org": schema_org,
+        "url_quality": url_quality_score_expr(url),
+    }
+    total = F.lit(0.0)
+    for factor, weight in w.items():
+        total = total + F.lit(float(weight)) * parts[factor]
+    return total
 
 
 def chain(*filters):

@@ -51,6 +51,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    # shuffle/spill dir: overridable — benchmarks point this at tmpfs
+    # (SPARK_LOCAL_DIRS=/dev/shm/...) because the sandbox's virtio disk has
+    # erratic latency that swamps shuffle-stage timings
+    if os.environ.get("SPARK_LOCAL_DIRS"):
+        builder = builder.config("spark.local.dir", os.environ["SPARK_LOCAL_DIRS"])
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

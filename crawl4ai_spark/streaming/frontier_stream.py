@@ -1,0 +1,99 @@
+"""Structured Streaming mode (SURVEY §2.12).
+
+The reference's "stream mode" is an asyncio generator yielding results
+in completion order (base_strategy.py:102-105, async_dispatcher.py:
+529-619) — not event-time streaming.  Parity therefore never *requires*
+Structured Streaming; the wave/batch engine covers it.  This module
+offers the streaming surface for pipelines that want it:
+
+* :func:`stream_link_expansion` — discovered-link stream → stream-static
+  anti-join against the (static snapshot of the) seen table → fresh
+  frontier candidates.  The stream-static join re-reads the static side
+  per micro-batch, which is exactly the Iceberg-snapshot semantics the
+  batch engine uses.
+* :func:`windowed_host_rates` — per-host fetch counts over sliding
+  event-time windows with a watermark: the streaming analog of the
+  politeness monitor (the reference keeps wall-clock dicts,
+  async_dispatcher.py:45-85).
+* :func:`foreach_wave` — micro-batch runner: each batch of seed URLs is
+  pushed through a caller-supplied batch wave function (e.g. a CrawlJob
+  wave), giving at-least-once processing with checkpointed offsets —
+  Spark's own checkpoint dir replaces the reference's per-URL
+  on_state_change JSON snapshots (bfs_strategy.py:213-223).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.urls import host_expr, is_valid_url_expr, normalize_deep_udf
+
+
+def stream_link_expansion(
+    links_stream: DataFrame,
+    seen: DataFrame,
+    href_col: str = "href",
+    base_col: str = "src_url",
+) -> DataFrame:
+    """Streaming frontier expansion: canonicalize each discovered link and
+    anti-join the static seen snapshot.  Output: (url, host) candidates.
+
+    Within-stream duplicates are NOT dropped here (streaming
+    dropDuplicates would need unbounded state); the downstream batch
+    committer dedups per micro-batch exactly like a wave does.
+    """
+    canon = links_stream.withColumn(
+        "url", normalize_deep_udf(F.col(href_col), F.col(base_col))
+    )
+    fresh = canon.filter(
+        F.col("url").isNotNull() & is_valid_url_expr(F.col("url"))
+    ).join(seen.select("url"), "url", "left_anti")
+    return fresh.withColumn("host", host_expr(F.col("url")))
+
+
+def windowed_host_rates(
+    fetch_stream: DataFrame,
+    window_duration: str = "60 seconds",
+    slide: str = "30 seconds",
+    watermark: str = "2 minutes",
+    ts_col: str = "fetched_at",
+) -> DataFrame:
+    """Sliding-window per-host fetch counts with late-data handling —
+    feeds the politeness controller with observed request rates."""
+    return (
+        fetch_stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration, slide), F.col("host"))
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.sum(F.when(F.col("status_code").isin(429, 503), 1).otherwise(0)).alias(
+                "n_throttled"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "host",
+            "n_fetches",
+            "n_throttled",
+        )
+    )
+
+
+def foreach_wave(
+    seeds_stream: DataFrame,
+    wave_fn,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Run ``wave_fn(batch_df, batch_id)`` per micro-batch of seed URLs —
+    the foreachBatch bridge between a streaming source and the batch wave
+    engine.  Returns the started StreamingQuery."""
+    writer = (
+        seeds_stream.writeStream.foreachBatch(wave_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

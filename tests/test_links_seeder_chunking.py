@@ -316,3 +316,150 @@ def test_new_terms_per_wave(spark):
     )
     got = {r["wave_id"]: r["new_terms"] for r in adaptive.new_terms_per_wave(docs).collect()}
     assert got == {0: 2, 1: 1, 2: 2}
+
+
+# ---------------------------------------------------------------------------
+# head BM25 relevance + SEO score (reference transcription oracles)
+# ---------------------------------------------------------------------------
+
+
+def _head_bm25_oracle(title, desc, kw, all_meta, terms, k1=1.2, b=0.75, avgdl=1000):
+    doc = " ".join([title * 3, desc * 2, kw, all_meta])
+    toks = doc.lower().split()
+    dl = len(toks)
+    score = 0.0
+    for term in set(" ".join(terms).lower().split()):
+        tf = toks.count(term)
+        idf = math.log(2 / (tf + 0.5) + 1)
+        score += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    return score
+
+
+def test_head_bm25_matches_reference(spark):
+    from crawl4ai_spark.functions.filters import head_bm25_score_expr
+
+    rows = [
+        ("spark joins guide", "deep dive into spark", "spark,sql", "extra spark words"),
+        ("unrelated title", "nothing here", "", ""),
+        ("spark spark", "spark", "spark", "spark spark spark"),
+    ]
+    terms = ["spark", "joins"]
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)], "i int, t string, d string, k string, m string"
+    )
+    got = {
+        r["i"]: r["s"]
+        for r in df.select(
+            "i",
+            head_bm25_score_expr(
+                F.col("t"), F.col("d"), F.col("k"), F.col("m"), terms
+            ).alias("s"),
+        ).collect()
+    }
+    for i, r in enumerate(rows):
+        assert got[i] == pytest.approx(_head_bm25_oracle(*r, terms), rel=1e-12), (i, r)
+
+
+def _seo_oracle(url, title, desc, canonical, robots, head_html, keywords):
+    import re as _re
+    from urllib.parse import urlparse
+
+    def title_length(t):
+        n = len(t)
+        if 50 <= n <= 60:
+            return 1.0
+        if 40 <= n < 50 or 60 < n <= 70:
+            return 0.7
+        return 0.3
+
+    def kw(t):
+        if not keywords:
+            return 0.0
+        pat = _re.compile(r"\b({})\b".format("|".join(map(_re.escape, keywords))), _re.I)
+        return min(len(pat.findall(t)) * 0.3, 1.0)
+
+    def meta_desc(d):
+        n = len(d)
+        if 140 <= n <= 160:
+            return 1.0
+        return 0.5 if 120 <= n <= 200 else 0.2
+
+    def canon(c):
+        if not c:
+            return 0.5
+        return 1.0 if c == url else 0.2
+
+    def url_quality():
+        p = urlparse(url)
+        path = p.path.lower()
+        s = 1.0
+        if len(path) > 80:
+            s *= 0.7
+        if _re.search(r"\d{4}", path):
+            s *= 0.8
+        if p.query:
+            s *= 0.6
+        if "_" in path:
+            s *= 0.9
+        return s
+
+    scores = {
+        "title_length": title_length(title),
+        "title_kw": kw(title),
+        "meta_description": meta_desc(desc),
+        "canonical": canon(canonical),
+        "robot_ok": 0.0 if "noindex" in (robots or "") else 1.0,
+        "schema_org": 1.0 if _re.search(r'<script[^>]+type=["\']application/ld\+json', head_html) else 0.0,
+        "url_quality": url_quality(),
+    }
+    from crawl4ai_spark.functions.filters import SEO_DEFAULT_WEIGHTS
+
+    return sum(w * scores[f] for f, w in SEO_DEFAULT_WEIGHTS.items())
+
+
+def test_seo_score_matches_reference(spark):
+    from crawl4ai_spark.functions.filters import seo_score_expr
+
+    cases = [
+        (
+            "https://x.com/docs/spark-guide",
+            "The Complete Spark Performance Tuning Guide 2024!!",  # 50 chars
+            "d" * 150,
+            "https://x.com/docs/spark-guide",
+            "index,follow",
+            '<head><script type="application/ld+json">{}</script></head>',
+        ),
+        (
+            "https://x.com/a_b/" + "p" * 80 + "?q=1",
+            "short",
+            "d" * 30,
+            "",
+            "noindex",
+            "<head></head>",
+        ),
+        (
+            "https://x.com/archive/1999/post",
+            "Spark and spark again spark here plus more padding!",
+            "d" * 125,
+            "https://other.example.com/",
+            "",
+            "<head><script src='x.js'></script></head>",
+        ),
+    ]
+    keywords = ["spark", "guide"]
+    df = spark.createDataFrame(
+        [(i, *c) for i, c in enumerate(cases)],
+        "i int, url string, title string, descr string, canonical string, robots string, head_html string",
+    )
+    got = {
+        r["i"]: r["s"]
+        for r in df.select(
+            "i",
+            seo_score_expr(
+                F.col("url"), F.col("title"), F.col("descr"), F.col("canonical"),
+                F.col("robots"), F.col("head_html"), keywords=keywords,
+            ).alias("s"),
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == pytest.approx(_seo_oracle(*c, keywords), abs=1e-12), (i, c)
