@@ -741,6 +741,126 @@ def q_head_bm25(spark, sf_dir):
     )
 
 
+def q_srcset_parse(spark, sf_dir):
+    from crawl4ai_spark.operators.scrape import parse_srcset_expr
+
+    part = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    srcset = (
+        F.when(k % 5 == 0, F.concat(F.lit("https://c.com/a"), k.cast("string"), F.lit(".jpg 320w, https://c.com/b"), k.cast("string"), F.lit(".jpg 640w")))
+        .when(k % 5 == 1, F.concat(F.lit("https://c.com/x"), k.cast("string"), F.lit(".png 2x")))
+        .when(k % 5 == 2, F.concat(F.lit(" https://c.com/y"), k.cast("string"), F.lit(".webp 1.5w ,, https://c.com/z.gif")))
+        .when(k % 5 == 3, F.lit(""))
+        .otherwise(F.concat(F.lit("https://c.com/solo"), k.cast("string"), F.lit(".jpg")))
+    )
+    parsed = part.select("p_partkey", F.posexplode_outer(parse_srcset_expr(srcset)).alias("v_idx", "v"))
+    return parsed.select(
+        "p_partkey",
+        F.col("v_idx").cast("long").alias("v_idx"),
+        F.col("v.url").alias("v_url"),
+        F.col("v.width").alias("v_width"),
+    )
+
+
+def q_robots_gate(spark, sf_dir):
+    from crawl4ai_spark.operators.scheduler import robots_gate
+
+    ev = _t(spark, sf_dir, "events")
+    m5 = F.col("event_id") % 5
+    path = (
+        F.when(m5 == 0, F.concat(F.lit("/private/page"), (F.col("event_id") % 100).cast("string")))
+        .when(m5 == 1, F.lit("/tmp/x"))
+        .otherwise(F.concat(F.lit("/"), F.col("event_type"), F.lit("/item"), (F.col("event_id") % 500).cast("string")))
+    )
+    host = F.concat(F.lit("host"), (F.col("user_id") % 10).cast("string"), F.lit(".example.com"))
+    frontier = ev.select(
+        "event_id",
+        F.concat(F.lit("https://"), host, path).alias("url"),
+        host.alias("host"),
+    )
+    robots = (
+        spark.range(10)
+        .filter(F.col("id") % 4 != 3)  # hosts without rules ⇒ allow-all
+        .select(
+            F.concat(F.lit("host"), F.col("id").cast("string"), F.lit(".example.com")).alias("host"),
+            F.lit("User-agent: *\nDisallow: /private\nDisallow: /tmp\n").alias("rules"),
+        )
+    )
+    return robots_gate(frontier, robots).select("event_id", "url", F.col("robots_allowed").alias("allowed"))
+
+
+def q_crawl_best_first(spark, sf_dir):
+    from crawl4ai_spark.functions import scorers
+    from crawl4ai_spark.operators.traversal import CrawlConfig, CrawlEngine, corpus_fetcher
+    from crawl4ai_spark.sources.corpus import generate_corpus, page_url
+
+    corpus = generate_corpus(seed=42, n_hosts=2, pages_per_host=12, with_images=False)
+    pages = spark.createDataFrame(corpus["pages"])
+    cfg = CrawlConfig(max_depth=2, max_pages=15, score_expr=scorers.path_depth(optimal_depth=2))
+    run = CrawlEngine(spark, corpus_fetcher(pages), cfg).crawl_best_first(page_url(0, 0))
+    return run.results.select("url", "depth", "parent_url", "wave_id", "result_seq", "success")
+
+
+def q_crawl_dfs(spark, sf_dir):
+    from crawl4ai_spark.operators.traversal import CrawlConfig, CrawlEngine, corpus_fetcher
+    from crawl4ai_spark.sources.corpus import generate_corpus, page_url
+
+    corpus = generate_corpus(seed=42, n_hosts=2, pages_per_host=12, with_images=False)
+    pages = spark.createDataFrame(corpus["pages"])
+    run = CrawlEngine(spark, corpus_fetcher(pages), CrawlConfig(max_depth=2)).crawl_dfs(
+        page_url(0, 0)
+    )
+    return run.results.select("url", "depth", "parent_url", "result_seq", "success")
+
+
+def q_crawl_job_e2e(spark, sf_dir):
+    """Full production wave composition: politeness + robots + bloom dedup
+    + image payload emit + lineage, on the deterministic corpus."""
+    import tempfile
+
+    from crawl4ai_spark.operators.multimodal import IMAGE_SCHEMA
+    from crawl4ai_spark.operators.traversal import canonical_corpus_fetcher
+    from crawl4ai_spark.pipeline import CrawlJob, JobConfig
+    from crawl4ai_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(seed=42, n_hosts=3, pages_per_host=8, images_per_page=1)
+    world_pages = spark.createDataFrame(corpus["pages"])
+    images = spark.createDataFrame(
+        corpus["images"][["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]],
+        schema=IMAGE_SCHEMA,
+    )
+    cfg = JobConfig(
+        max_depth=2, wave_budget=100.0, default_delay=1.0,
+        use_bloom=True, bloom_partitions=4, bloom_bits=1 << 14,
+    )
+    job = CrawlJob(
+        spark,
+        canonical_corpus_fetcher(world_pages),
+        catalog_root=tempfile.mkdtemp(prefix="crawl_e2e_"),
+        config=cfg,
+        robots=spark.createDataFrame(corpus["robots"]),
+        image_store=images,
+    )
+    job.seed(spark.createDataFrame(corpus["seeds"]))
+    job.run(max_waves=6)
+    res = job.results().select("url", "host", "depth", "status_code", "success", "wave_id")
+    return res
+
+
+def q_image_psnr_invariant(spark, sf_dir):
+    """input_hint invariant: decoded-pixel PSNR (≥40dB; ∞ for lossless
+    PNG) + caption equality of the emitted payload vs the stored truth."""
+    from crawl4ai_spark.operators.multimodal import psnr_against
+
+    images = _gen_images(spark, sf_dir)
+    out = psnr_against(images, images)
+    return out.select(
+        "image_id",
+        (F.col("psnr_db") >= 40.0).alias("psnr_ge_40"),
+        "caption_equal",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": q_text_stats,
@@ -775,6 +895,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "new_terms_per_wave": q_new_terms_per_wave,
         "seo_scores": q_seo_scores,
         "head_bm25": q_head_bm25,
+        "srcset_parse": q_srcset_parse,
+        "robots_gate": q_robots_gate,
+        "crawl_best_first": q_crawl_best_first,
+        "crawl_dfs": q_crawl_dfs,
+        "crawl_job_e2e": q_crawl_job_e2e,
+        "image_psnr_invariant": q_image_psnr_invariant,
     }
 
 
@@ -1003,6 +1129,38 @@ docd AS (
 SELECT doc_id,
   CAST(round((0.0 + {term("data")} + {term("spark")}) * 1000000) AS BIGINT) AS head_bm25_e6
 FROM sc
+"""
+
+
+def _srcset_sql() -> str:
+    return """
+WITH s AS (
+  SELECT p_partkey,
+    CASE WHEN p_partkey % 5 = 0 THEN 'https://c.com/a' || CAST(p_partkey AS VARCHAR) || '.jpg 320w, https://c.com/b' || CAST(p_partkey AS VARCHAR) || '.jpg 640w'
+         WHEN p_partkey % 5 = 1 THEN 'https://c.com/x' || CAST(p_partkey AS VARCHAR) || '.png 2x'
+         WHEN p_partkey % 5 = 2 THEN ' https://c.com/y' || CAST(p_partkey AS VARCHAR) || '.webp 1.5w ,, https://c.com/z.gif'
+         WHEN p_partkey % 5 = 3 THEN ''
+         ELSE 'https://c.com/solo' || CAST(p_partkey AS VARCHAR) || '.jpg' END AS srcset
+  FROM part
+), parts AS (
+  SELECT p_partkey,
+    list_filter(list_transform(string_split(srcset, ','), p -> trim(p)), p -> p <> '') AS ps
+  FROM s
+), pe AS (
+  SELECT p_partkey, u.s.i AS i, u.s.p AS p
+  FROM parts, unnest([{'i': i, 'p': ps[i]} FOR i IN range(1, len(ps) + 1)]) AS u(s)
+), toks AS (
+  SELECT p_partkey, i,
+    list_filter(regexp_split_to_array(p, '\\s+'), t -> t <> '') AS tk
+  FROM pe
+)
+SELECT p_partkey, CAST(i - 1 AS BIGINT) AS v_idx, tk[1] AS v_url,
+  CASE WHEN len(tk) > 1 AND ends_with(tk[2], 'w')
+       THEN string_split(regexp_replace(tk[2], 'w+$', ''), '.')[1] ELSE NULL END AS v_width
+FROM toks
+UNION ALL
+SELECT p_partkey, NULL AS v_idx, NULL AS v_url, NULL AS v_width
+FROM parts WHERE len(ps) = 0
 """
 
 
@@ -1294,6 +1452,23 @@ SELECT url, priority_bucket, CAST(rn AS BIGINT) AS rank FROM ranked WHERE rn <= 
 """,
         "seo_scores": _seo_scores_sql(),
         "head_bm25": _head_bm25_sql(),
+        "srcset_parse": _srcset_sql(),
+        "robots_gate": """
+WITH fr AS (
+  SELECT event_id,
+    'https://host' || CAST(user_id % 10 AS VARCHAR) || '.example.com' ||
+    CASE WHEN event_id % 5 = 0 THEN '/private/page' || CAST(event_id % 100 AS VARCHAR)
+         WHEN event_id % 5 = 1 THEN '/tmp/x'
+         ELSE '/' || event_type || '/item' || CAST(event_id % 500 AS VARCHAR) END AS url,
+    user_id % 10 AS h, event_id % 5 AS m5
+  FROM events
+)
+SELECT event_id, url,
+  CASE WHEN h % 4 = 3 THEN TRUE
+       WHEN m5 IN (0, 1) THEN FALSE
+       ELSE TRUE END AS allowed
+FROM fr
+""",
         "link_scores": _link_scores_sql(),
         "seeder_filter": _seeder_filter_sql(),
         "chunking": _chunking_sql(),

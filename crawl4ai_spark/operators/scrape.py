@@ -77,6 +77,29 @@ _IMG_FORMATS = ("jpg", "jpeg", "png", "webp", "gif", "avif", "svg")
 _ICON_HINTS = ("icon", "logo", "button", "sprite")
 
 
+def parse_srcset_expr(s):
+    """``parse_srcset`` (content_scraping_strategy.py:42-59) as a pure
+    column expression → array<struct<url,width>>.  Pinned quirks: width
+    kept only when the 2nd token endswith 'w' (so '2x' densities → NULL),
+    ALL trailing 'w's stripped, then truncated at the first '.'."""
+
+    def variant(p):
+        toks = F.filter(F.split(p, r"\s+"), lambda t: t != "")
+        url = F.element_at(toks, 1)
+        second = F.element_at(toks, 2)
+        width = F.when(
+            (F.size(toks) > 1) & second.endswith("w"),
+            F.element_at(F.split(F.regexp_replace(second, "w+$", ""), r"\."), 1),
+        ).otherwise(F.lit(None).cast("string"))
+        return F.struct(url.alias("url"), width.alias("width"))
+
+    parts = F.filter(
+        F.transform(F.split(F.coalesce(s, F.lit("")), ","), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+    return F.transform(parts, variant)
+
+
 class _PageParser(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
