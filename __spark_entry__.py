@@ -1061,7 +1061,11 @@ SELECT o_orderkey,
   CAST(round(f * 1000000) AS BIGINT) AS freshness_e6,
   CAST(round(d * 1000000) AS BIGINT) AS depth_score_e6,
   CAST(round(k * 1000000) AS BIGINT) AS keyword_e6,
-  CAST(round((f + d + k) / 3.0 * 1000000) AS BIGINT) AS composite_e6
+  -- composite pins the reference's array('f') quirk: each child score is
+  -- float32-truncated before the double sum
+  CAST(round((0.0 + CAST(CAST(f AS FLOAT) AS DOUBLE)
+                  + CAST(CAST(d AS FLOAT) AS DOUBLE)
+                  + CAST(CAST(k AS FLOAT) AS DOUBLE)) / 3.0 * 1000000) AS BIGINT) AS composite_e6
 FROM scored
 """
 

@@ -144,15 +144,16 @@ def domain_authority(domain_weights: dict[str, float], default_weight: float = 0
 
 def composite(scorers: list, normalize: bool = True):
     """Sum of children's weighted scores, ÷ count when normalize
-    (scorers.py:91-158)."""
+    (scorers.py:91-158).  Pinned quirk: the reference accumulates child
+    scores through a pre-allocated ``array('f')`` (scorers.py:113,136),
+    so every child score is float32-truncated before the float64 sum —
+    reproduced with a float↔double cast round-trip."""
 
     def scorer(url: Column) -> Column:
-        if not scorers:
-            return F.lit(0.0)
-        total = scorers[0](url)
-        for s in scorers[1:]:
-            total = total + s(url)
-        if normalize:
+        total = F.lit(0.0)
+        for s in scorers:
+            total = total + s(url).cast("float").cast("double")
+        if normalize and scorers:
             total = total / F.lit(float(len(scorers)))
         return total
 
