@@ -128,27 +128,39 @@ def per_host_topk(
     the ≤ k*salt_buckets survivors per host — tiny by construction.
 
     With ``keep_tail`` rows beyond the top-K are returned too, with a
-    NULL ``rank_in_host`` — tagged, never dropped, and without any extra
-    join: the tail branches re-read the same window exchanges (Spark
-    reuses them), so a host with millions of queued URLs keeps its tail
-    at the cost of one filter.  Requires ``df`` rows unique per
-    ``salt_col`` (the frontier's canonical-URL invariant) for the
-    branch split to be deterministic under ties.
+    NULL ``rank_in_host`` — tagged, never dropped, with exactly one
+    upstream evaluation: rank>K survivors are NULLed in place (no extra
+    branch), and the phase-1 output is pinned with a lazy localCheckpoint
+    before the survivors/tail split.  The pin matters: Spark 4's
+    WindowGroupLimit pushdown rewrites the rank-filtered branch's
+    exchange *input*, so the two branches' exchanges are no longer
+    identical subplans and exchange reuse silently stops applying
+    (verified on the executed plan — 0 ReusedExchange without the pin).
+    Requires ``df`` rows unique per ``salt_col`` (the frontier's
+    canonical-URL invariant) for the split to be deterministic under
+    ties.
     """
     order_cols = order_cols or queue_order()
     salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_buckets)))
     w1 = Window.partitionBy("host", "_salt").orderBy(*order_cols)
-    stage1 = salted.withColumn("_prn", F.row_number().over(w1))
-    surv = stage1.filter(F.col("_prn") <= k)
     w2 = Window.partitionBy("host").orderBy(*order_cols)
-    ranked_all = surv.withColumn("rank_in_host", F.row_number().over(w2))
-    top = ranked_all.filter(F.col("rank_in_host") <= k)
+    stage1 = salted.withColumn("_prn", F.row_number().over(w1))
     if not keep_tail:
-        return top.drop("_salt", "_prn")
+        surv = stage1.filter(F.col("_prn") <= k)
+        ranked = surv.withColumn("rank_in_host", F.row_number().over(w2))
+        return ranked.filter(F.col("rank_in_host") <= k).drop("_salt", "_prn")
+    stage1 = stage1.localCheckpoint(eager=False)
     null_rank = F.lit(None).cast("int")
-    overflow = ranked_all.filter(F.col("rank_in_host") > k).withColumn("rank_in_host", null_rank)
+    ranked = (
+        stage1.filter(F.col("_prn") <= k)
+        .withColumn("rank_in_host", F.row_number().over(w2))
+        .withColumn(
+            "rank_in_host",
+            F.when(F.col("rank_in_host") <= k, F.col("rank_in_host")).otherwise(null_rank),
+        )
+    )
     tail = stage1.filter(F.col("_prn") > k).withColumn("rank_in_host", null_rank)
-    return top.unionByName(overflow).unionByName(tail).drop("_salt", "_prn")
+    return ranked.unionByName(tail).drop("_salt", "_prn")
 
 
 def salted_range_partition(df: DataFrame, n_partitions: int, salt_buckets: int = 16) -> DataFrame:
