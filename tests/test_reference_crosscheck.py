@@ -311,3 +311,55 @@ def test_head_bm25_matches_reference_class(spark):
     for i, (t, d, k, meta) in enumerate(cases):
         doc = f._build_document({"title": t, "meta": meta})
         assert got[i] == pytest.approx(f._bm25(doc), rel=1e-12), (i, doc)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis fuzz: canonicalizer parity on adversarial URLs
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _ref_norm = load_defs(
+        "utils.py",
+        ["normalize_url", "normalize_url_for_deep_crawl", "get_base_domain"],
+    )
+
+    _url_chars = st.text(
+        alphabet="abcXYZ019-._~:/?#[]@!$&'()*+,;=% \té中", max_size=40
+    )
+    _schemes = st.sampled_from(["http://", "https://", "ftp://", "", "//", "mailto:"])
+    _hosts_st = st.sampled_from(
+        ["example.com", "WWW.Example.Com", "sub.x.co.uk:81", "localhost", "a.b", ""]
+    )
+
+    @given(
+        scheme=_schemes, host=_hosts_st, rest=_url_chars,
+        base_host=st.sampled_from(["example.com", "shop.co.uk"]),
+        base_path=st.sampled_from(["/", "/a/b", "/dir/page?x=1"]),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_fuzz_canonicalizer_parity(scheme, host, rest, base_host, base_path):
+        href = f"{scheme}{host}{rest}"
+        base = f"https://{base_host}{base_path}"
+
+        def both(fn_mine, fn_ref, *args):
+            try:
+                mine = fn_mine(*args)
+                mine_exc = None
+            except Exception as e:
+                mine, mine_exc = None, type(e).__name__
+            try:
+                ref = fn_ref(*args)
+                ref_exc = None
+            except Exception as e:
+                ref, ref_exc = None, type(e).__name__
+            assert mine_exc == ref_exc, (args, mine_exc, ref_exc)
+            if mine_exc is None:
+                assert mine == ref, (args, mine, ref)
+
+        both(normalize_url_for_deep_crawl, _ref_norm["normalize_url_for_deep_crawl"], href, base)
+        both(normalize_url, _ref_norm["normalize_url"], href, base)
+        both(get_base_domain, _ref_norm["get_base_domain"], href)
+except ImportError:  # hypothesis absent: covered by the fixed corpora above
+    pass
