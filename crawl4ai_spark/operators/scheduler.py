@@ -227,17 +227,22 @@ def update_host_state(
     wave_start: float,
     base_delay: tuple[float, float] = (1.0, 1.0),
     max_delay: float = 60.0,
+    max_retries: int = 3,
     jitter: bool = False,
     seed: int = 42,
 ) -> DataFrame:
     """Fold the RateLimiter update rule over each host's wave results in
     scheduled order (async_dispatcher.py:65-85):
 
-    * 429/503 → fail_count += 1, delay = min(delay * 2 * U(0.75,1.25), max)
+    * 429/503 → fail_count += 1; if fail_count > max_retries the delay
+      FREEZES (update_delay returns early, :71-73) until a success;
+      else delay = min(delay * 2 * U(0.75,1.25), max)
     * success → delay = max(U(base), delay * 0.75), fail_count = 0
 
     Deterministic mode (default) pins both jitter draws to their midpoint
     / lower bound so two runs produce identical schedules.
+    Cross-checked against the reference class itself
+    (tests/test_reference_crosscheck.py).
     """
     cols = ["host", "status_code", "scheduled_offset"]
     src = wave_results.select(*cols)
@@ -264,6 +269,8 @@ def update_host_state(
         for status in pdf["status_code"]:
             if status in (429, 503):
                 fails += 1
+                if fails > max_retries:
+                    continue  # give-up branch: delay frozen (dispatcher :71-73)
                 j = rng.uniform(0.75, 1.25) if jitter else 1.0
                 delay = min(delay * 2 * j, max_delay)
             else:

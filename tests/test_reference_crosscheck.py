@@ -363,3 +363,55 @@ try:
         both(get_base_domain, _ref_norm["get_base_domain"], href)
 except ImportError:  # hypothesis absent: covered by the fixed corpora above
     pass
+
+
+# ---------------------------------------------------------------------------
+# RateLimiter backoff fold vs the reference class (deterministic jitter)
+# ---------------------------------------------------------------------------
+
+
+def test_host_state_fold_matches_ratelimiter(spark):
+    import types
+
+    from crawl4ai_spark.operators.scheduler import update_host_state
+
+    stub_random = types.SimpleNamespace(uniform=lambda a, b: (a + b) / 2)
+    ds = load_defs("models.py", ["DomainState"])
+    rl_cls = load_defs(
+        "async_dispatcher.py", ["RateLimiter"],
+        extra={"random": stub_random, "time": __import__("time"),
+               "asyncio": __import__("asyncio"), "DomainState": ds["DomainState"]},
+    )["RateLimiter"]
+
+    seqs = {
+        "a.com": [200, 429, 429, 200, 503, 200],
+        "b.com": [429, 429, 429, 429, 429, 200, 429],  # past max_retries: delay freezes
+        "c.com": [200] * 4,
+        "d.com": [503] * 8,
+    }
+
+    # reference fold (base=(1,1) so the stubbed uniform is exact)
+    expected = {}
+    for host, statuses in seqs.items():
+        rl = rl_cls(base_delay=(1.0, 1.0), max_delay=60.0, max_retries=3)
+        rl.domains[host] = ds["DomainState"]()
+        st = rl.domains[host]
+        for s in statuses:
+            if st.current_delay == 0:  # wait_if_needed's init draw
+                st.current_delay = 1.0
+            rl.update_delay(f"https://{host}/x", s)
+        expected[host] = (st.current_delay, st.fail_count)
+
+    rows = [
+        (host, s, float(i)) for host, statuses in seqs.items() for i, s in enumerate(statuses)
+    ]
+    wave = spark.createDataFrame(rows, "host string, status_code int, scheduled_offset double")
+    got = {
+        r["host"]: (r["current_delay"], r["fail_count"])
+        for r in update_host_state(
+            wave, None, wave_start=0.0, base_delay=(1.0, 1.0), max_delay=60.0, max_retries=3
+        ).collect()
+    }
+    for host in seqs:
+        assert got[host][0] == pytest.approx(expected[host][0], rel=1e-12), host
+        assert got[host][1] == expected[host][1], host

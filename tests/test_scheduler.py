@@ -232,3 +232,37 @@ def test_schedule_wave_keeps_tail(spark):
     assert len(ranked) == 8 and len(tail) == 4
     assert sum(1 for r in rows if r["admitted"]) == 2
     assert all(not r["admitted"] and r["scheduled_offset"] is None for r in tail)
+
+
+def test_bucketed_seen_anti_join_has_no_shuffle(spark):
+    """The 10^10-scale seen-set design: frontier and seen bucketed on the
+    canonical URL ⇒ the per-wave anti-join is co-located — ZERO exchanges
+    in the executed plan (the seen table is never shuffled again)."""
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    spark.sql("DROP TABLE IF EXISTS frontier_b")
+    spark.sql("DROP TABLE IF EXISTS seen_b")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        urls = spark.range(5000).select(
+            F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                     F.lit(".com/p"), F.col("id").cast("string")).alias("url")
+        )
+        urls.write.bucketBy(8, "url").sortBy("url").mode("overwrite").saveAsTable("frontier_b")
+        urls.filter(F.xxhash64("url") % 2 == 0).write.bucketBy(8, "url").sortBy("url").mode(
+            "overwrite"
+        ).saveAsTable("seen_b")
+        fresh = spark.table("frontier_b").join(spark.table("seen_b"), "url", "left_anti")
+        n = fresh.count()
+        assert 0 < n < 5000
+        ep = fresh._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"Exchange hashpartitioning", ep)) == 0, ep[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS frontier_b")
+        spark.sql("DROP TABLE IF EXISTS seen_b")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
