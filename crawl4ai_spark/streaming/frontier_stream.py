@@ -97,3 +97,61 @@ def foreach_wave(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+HOST_STATE_STREAM_SCHEMA = "host string, last_request_time double, current_delay double, fail_count int"
+
+
+def stateful_host_politeness(
+    fetch_stream: DataFrame,
+    base_delay: float = 1.0,
+    max_delay: float = 60.0,
+    max_retries: int = 3,
+    ts_col: str = "fetched_at",
+):
+    """Per-host politeness state as a custom stateful streaming operator
+    (``applyInPandasWithState`` — the Structured Streaming analog of the
+    batch engine's ``update_host_state`` fold, same RateLimiter rule:
+    429/503 → fail++ / double delay unless past max_retries (frozen);
+    success → decay 0.75 toward base, fail=0).
+
+    Emits the updated (host, last_request_time, current_delay,
+    fail_count) row per host per micro-batch.  State lives in the
+    streaming checkpoint — the micro-batch twin of the host_state table
+    snapshot the wave engine commits.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        host = key[0]
+        if state.exists:
+            last, delay, fails = state.get
+        else:
+            last, delay, fails = 0.0, base_delay, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for ts, status in zip(pdf[ts_col], pdf["status_code"]):
+                ts = ts.timestamp() if hasattr(ts, "timestamp") else float(ts)
+                last = max(last, ts)
+                if status in (429, 503):
+                    fails += 1
+                    if fails > max_retries:
+                        continue  # give-up: delay frozen (RateLimiter :71-73)
+                    delay = min(delay * 2, max_delay)
+                else:
+                    delay = max(base_delay, delay * 0.75)
+                    fails = 0
+        state.update((last, delay, fails))
+        yield pd.DataFrame(
+            {"host": [host], "last_request_time": [last],
+             "current_delay": [delay], "fail_count": [fails]}
+        )
+
+    return fetch_stream.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=HOST_STATE_STREAM_SCHEMA,
+        stateStructType="last_request_time double, current_delay double, fail_count int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -113,3 +113,59 @@ def test_foreach_wave_bridge(spark, tmpdirs):
     q = foreach_wave(stream, wave, ckpt)
     q.awaitTermination(120)
     assert sum(n for _, n in seen_batches) == 20
+
+
+def test_stateful_host_politeness(spark, tmpdirs):
+    """State carries across micro-batches: batch 1's backoff is the
+    starting delay for batch 2 (maxFilesPerTrigger=1 forces two batches)."""
+    from crawl4ai_spark.streaming.frontier_stream import stateful_host_politeness
+
+    src, ckpt = tmpdirs
+    t0 = datetime.datetime(2026, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    b1 = [("a.com", ts(1), 429), ("a.com", ts(2), 429), ("b.com", ts(1), 200)]
+    b2 = [("a.com", ts(10), 200), ("b.com", ts(11), 503)]
+
+    collected = []
+
+    def run_batch(rows_):
+        spark.createDataFrame(
+            rows_, "host string, fetched_at timestamp, status_code int"
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "host string, fetched_at timestamp, status_code int"
+        ).parquet(src)
+        out = stateful_host_politeness(stream, base_delay=1.0)
+        # foreachBatch sink: the memory sink can't recover from a
+        # checkpoint, and checkpoint recovery across restarts is exactly
+        # what this test exercises
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, _id: collected.extend(df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # two separate query runs over one checkpoint: state must survive the
+    # restart and batch 1's backoff seeds batch 2
+    run_batch(b1)
+    run_batch(b2)
+    rows = collected
+    # last emitted row per host = final state
+    final = {}
+    for r in rows:
+        if r["host"] not in final or r["last_request_time"] > final[r["host"]]["last_request_time"]:
+            final[r["host"]] = r
+    # a.com: 1 → 429:2 → 429:4, then success: max(1, 3) = 3
+    assert final["a.com"]["current_delay"] == pytest.approx(3.0)
+    assert final["a.com"]["fail_count"] == 0
+    # b.com: success (stays 1), then 503 → 2.0
+    assert final["b.com"]["current_delay"] == pytest.approx(2.0)
+    assert final["b.com"]["fail_count"] == 1
