@@ -147,3 +147,54 @@ def test_job_bloom_off_equivalence(spark, world, tmp_path_factory, finished):
     assert {r["url"] for r in job.seen_urls().collect()} == {
         r["url"] for r in job_a.seen_urls().collect()
     }
+
+
+def test_job_matches_reference_bfs_oracle(spark, world, tmp_path_factory):
+    """North-rule tie: the PRODUCTION wave composition (politeness on,
+    budget ample, no robots) crawls exactly the reference BFS level sets
+    and ends with the reference URL-seen set (modulo the canonical
+    seed, which CrawlJob pre-seeds)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from reference_oracle import bfs_oracle
+
+    from crawl4ai_spark.functions.urls import normalize_url_for_deep_crawl
+
+    corpus_pdf = world["pages"].toPandas()
+    html_by_url = dict(zip(corpus_pdf["url"], corpus_pdf["html"]))
+    canon_html = {
+        normalize_url_for_deep_crawl(u, u): h for u, h in html_by_url.items()
+    }
+
+    def fetch(url):
+        h = canon_html.get(url) or html_by_url.get(url)
+        return (True, 200, h) if h is not None else (False, 404, "")
+
+    start = page_url(0, 0)
+    res, visited = bfs_oracle(start, fetch, max_depth=3)
+    oracle_levels = {}
+    for url, depth, _parent, success in res:
+        if success:
+            oracle_levels.setdefault(depth, set()).add(url)
+
+    root = str(tmp_path_factory.mktemp("oracle_job"))
+    job = make_job(spark, world, root, use_bloom=True, emit_images=False)
+    job.robots = None
+    seeds = spark.createDataFrame([(start,)], "url string")
+    job.seed(seeds)
+    job.run(max_waves=8)
+
+    got_levels = {}
+    for r in job.results().filter("success").collect():
+        got_levels.setdefault(r["depth"], set()).add(r["url"])
+
+    canon_start = normalize_url_for_deep_crawl(start, start)
+    # depth 0: job crawls the canonical seed; oracle crawls the raw start
+    assert got_levels[0] == {canon_start}
+    assert oracle_levels[0] == {start}
+    for d in range(1, 4):
+        assert got_levels.get(d, set()) == oracle_levels.get(d, set()), d
+
+    job_seen = {r["url"] for r in job.seen_urls().collect()}
+    assert job_seen == visited | {canon_start}
