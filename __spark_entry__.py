@@ -1479,12 +1479,12 @@ FROM fr
         "cache_join": _cache_join_sql(),
         "adaptive_term_stats": f"""
 SELECT term, CAST(COUNT(*) AS BIGINT) AS tf, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
-FROM (SELECT doc_id, unnest({_TOKS_SQL.format(src="lower(text)")}) AS term FROM documents)
+FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+'), x -> length(x) > 2)) AS term FROM documents)
 GROUP BY term
 """,
         "adaptive_consistency": f"""
 WITH sets AS (
-  SELECT doc_id, list_distinct({_TOKS_SQL.format(src="lower(text)")}) AS terms
+  SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+'), x -> length(x) > 2)) AS terms
   FROM documents WHERE doc_id < 15
 ), nonempty AS (SELECT * FROM sets WHERE len(terms) > 0)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1495,7 +1495,7 @@ FROM nonempty a, nonempty b WHERE a.doc_id < b.doc_id
         "new_terms_per_wave": f"""
 WITH toks AS (
   SELECT doc_id % 5 AS wave_id,
-         unnest(list_distinct({_TOKS_SQL.format(src="lower(text)")})) AS term
+         unnest(list_distinct(list_filter(regexp_split_to_array(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+'), x -> length(x) > 2))) AS term
   FROM documents
 ), first AS (SELECT term, MIN(wave_id) AS wave_id FROM toks GROUP BY term)
 SELECT CAST(wave_id AS BIGINT) AS wave_id, CAST(COUNT(*) AS BIGINT) AS new_terms

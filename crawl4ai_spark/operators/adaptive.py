@@ -18,7 +18,16 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokens_expr
+from pyspark.sql import Column
+
+
+def adaptive_tokens_expr(text: Column) -> Column:
+    """The adaptive crawler's tokenizer (adaptive_crawler.py `_tokenize`):
+    punctuation → spaces, whitespace split, tokens shorter than 3 chars
+    dropped.  (Java/RE2 ``\\w`` is ASCII where Python's is unicode — the
+    engines agree on ASCII corpora.)"""
+    cleaned = F.regexp_replace(text, r"[^\w\s]", " ")
+    return F.filter(F.split(cleaned, r"\s+"), lambda t: F.length(t) > 2)
 
 
 def term_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -26,7 +35,8 @@ def term_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     the reference's ``term_frequencies`` / ``document_frequencies`` dicts
     (adaptive_crawler.py:576-587) as one aggregation."""
     toks = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens_expr(F.lower(F.col(text_col)))).alias("term")
+        F.col(id_col).alias("doc_id"),
+        F.explode(adaptive_tokens_expr(F.lower(F.col(text_col)))).alias("term"),
     )
     return toks.groupBy("term").agg(
         F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
@@ -39,7 +49,7 @@ def coverage(docs: DataFrame, query: str, text_col: str = "text", id_col: str = 
     n_docs = docs.count()
     if n_docs == 0:
         return 0.0
-    terms = [t for t in query.lower().split() if t]
+    terms = _tokenize_py(query.lower())
     if not terms:
         return 0.0
     stats = term_stats(docs, text_col, id_col)
@@ -62,7 +72,7 @@ def consistency_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
     — (id_a, id_b, jaccard)."""
     sets = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(tokens_expr(F.lower(F.col(text_col)))).alias("terms"),
+        F.array_distinct(adaptive_tokens_expr(F.lower(F.col(text_col)))).alias("terms"),
     ).filter(F.size("terms") > 0)
     a = sets.select(F.col("doc_id").alias("id_a"), F.col("terms").alias("ta"))
     b = sets.select(F.col("doc_id").alias("id_b"), F.col("terms").alias("tb"))
@@ -109,7 +119,156 @@ def new_terms_per_wave(docs_with_wave: DataFrame, text_col: str = "text") -> Dat
     """(wave_id, new_terms): terms first seen in each wave — the
     ``new_terms_history`` list as an aggregation (min-wave per term)."""
     toks = docs_with_wave.select(
-        "wave_id", F.explode(F.array_distinct(tokens_expr(F.lower(F.col(text_col))))).alias("term")
+        "wave_id", F.explode(F.array_distinct(adaptive_tokens_expr(F.lower(F.col(text_col))))).alias("term")
     )
     first = toks.groupBy("term").agg(F.min("wave_id").alias("wave_id"))
     return first.groupBy("wave_id").agg(F.count("*").alias("new_terms"))
+
+
+def _tokenize_py(text: str) -> list[str]:
+    """Python twin of :func:`adaptive_tokens_expr` (reference `_tokenize`)."""
+    import re as _re
+
+    return [t for t in _re.sub(r"[^\w\s]", " ", text).split() if len(t) > 2]
+
+
+def rank_links(
+    links: DataFrame,
+    query: str,
+    kb_vocab: DataFrame | None,
+    relevance_weight: float = 0.5,
+    novelty_weight: float = 0.3,
+    authority_weight: float = 0.2,
+) -> DataFrame:
+    """Expected-information-gain link ranking (adaptive_crawler.py:415-498):
+
+    * relevance = |query ∩ link terms| / |query terms| (term overlap of the
+      link's text+title; the contextual-BM25 shortcut applies when a
+      ``contextual_score`` column is present and > 0);
+    * novelty = fraction of link terms absent from the knowledge-base
+      vocabulary (no KB → 1.0; no terms → 0.5);
+    * authority = 1.0 (the reference's placeholder, :427-428);
+    * score = 0.5·rel + 0.3·nov + 0.2·auth (AdaptiveConfig defaults).
+
+    ``links``: (href, text, title[, contextual_score]); ``kb_vocab``: one
+    ``term`` column.  Returns links + (relevance, novelty, score), sorted
+    desc.
+    """
+    q_terms = sorted(set(_tokenize_py(query.lower())))
+    link_text = F.lower(F.concat_ws(" ", F.coalesce(F.col("text"), F.lit("")),
+                                    F.coalesce(F.col("title"), F.lit(""))))
+    lterms = F.array_distinct(adaptive_tokens_expr(link_text))
+    with_terms = links.withColumn("_lt", lterms)
+
+    if q_terms:
+        q_arr = F.array(*[F.lit(t) for t in q_terms])
+        overlap = F.size(F.array_intersect(F.col("_lt"), q_arr)).cast("double")
+        relevance = F.when(F.size("_lt") == 0, 0.0).otherwise(overlap / len(q_terms))
+    else:
+        relevance = F.lit(0.0)
+    if "contextual_score" in links.columns:
+        relevance = F.when(
+            F.col("contextual_score").isNotNull() & (F.col("contextual_score") > 0),
+            F.col("contextual_score"),
+        ).otherwise(relevance)
+
+    if kb_vocab is None:
+        novelty = F.lit(1.0)
+        scored = with_terms.withColumn("relevance", relevance).withColumn("novelty", novelty)
+    else:
+        exploded = with_terms.select("href", F.explode_outer("_lt").alias("term"))
+        known = kb_vocab.select(F.col("term"), F.lit(True).alias("_known"))
+        frac = (
+            exploded.join(F.broadcast(known), "term", "left")
+            .groupBy("href")
+            .agg(
+                (
+                    F.sum(F.when(F.col("_known").isNull() & F.col("term").isNotNull(), 1).otherwise(0))
+                    / F.greatest(F.count(F.col("term")), F.lit(1))
+                ).alias("_new_frac"),
+                F.count(F.col("term")).alias("_n_terms"),
+            )
+        )
+        scored = (
+            with_terms.withColumn("relevance", relevance)
+            .join(frac, "href", "left")
+            .withColumn(
+                "novelty",
+                F.when(F.coalesce(F.col("_n_terms"), F.lit(0)) == 0, 0.5).otherwise(
+                    F.col("_new_frac")
+                ),
+            )
+            .drop("_new_frac", "_n_terms")
+        )
+    score = (
+        F.lit(relevance_weight) * F.col("relevance")
+        + F.lit(novelty_weight) * F.col("novelty")
+        + F.lit(authority_weight) * F.lit(1.0)
+    )
+    return scored.withColumn("score", score).drop("_lt").orderBy(
+        F.col("score").desc(), F.col("href").asc()
+    )
+
+
+def digest(
+    spark,
+    fetch_text_fn,
+    start_url: str,
+    query: str,
+    confidence_threshold: float = 0.7,
+    max_pages: int = 20,
+    top_k_links: int = 3,
+):
+    """The adaptive/progressive crawl loop (adaptive_crawler.py:1308-1453):
+    crawl → update term stats → compute confidence → rank pending links →
+    crawl top-K → repeat until confidence ≥ threshold or max_pages.
+
+    ``fetch_text_fn(urls: list[str]) -> DataFrame(url, text, links)`` where
+    ``links`` is array<struct<href,text,title>> — one Spark job per batch
+    (the vectorized analog of `_crawl_with_preview`).
+
+    Returns dict: kb (DataFrame url,text), metrics history, crawled order.
+    """
+    crawled: list[str] = []
+    kb_rows: list[tuple] = []
+    pending: dict[str, tuple] = {}
+    history: list[dict] = []
+    new_terms_history: list[int] = []
+    vocab: set[str] = set()
+
+    def crawl_batch(urls):
+        batch = fetch_text_fn(urls)
+        for r in batch.collect():
+            crawled.append(r["url"])
+            kb_rows.append((r["url"], r["text"]))
+            new = set(_tokenize_py((r["text"] or "").lower())) - vocab
+            vocab.update(new)
+            new_terms_history.append(len(new))
+            for ln in r["links"] or []:
+                if ln["href"] not in pending and ln["href"] not in set(crawled):
+                    pending[ln["href"]] = (ln["href"], ln["text"], ln["title"])
+
+    crawl_batch([start_url])
+    while len(crawled) < max_pages:
+        kb = spark.createDataFrame(kb_rows, "url string, text string")
+        m = confidence(kb, query, new_terms_history, id_col="url")
+        history.append(dict(m, pages=len(crawled)))
+        if m["confidence"] >= confidence_threshold:
+            break
+        cand = [v for k, v in pending.items() if k not in set(crawled)]
+        if not cand:
+            break
+        links_df = spark.createDataFrame(cand, "href string, text string, title string")
+        vocab_df = spark.createDataFrame([(t,) for t in sorted(vocab)], "term string")
+        ranked = rank_links(links_df, query, vocab_df)
+        batch = [r["href"] for r in ranked.limit(top_k_links).collect()]
+        if not batch:
+            break
+        for h in batch:
+            pending.pop(h, None)
+        crawl_batch(batch)
+
+    kb = spark.createDataFrame(kb_rows, "url string, text string")
+    m = confidence(kb, query, new_terms_history, id_col="url")
+    history.append(dict(m, pages=len(crawled)))
+    return {"kb": kb, "crawl_order": crawled, "metrics": history, "confidence": m}

@@ -311,7 +311,7 @@ def test_adaptive_metrics(spark):
 
 def test_new_terms_per_wave(spark):
     docs = spark.createDataFrame(
-        [(0, 0, "a b"), (1, 1, "b c"), (2, 2, "c d e")],
+        [(0, 0, "aaa bbb"), (1, 1, "bbb ccc"), (2, 2, "ccc ddd eee")],
         "doc_id long, wave_id int, text string",
     )
     got = {r["wave_id"]: r["new_terms"] for r in adaptive.new_terms_per_wave(docs).collect()}
@@ -463,3 +463,65 @@ def test_seo_score_matches_reference(spark):
     }
     for i, c in enumerate(cases):
         assert got[i] == pytest.approx(_seo_oracle(*c, keywords), abs=1e-12), (i, c)
+
+
+# ---------------------------------------------------------------------------
+# adaptive digest loop
+# ---------------------------------------------------------------------------
+
+
+def test_digest_progressive_crawl(spark):
+    """digest() crawls toward the query: relevant pages first (term-overlap
+    ranking), stops at max_pages or confidence."""
+    pages = {
+        "https://x.com/": (
+            "spark overview landing page content words here",
+            [("https://x.com/spark-joins", "spark joins guide", "spark joins"),
+             ("https://x.com/cooking", "cooking recipes", "food"),
+             ("https://x.com/spark-agg", "spark aggregation tips", "spark agg")],
+        ),
+        "https://x.com/spark-joins": ("deep spark joins content with windows", []),
+        "https://x.com/spark-agg": ("spark aggregation pipelines content", []),
+        "https://x.com/cooking": ("cooking recipes totally unrelated", []),
+    }
+
+    def fetch_text_fn(urls):
+        rows = [
+            (u, pages[u][0], [{"href": h, "text": t, "title": ti} for h, t, ti in pages[u][1]])
+            for u in urls if u in pages
+        ]
+        return spark.createDataFrame(
+            rows, "url string, text string, links array<struct<href string, text string, title string>>"
+        )
+
+    out = adaptive.digest(
+        spark, fetch_text_fn, "https://x.com/", "spark joins",
+        confidence_threshold=0.99, max_pages=3, top_k_links=1,
+    )
+    # start + 2 more (max_pages=3); relevance ranks the spark pages first
+    assert out["crawl_order"][0] == "https://x.com/"
+    assert out["crawl_order"][1] == "https://x.com/spark-joins"
+    assert len(out["crawl_order"]) == 3
+    assert "https://x.com/cooking" not in out["crawl_order"]
+    assert out["metrics"][-1]["pages"] == 3
+    assert 0.0 < out["confidence"]["confidence"] <= 1.0
+
+
+def test_rank_links_scores(spark):
+    links = spark.createDataFrame(
+        [("h1", "spark joins guide", "t"), ("h2", "cooking food", ""), ("h3", "", "")],
+        "href string, text string, title string",
+    )
+    vocab = spark.createDataFrame([("spark",), ("guide",)], "term string")
+    ranked = adaptive.rank_links(links, "spark joins", vocab).collect()
+    by = {r["href"]: r for r in ranked}
+    # h1: overlap 2/2 = 1.0; terms {spark,joins,guide}, new = {joins} → 1/3
+    assert by["h1"]["relevance"] == pytest.approx(1.0)
+    assert by["h1"]["novelty"] == pytest.approx(1 / 3)
+    assert by["h1"]["score"] == pytest.approx(0.5 * 1.0 + 0.3 / 3 + 0.2)
+    # h2: no overlap; both terms new → novelty 1.0
+    assert by["h2"]["relevance"] == 0.0
+    assert by["h2"]["novelty"] == pytest.approx(1.0)
+    # h3: no terms → novelty 0.5
+    assert by["h3"]["novelty"] == pytest.approx(0.5)
+    assert ranked[0]["href"] == "h1"

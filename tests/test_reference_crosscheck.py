@@ -415,3 +415,57 @@ def test_host_state_fold_matches_ratelimiter(spark):
     for host in seqs:
         assert got[host][0] == pytest.approx(expected[host][0], rel=1e-12), host
         assert got[host][1] == expected[host][1], host
+
+
+# ---------------------------------------------------------------------------
+# adaptive metrics vs the reference StatisticalStrategy
+# ---------------------------------------------------------------------------
+
+
+def test_adaptive_metrics_match_reference(spark):
+    import types
+
+    from crawl4ai_spark.operators import adaptive
+
+    strat_cls = load_defs(
+        "adaptive_crawler.py", ["StatisticalStrategy"],
+        extra={"CrawlStrategy": object, "Link": object, "CrawlState": object,
+               "AdaptiveConfig": object},
+    )["StatisticalStrategy"]
+    strat = strat_cls.__new__(strat_cls)  # skip __init__ deps
+    strat.idf_cache = {}
+
+    docs = [
+        ("u0", "spark joins and windows explained with spark examples"),
+        ("u1", "spark aggregation pipelines"),
+        ("u2", "pandas frames are different"),
+        ("u3", "totally unrelated cooking recipes"),
+    ]
+    query = "spark joins"
+
+    # build the reference CrawlState by replaying its update rule
+    tf, dfreq = {}, {}
+    kb = []
+    for u, text in docs:
+        terms = strat._tokenize(text.lower())
+        for t in terms:
+            tf[t] = tf.get(t, 0) + 1
+        for t in set(terms):
+            dfreq[t] = dfreq.get(t, 0) + 1
+        kb.append(types.SimpleNamespace(markdown=types.SimpleNamespace(raw_markdown=text)))
+    state = types.SimpleNamespace(
+        query=query, total_documents=len(docs), term_frequencies=tf,
+        document_frequencies=dfreq, knowledge_base=kb,
+        new_terms_history=[9, 4, 2], metrics={},
+    )
+
+    sdf = spark.createDataFrame(docs, "doc_id string, text string")
+    assert adaptive.coverage(sdf, query, id_col="doc_id") == pytest.approx(
+        strat._calculate_coverage(state), rel=1e-12
+    )
+    assert adaptive.consistency(sdf, id_col="doc_id") == pytest.approx(
+        strat._calculate_consistency(state), rel=1e-12
+    )
+    assert adaptive.saturation([9, 4, 2]) == pytest.approx(
+        strat._calculate_saturation(state), rel=1e-12
+    )
