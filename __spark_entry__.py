@@ -847,6 +847,40 @@ def q_crawl_job_e2e(spark, sf_dir):
     return res
 
 
+def q_adaptive_digest(spark, sf_dir):
+    """Progressive crawl over a deterministic two-topic site: the loop
+    must favor on-query pages and stop at max_pages."""
+    from crawl4ai_spark.operators.adaptive import digest
+
+    topics = {"spark": ["joins", "windows", "aggregation", "shuffle"],
+              "bread": ["flour", "yeast", "ovens", "dough"]}
+    pages = {"https://site.test/": ("landing page about many things", [])}
+    for topic, words in topics.items():
+        for w in words:
+            url = f"https://site.test/{topic}/{w}"
+            pages[url] = (f"{topic} {w} content {' '.join(words)}", [])
+            pages["https://site.test/"][1].append((url, f"{topic} {w} article", topic))
+
+    def fetch_text_fn(urls):
+        rows = [
+            (u, pages[u][0], [{"href": h, "text": t, "title": ti} for h, t, ti in pages[u][1]])
+            for u in urls if u in pages
+        ]
+        return spark.createDataFrame(
+            rows,
+            "url string, text string, links array<struct<href string, text string, title string>>",
+        )
+
+    out = digest(
+        spark, fetch_text_fn, "https://site.test/", "spark joins windows",
+        confidence_threshold=0.95, max_pages=5, top_k_links=2,
+    )
+    order = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(out["crawl_order"])], "seq int, url string"
+    )
+    return order.withColumn("seq", F.col("seq").cast("long"))
+
+
 def q_image_psnr_invariant(spark, sf_dir):
     """input_hint invariant: decoded-pixel PSNR (≥40dB; ∞ for lossless
     PNG) + caption equality of the emitted payload vs the stored truth."""
@@ -901,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_dfs": q_crawl_dfs,
         "crawl_job_e2e": q_crawl_job_e2e,
         "image_psnr_invariant": q_image_psnr_invariant,
+        "adaptive_digest": q_adaptive_digest,
     }
 
 
