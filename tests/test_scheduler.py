@@ -266,3 +266,44 @@ def test_bucketed_seen_anti_join_has_no_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS frontier_b")
         spark.sql("DROP TABLE IF EXISTS seen_b")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_hot_host_skew_stress(spark):
+    """One host owns 80% of a 100k frontier: the salted two-phase top-K
+    must neither lose rows nor put the hot host's queue in one partition's
+    window (completes fast; ranks correct)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.scheduler import schedule_wave
+
+    n = 100_000
+    host = F.when(F.col("id") % 5 < 4, F.lit("hot.example.com")).otherwise(
+        F.concat(F.lit("cold"), (F.col("id") % 997).cast("string"), F.lit(".example.com"))
+    )
+    fr = spark.range(n).select(
+        F.concat(F.lit("https://x/p"), F.col("id").cast("string")).alias("url"),
+        host.alias("host"),
+        (F.col("id") % 1000).cast("double").alias("score"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("priority_bucket"),
+    )
+    t0 = time.time()
+    out = schedule_wave(fr, None, wave_start=0.0, wave_budget=30.0, default_delay=1.0)
+    agg = out.groupBy("host").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("rank_in_host").isNotNull(), 1).otherwise(0)).alias("ranked"),
+        F.max("rank_in_host").alias("max_rank"),
+        F.sum(F.when(F.col("admitted"), 1).otherwise(0)).alias("admitted"),
+    )
+    rows = {r["host"]: r for r in agg.collect()}
+    dt = time.time() - t0
+    hot = rows["hot.example.com"]
+    k = 120  # budget 30 / (delay*0.25)
+    assert hot["n"] == 80_000          # no row lost
+    assert hot["ranked"] == k          # exactly K ranked
+    assert hot["max_rank"] == k
+    assert hot["admitted"] == 30       # offsets < budget
+    assert sum(r["n"] for r in rows.values()) == n
+    assert dt < 120, dt
