@@ -161,7 +161,7 @@ class CrawlJob:
         while waves_done < max_waves and pages_crawled < cfg.max_pages:
             snap = self.catalog.latest_snapshot()
             frontier = self.catalog.read("frontier", snap)
-            if frontier is None or frontier.rdd.isEmpty():
+            if frontier is None or frontier.limit(1).count() == 0:
                 break
             stats = self._wave(snap, frontier)
             self.stats.append(stats)
@@ -189,8 +189,14 @@ class CrawlJob:
         )
         n_parts = cfg.n_partitions or self.spark.sparkContext.defaultParallelism
 
-        # robots gate: denials become FAILED results without a fetch
-        gated = robots_gate(frontier, self.robots)
+        # robots gate: denials become FAILED results without a fetch.
+        # Checkpoint the gated frontier once — the denied/allowed branch
+        # split would otherwise run the robots UDF join twice.  No robots
+        # table ⇒ nothing to gate, skip the checkpoint entirely.
+        if self.robots is None:
+            gated = frontier.withColumn("robots_allowed", F.lit(True))
+        else:
+            gated = self._ckpt(robots_gate(frontier, self.robots), f"gated_{wave_id}")
         denied = gated.filter(~F.col("robots_allowed"))
         allowed = gated.filter(F.col("robots_allowed")).drop("robots_allowed")
 
@@ -207,15 +213,21 @@ class CrawlJob:
             .withColumn("wait_waves", F.col("wait_waves") + 1)
         )
 
-        n_sched = sched.count()
-        n_admit = admitted.count()
+        # one aggregation job for all scheduling counters (a count() per
+        # branch would launch a separate job each — wave overhead is what
+        # bounds end-to-end crawl throughput at small corpus sizes)
+        srow = sched.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("admitted").cast("long")).alias("n_admit"),
+        ).first()
+        n_sched, n_admit = int(srow["n"]), int(srow["n_admit"] or 0)
+        n_denied = 0 if self.robots is None else denied.count()  # scans the gated checkpoint
 
         # fetch
         fetched = self.fetch_fn(admitted)
         fetched = self._ckpt(fetched, f"fetched_{wave_id}")
         ok = fetched.filter("success")
         rate_limited = fetched.filter(F.col("status_code").isin(429, 503))
-        hard_fail = fetched.filter(~F.col("success") & ~F.col("status_code").isin(429, 503))
 
         # retries: requeue with retry_count+1 until max_retries (dispatcher
         # requeue semantics, async_dispatcher.py:289-317 / RateLimiter give-up)
@@ -226,10 +238,14 @@ class CrawlJob:
             .withColumn("status", F.lit("QUEUED"))
         )
 
-        n_ok = ok.count()
-        n_failed = denied.count() + hard_fail.count() + rate_limited.filter(
-            F.col("retry_count") >= cfg.max_retries
-        ).count()
+        is_rl = F.col("status_code").isin(429, 503)
+        frow = fetched.agg(
+            F.sum(F.col("success").cast("long")).alias("n_ok"),
+            F.sum((~F.col("success") & ~is_rl).cast("long")).alias("n_hard"),
+            F.sum((is_rl & (F.col("retry_count") >= cfg.max_retries)).cast("long")).alias("n_gaveup"),
+        ).first()
+        n_ok = int(frow["n_ok"] or 0)
+        n_failed = n_denied + int(frow["n_hard"] or 0) + int(frow["n_gaveup"] or 0)
 
         # results log (lineage-grade, not the payload)
         results_log = fetched.select(
@@ -314,6 +330,9 @@ class CrawlJob:
         if cfg.filter_expr is not None:
             disc = disc.filter(cfg.filter_expr(F.col("href")))
         disc = disc.dropDuplicates(["canon"])
+        # checkpoint BEFORE counting: the scrape+canonicalize UDF pass runs
+        # once; n_before and the anti-join both read the parquet
+        disc = self._ckpt(disc, f"disc_{wave_id}")
         n_before = disc.count()
         fresh = anti_join_seen(
             disc, seen, url_col="canon", blooms=blooms, n_partitions=cfg.bloom_partitions
