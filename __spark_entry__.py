@@ -847,6 +847,34 @@ def q_crawl_job_e2e(spark, sf_dir):
     return res
 
 
+def q_table_extraction(spark, sf_dir):
+    """HTML tables synthesized from nation rows → extract_tables must give
+    back exactly the cell values (oracle constructs them directly)."""
+    from crawl4ai_spark.operators.scrape import extract_tables
+
+    n = _t(spark, sf_dir, "nation")
+    k, nm, rk = F.col("n_nationkey"), F.col("n_name"), F.col("n_regionkey")
+    html = F.concat(
+        F.lit('<html><body><table summary="s"><thead><tr><th>key</th><th>name</th><th>region</th></tr></thead><tbody><tr><td>'),
+        k.cast("string"), F.lit("</td><td>"), nm, F.lit("</td><td>"), rk.cast("string"),
+        F.lit("</td></tr><tr><td>"),
+        (k * 2).cast("string"), F.lit("</td><td>"), F.lower(nm), F.lit("</td><td>"),
+        (rk + 1).cast("string"),
+        F.lit("</td></tr></tbody></table></body></html>"),
+    )
+    pages = n.select(k.cast("string").alias("url"), html.alias("html"))
+    tables = extract_tables(pages)
+    rows = tables.select(
+        "src_url", F.posexplode("rows").alias("row_idx", "row")
+    ).select("src_url", "row_idx", F.posexplode("row").alias("col_idx", "value"))
+    return rows.select(
+        "src_url",
+        F.col("row_idx").cast("long").alias("row_idx"),
+        F.col("col_idx").cast("long").alias("col_idx"),
+        "value",
+    )
+
+
 def q_adaptive_digest(spark, sf_dir):
     """Progressive crawl over a deterministic two-topic site: the loop
     must favor on-query pages and stop at max_pages."""
@@ -936,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_job_e2e": q_crawl_job_e2e,
         "image_psnr_invariant": q_image_psnr_invariant,
         "adaptive_digest": q_adaptive_digest,
+        "table_extraction": q_table_extraction,
     }
 
 
@@ -1492,6 +1521,20 @@ SELECT url, priority_bucket, CAST(rn AS BIGINT) AS rank FROM ranked WHERE rn <= 
         "seo_scores": _seo_scores_sql(),
         "head_bm25": _head_bm25_sql(),
         "srcset_parse": _srcset_sql(),
+        "table_extraction": """
+WITH vals AS (
+  SELECT CAST(n_nationkey AS VARCHAR) AS src_url,
+    [[CAST(n_nationkey AS VARCHAR), n_name, CAST(n_regionkey AS VARCHAR)],
+     [CAST(n_nationkey * 2 AS VARCHAR), lower(n_name), CAST(n_regionkey + 1 AS VARCHAR)]] AS rows
+  FROM nation
+), r AS (
+  SELECT src_url, u.s.i - 1 AS row_idx, u.s.r AS row
+  FROM vals, unnest([{'i': i, 'r': rows[i]} FOR i IN range(1, len(rows) + 1)]) AS u(s)
+)
+SELECT src_url, CAST(row_idx AS BIGINT) AS row_idx,
+       CAST(u2.s2.j - 1 AS BIGINT) AS col_idx, u2.s2.v AS value
+FROM r, unnest([{'j': j, 'v': row[j]} FOR j IN range(1, len(row) + 1)]) AS u2(s2)
+""",
         "robots_gate": """
 WITH fr AS (
   SELECT event_id,

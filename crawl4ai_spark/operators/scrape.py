@@ -294,3 +294,229 @@ def extract_metadata(pages: DataFrame, url_col: str = "url", html_col: str = "ht
             yield pd.DataFrame(rows, columns=[f.name for f in META_SCHEMA.fields])
 
     return pages.select(url_col, html_col).mapInPandas(gen, META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# table extraction (table_extraction.py:66-298 semantics)
+# ---------------------------------------------------------------------------
+
+TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("src_url", T.StringType()),
+        T.StructField("table_idx", T.IntegerType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("summary", T.StringType()),
+        T.StructField("headers", T.ArrayType(T.StringType())),
+        T.StructField("rows", T.ArrayType(T.ArrayType(T.StringType()))),
+        T.StructField("row_count", T.IntegerType()),
+        T.StructField("column_count", T.IntegerType()),
+    ]
+)
+
+
+class _Table:
+    __slots__ = ("attrs", "rows", "caption", "thead_rows", "th_count", "tag_count",
+                 "nested", "has_thead", "has_tbody", "first_row_has_th")
+
+    def __init__(self, attrs):
+        self.attrs = dict(attrs)
+        self.rows = []        # list of (in_thead, [(tag, colspan, text_parts)])
+        self.caption = []
+        self.thead_rows = 0
+        self.th_count = 0
+        self.tag_count = 0
+        self.nested = 0
+        self.has_thead = False
+        self.has_tbody = False
+        self.first_row_has_th = False
+
+
+class _TableParser(HTMLParser):
+    """Collect <table> structures with enough fidelity for the reference's
+    data-table scoring + extraction (DefaultTableExtraction,
+    table_extraction.py:66-298).  Non-nested tables are handled exactly;
+    nested tables are tracked only as the −3 score signal."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.tables: list[_Table] = []
+        self._stack: list[_Table] = []
+        self._in_thead = 0
+        self._in_caption = False
+        self._cell = None  # (tag, colspan, parts)
+        self._row = None
+
+    def handle_starttag(self, tag, attrs):
+        for t in self._stack:
+            t.tag_count += 1
+        if tag == "table":
+            if self._stack:
+                self._stack[-1].nested += 1
+            t = _Table(attrs)
+            self.tables.append(t)
+            self._stack.append(t)
+            return
+        if not self._stack:
+            return
+        t = self._stack[-1]
+        a = dict(attrs)
+        if tag == "thead":
+            t.has_thead = True
+            self._in_thead += 1
+        elif tag == "tbody":
+            t.has_tbody = True
+        elif tag == "caption":
+            self._in_caption = True
+        elif tag == "tr":
+            self._row = (self._in_thead > 0, [])
+            t.rows.append(self._row)
+            if self._in_thead:
+                t.thead_rows += 1
+        elif tag in ("td", "th"):
+            if self._row is None:
+                self._row = (self._in_thead > 0, [])
+                t.rows.append(self._row)
+            try:
+                colspan = int(a.get("colspan", 1))
+            except (TypeError, ValueError):
+                colspan = 1
+            self._cell = (tag, colspan, [])
+            self._row[1].append(self._cell)
+            if tag == "th":
+                t.th_count += 1
+                if len(t.rows) == 1:
+                    t.first_row_has_th = True
+
+    def handle_endtag(self, tag):
+        if tag == "table" and self._stack:
+            self._stack.pop()
+            self._row = None
+            self._cell = None
+        elif tag == "thead":
+            self._in_thead = max(0, self._in_thead - 1)
+        elif tag == "caption":
+            self._in_caption = False
+        elif tag in ("td", "th"):
+            self._cell = None
+        elif tag == "tr":
+            self._row = None
+
+    def handle_data(self, data):
+        if self._in_caption and self._stack:
+            self._stack[-1].caption.append(data)
+        elif self._cell is not None:
+            self._cell[2].append(data)
+
+
+def _score_table(t: _Table) -> float:
+    """is_data_table scoring (table_extraction.py:131-210)."""
+    score = 0.0
+    if t.has_thead:
+        score += 2
+    if t.has_tbody:
+        score += 1
+    if t.th_count > 0:
+        score += 2
+        if t.has_thead or t.first_row_has_th:
+            score += 1
+    if t.nested > 0:
+        score -= 3
+    if (t.attrs.get("role") or "").lower() in ("presentation", "none"):
+        score -= 3
+    if not t.rows:
+        return float("-inf")
+    col_counts = [len(cells) for _, cells in t.rows]
+    avg = sum(col_counts) / len(col_counts)
+    variance = sum((c - avg) ** 2 for c in col_counts) / len(col_counts)
+    if variance < 1:
+        score += 2
+    if t.caption:
+        score += 2
+    if t.attrs.get("summary"):
+        score += 1
+    total_text = sum(
+        len("".join(parts).strip()) for _, cells in t.rows for _tg, _cs, parts in cells
+    )
+    ratio = total_text / (t.tag_count + 1e-5)
+    if ratio > 20:
+        score += 3
+    elif ratio > 10:
+        score += 2
+    score += 0.5 * sum(1 for a in t.attrs if a and a.startswith("data-"))
+    if col_counts and len(t.rows) >= 2 and avg >= 2:
+        score += 2
+    return score
+
+
+def _extract_table(t: _Table) -> dict:
+    """extract_table_data (table_extraction.py:212-295): colspan-expanded
+    headers (thead first row th, else first row th|td), td-only body rows,
+    alignment to max columns, default 'Column i' headers."""
+    caption = "".join(t.caption).strip()
+    summary = (t.attrs.get("summary") or "").strip()
+    headers: list[str] = []
+    if t.has_thead and t.thead_rows:
+        first_thead = next(cells for in_th, cells in t.rows if in_th)
+        for tag, colspan, parts in first_thead:
+            if tag == "th":
+                headers.extend(["".join(parts).strip()] * colspan)
+    elif t.rows:
+        for tag, colspan, parts in t.rows[0][1]:
+            headers.extend(["".join(parts).strip()] * colspan)
+    rows = []
+    for in_thead, cells in t.rows:
+        if in_thead:
+            continue
+        row_data: list[str] = []
+        for tag, colspan, parts in cells:
+            if tag == "td":
+                row_data.extend(["".join(parts).strip()] * colspan)
+        if row_data:
+            rows.append(row_data)
+    max_cols = len(headers) if headers else (max((len(r) for r in rows), default=0))
+    aligned = [r[:max_cols] + [""] * (max_cols - len(r)) for r in rows]
+    if not headers and max_cols > 0:
+        headers = [f"Column {i + 1}" for i in range(max_cols)]
+    return {
+        "caption": caption, "summary": summary,
+        "headers": headers, "rows": aligned,
+        "row_count": len(aligned), "column_count": max_cols,
+    }
+
+
+def extract_tables(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    table_score_threshold: float = 7,
+    min_rows: int = 0,
+    min_cols: int = 0,
+) -> DataFrame:
+    """Data tables per page (layout tables score-filtered out)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                p = _TableParser()
+                try:
+                    p.feed(html or "")
+                except Exception:
+                    continue
+                idx = 0
+                for t in p.tables:
+                    if _score_table(t) < table_score_threshold:
+                        continue
+                    d = _extract_table(t)
+                    if min_rows > 0 and d["row_count"] < min_rows:
+                        continue
+                    if min_cols > 0 and d["column_count"] < min_cols:
+                        continue
+                    out.append(
+                        (url, idx, d["caption"], d["summary"], d["headers"], d["rows"],
+                         d["row_count"], d["column_count"])
+                    )
+                    idx += 1
+            yield pd.DataFrame(out, columns=[f.name for f in TABLE_SCHEMA.fields])
+
+    return pages.select(url_col, html_col).mapInPandas(gen, TABLE_SCHEMA)

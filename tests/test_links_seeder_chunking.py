@@ -525,3 +525,57 @@ def test_rank_links_scores(spark):
     # h3: no terms → novelty 0.5
     assert by["h3"]["novelty"] == pytest.approx(0.5)
     assert ranked[0]["href"] == "h1"
+
+
+# ---------------------------------------------------------------------------
+# table extraction
+# ---------------------------------------------------------------------------
+
+
+def test_extract_tables(spark):
+    from crawl4ai_spark.operators.scrape import extract_tables
+
+    data_table = (
+        '<table summary="stats" data-kind="x"><caption>Quarterly</caption>'
+        "<thead><tr><th>region</th><th colspan=\"2\">sales</th></tr></thead>"
+        "<tbody><tr><td>emea</td><td>10</td><td>20</td></tr>"
+        "<tr><td>apac</td><td>30</td><td>40</td></tr></tbody></table>"
+    )
+    layout_table = '<table role="presentation"><tr><td>menu</td><td>content</td></tr></table>'
+    headerless = (
+        "<table><tbody>"
+        + "".join(
+            f"<tr><td>a{i} much longer data value</td><td>b{i} much longer data value</td></tr>"
+            for i in range(3)
+        )
+        + "</tbody></table>"
+    )
+    html = f"<html><body>{data_table}{layout_table}{headerless}</body></html>"
+    pages = spark.createDataFrame([("https://x.com/p", html)], "url string, html string")
+    out = extract_tables(pages, table_score_threshold=7).collect()
+    # layout table rejected (role=presentation -3, no th/thead/caption)
+    assert len(out) == 2
+    t0 = out[0]
+    assert t0["caption"] == "Quarterly"
+    assert t0["summary"] == "stats"
+    assert t0["headers"] == ["region", "sales", "sales"]  # colspan expanded
+    assert t0["rows"] == [["emea", "10", "20"], ["apac", "30", "40"]]
+    assert (t0["row_count"], t0["column_count"]) == (2, 3)
+    t1 = out[1]
+    # no thead: first-row cells (td) become headers (table_extraction.py:247-252),
+    # and they stay in the body rows too (xpath excludes thead rows only)
+    assert t1["headers"] == ["a0 much longer data value", "b0 much longer data value"]
+    assert t1["row_count"] == 3
+
+
+def test_extract_tables_min_filters(spark):
+    from crawl4ai_spark.operators.scrape import extract_tables
+
+    small = (
+        '<table><caption>c</caption><thead><tr><th>h</th></tr></thead>'
+        "<tbody><tr><td>only one long data value here</td></tr></tbody></table>"
+    )
+    pages = spark.createDataFrame([("u", f"<html>{small}</html>")], "url string, html string")
+    assert extract_tables(pages, table_score_threshold=5).count() == 1
+    assert extract_tables(pages, table_score_threshold=5, min_cols=2).count() == 0
+    assert extract_tables(pages, table_score_threshold=5, min_rows=2).count() == 0
