@@ -487,7 +487,9 @@ def q_image_near_dup(spark, sf_dir):
         "image_id", F.concat(F.lit("copy-"), F.col("image_id"))
     )
     aug = images.unionByName(dups)
-    return near_duplicate_images(aug, max_hamming=8)
+    return near_duplicate_images(aug, max_hamming=8).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def q_crawl_bfs(spark, sf_dir):
@@ -498,7 +500,14 @@ def q_crawl_bfs(spark, sf_dir):
     pages = spark.createDataFrame(corpus["pages"])
     engine = CrawlEngine(spark, corpus_fetcher(pages), CrawlConfig(max_depth=2))
     run = engine.crawl_bfs(page_url(0, 0))
-    return run.results.select("url", "depth", "parent_url", "wave_id", "result_seq", "success")
+    return run.results.select(
+        "url",
+        F.col("depth").cast("long").alias("depth"),
+        "parent_url",
+        F.col("wave_id").cast("long").alias("wave_id"),
+        "result_seq",
+        "success",
+    )
 
 
 def _link_rows(part: DataFrame) -> DataFrame:
@@ -798,7 +807,14 @@ def q_crawl_best_first(spark, sf_dir):
     pages = spark.createDataFrame(corpus["pages"])
     cfg = CrawlConfig(max_depth=2, max_pages=15, score_expr=scorers.path_depth(optimal_depth=2))
     run = CrawlEngine(spark, corpus_fetcher(pages), cfg).crawl_best_first(page_url(0, 0))
-    return run.results.select("url", "depth", "parent_url", "wave_id", "result_seq", "success")
+    return run.results.select(
+        "url",
+        F.col("depth").cast("long").alias("depth"),
+        "parent_url",
+        F.col("wave_id").cast("long").alias("wave_id"),
+        "result_seq",
+        "success",
+    )
 
 
 def q_crawl_dfs(spark, sf_dir):
@@ -810,7 +826,13 @@ def q_crawl_dfs(spark, sf_dir):
     run = CrawlEngine(spark, corpus_fetcher(pages), CrawlConfig(max_depth=2)).crawl_dfs(
         page_url(0, 0)
     )
-    return run.results.select("url", "depth", "parent_url", "result_seq", "success")
+    return run.results.select(
+        "url",
+        F.col("depth").cast("long").alias("depth"),
+        "parent_url",
+        "result_seq",
+        "success",
+    )
 
 
 def q_crawl_job_e2e(spark, sf_dir):
@@ -843,7 +865,14 @@ def q_crawl_job_e2e(spark, sf_dir):
     )
     job.seed(spark.createDataFrame(corpus["seeds"]))
     job.run(max_waves=6)
-    res = job.results().select("url", "host", "depth", "status_code", "success", "wave_id")
+    res = job.results().select(
+        "url",
+        "host",
+        F.col("depth").cast("long").alias("depth"),
+        F.col("status_code").cast("long").alias("status_code"),
+        "success",
+        F.col("wave_id").cast("long").alias("wave_id"),
+    )
     return res
 
 
@@ -965,6 +994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_psnr_invariant": q_image_psnr_invariant,
         "adaptive_digest": q_adaptive_digest,
         "table_extraction": q_table_extraction,
+        "structured_regex": q_structured_regex,
+        "json_css_items": q_json_css_items,
     }
 
 
@@ -1141,7 +1172,7 @@ WITH {_HEAD_FIELDS_SQL},
 feat AS (
   SELECT doc_id, url, title, descr, canonical, robots, head_html,
     lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)) AS path,
-    regexp_extract(url, '\\?([^#]*)', 1) AS query
+    regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query
   FROM hf
 ), comp AS (
   SELECT doc_id,
@@ -1399,6 +1430,270 @@ FROM st
 """
 
 
+def _struct_text(cust: DataFrame) -> DataFrame:
+    """Synthesized free-text per customer row carrying every pattern
+    family the structured_regex query extracts."""
+    k = F.col("c_custkey")
+    text = F.concat(
+        F.lit("Contact user"), k.cast("string"), F.lit("@example.com or visit https://shop"),
+        (k % 7).cast("string"), F.lit(".example.com/item"), k.cast("string"),
+        F.lit(" on 2024-0"), (k % 9 + 1).cast("string"), F.lit("-1"), (k % 9).cast("string"),
+        F.when(k % 3 == 0, F.concat(F.lit(" price $"), (k % 90 + 10).cast("string"), F.lit(".50"))).otherwise(F.lit("")),
+        F.when(k % 4 == 0, F.concat(F.lit(" up "), (k % 50).cast("string"), F.lit(".5%"))).otherwise(F.lit("")),
+    )
+    return cust.select("c_custkey", text.alias("text"))
+
+
+_STRUCT_TEXT_SQL = """
+st AS (
+  SELECT c_custkey,
+    'Contact user' || CAST(c_custkey AS VARCHAR) || '@example.com or visit https://shop'
+    || CAST(c_custkey % 7 AS VARCHAR) || '.example.com/item' || CAST(c_custkey AS VARCHAR)
+    || ' on 2024-0' || CAST(c_custkey % 9 + 1 AS VARCHAR) || '-1' || CAST(c_custkey % 9 AS VARCHAR)
+    || CASE WHEN c_custkey % 3 = 0 THEN ' price $' || CAST(c_custkey % 90 + 10 AS VARCHAR) || '.50' ELSE '' END
+    || CASE WHEN c_custkey % 4 = 0 THEN ' up ' || CAST(c_custkey % 50 AS VARCHAR) || '.5%' ELSE '' END AS text
+  FROM customer
+)"""
+
+_STRUCT_LABELS = ["email", "url", "date_iso", "currency", "percentage"]
+
+
+def q_structured_regex(spark, sf_dir):
+    """RegexExtractionStrategy catalog (extraction_strategy.py:2022-2052)
+    on the JVM path — regexp_extract_all, zero Python."""
+    from crawl4ai_spark.operators.extraction import regex_extract
+
+    st = _struct_text(_t(spark, sf_dir, "customer"))
+    out = regex_extract(st, _STRUCT_LABELS, text_col="text", key_cols=("c_custkey",))
+    return out.select(
+        "c_custkey", "label", F.col("match_idx").cast("long").alias("match_idx"), "value"
+    )
+
+
+def _structured_regex_sql() -> str:
+    from crawl4ai_spark.operators.extraction import DEFAULT_PATTERNS
+
+    unions = []
+    for lbl in sorted(_STRUCT_LABELS):
+        rx = "(?i)" + DEFAULT_PATTERNS[lbl].replace("'", "''")
+        unions.append(f"""
+  SELECT c_custkey, '{lbl}' AS label,
+         generate_subscripts(regexp_extract_all(text, '{rx}'), 1) - 1 AS match_idx,
+         unnest(regexp_extract_all(text, '{rx}')) AS value
+  FROM st""")
+    return f"WITH {_STRUCT_TEXT_SQL}\nSELECT c_custkey, label, CAST(match_idx AS BIGINT) AS match_idx, value FROM ({' UNION ALL '.join(unions)})"
+
+
+def _card_html() -> Column:
+    k = F.col("p_partkey")
+    return F.concat(
+        F.lit('<html><body><div class="product" data-sku="sku'), k.cast("string"),
+        F.lit('"><h2 class="name">'), F.col("p_name"),
+        F.lit('</h2><span class="price">$'), (k % 90 + 9).cast("string"),
+        F.lit('.99</span><a href="/p/'), k.cast("string"),
+        F.lit('">view</a></div>'),
+        F.when(
+            k % 2 == 0,
+            F.concat(
+                F.lit('<div class="product" data-sku="alt'), k.cast("string"),
+                F.lit('"><h2 class="name">alt '), F.col("p_type"),
+                F.lit('</h2><span class="price">$1.00</span><a href="/alt/'),
+                k.cast("string"), F.lit('">view</a></div>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+
+
+_JSON_CSS_SCHEMA = {
+    "name": "cards",
+    "baseSelector": "div.product",
+    "baseFields": [{"name": "sku", "type": "attribute", "attribute": "data-sku"}],
+    "fields": [
+        {"name": "title", "type": "text", "selector": "h2.name"},
+        {"name": "price", "type": "regex", "selector": "span.price", "pattern": r"\$([\d.]+)"},
+        {"name": "link", "type": "attribute", "selector": "a", "attribute": "href"},
+    ],
+}
+
+
+def q_json_css_items(spark, sf_dir):
+    """JsonCssExtractionStrategy (extraction_strategy.py:1436) over
+    synthesized product-card pages; items as canonical JSON rows."""
+    from crawl4ai_spark.operators.extraction import json_css_extract
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    pages = part.select(F.col("p_partkey").cast("string").alias("url"), _card_html().alias("html"))
+    out = json_css_extract(pages, _JSON_CSS_SCHEMA)
+    return out.select(
+        "src_url", F.col("item_idx").cast("long").alias("item_idx"), "item_json"
+    )
+
+
+def _json_css_sql() -> str:
+    # json.dumps(item, sort_keys=True): {"link": .., "price": .., "sku": .., "title": ..}
+    item0 = (
+        """'{"link": "/p/' || CAST(p_partkey AS VARCHAR) || '", "price": "' """
+        """|| CAST(p_partkey % 90 + 9 AS VARCHAR) || '.99", "sku": "sku' || CAST(p_partkey AS VARCHAR) """
+        """|| '", "title": "' || p_name || '"}'"""
+    )
+    item1 = (
+        """'{"link": "/alt/' || CAST(p_partkey AS VARCHAR) || '", "price": "1.00", "sku": "alt' """
+        """|| CAST(p_partkey AS VARCHAR) || '", "title": "alt ' || p_type || '"}'"""
+    )
+    return f"""
+WITH base AS (SELECT p_partkey, p_name, p_type FROM part WHERE p_partkey < 500)
+SELECT CAST(p_partkey AS VARCHAR) AS src_url, CAST(0 AS BIGINT) AS item_idx, {item0} AS item_json FROM base
+UNION ALL
+SELECT CAST(p_partkey AS VARCHAR) AS src_url, CAST(1 AS BIGINT) AS item_idx, {item1} AS item_json
+FROM base WHERE p_partkey % 2 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixtures for the iterative / binary queries: the pure-Python
+# reference-loop oracles (crawl4ai_spark.oracles — transcriptions of
+# bfs_strategy.py / dfs_strategy.py / bff_strategy.py / the CrawlJob wave
+# composition) run on the same seeded corpus the Spark queries use, and
+# their expected rows are materialized as DuckDB VALUES.  No Spark code is
+# involved on the oracle side; the fixtures are sf-independent because the
+# crawl corpus is a pure function of its seed.
+# ---------------------------------------------------------------------------
+
+_FIXTURE_CACHE: dict[str, str] = {}
+
+
+def _py_path_depth(url: str) -> float:
+    """Pure-python twin of scorers.path_depth(optimal_depth=2)."""
+    from urllib.parse import urlparse
+
+    depth = len([s for s in urlparse(url).path.split("/") if s])
+    dist = abs(depth - 2)
+    return [1.0, 0.5, 0.3333333333333333, 0.25][dist] if dist < 4 else 1.0 / (1 + dist)
+
+
+def _crawl_bfs_fixture_sql() -> str:
+    from crawl4ai_spark.oracles import bfs_rows, corpus_fetch_fn, rows_values_sql
+    from crawl4ai_spark.sources.corpus import generate_corpus, page_url
+
+    corpus = generate_corpus(seed=42, n_hosts=3, pages_per_host=14, with_images=False)
+    rows, _ = bfs_rows(page_url(0, 0), corpus_fetch_fn(corpus), max_depth=2)
+    return rows_values_sql(
+        rows,
+        [("url", "VARCHAR"), ("depth", "BIGINT"), ("parent_url", "VARCHAR"),
+         ("wave_id", "BIGINT"), ("result_seq", "BIGINT"), ("success", "BOOLEAN")],
+    )
+
+
+def _crawl_dfs_fixture_sql() -> str:
+    from crawl4ai_spark.oracles import corpus_fetch_fn, dfs_rows, rows_values_sql
+    from crawl4ai_spark.sources.corpus import generate_corpus, page_url
+
+    corpus = generate_corpus(seed=42, n_hosts=2, pages_per_host=12, with_images=False)
+    rows, _ = dfs_rows(page_url(0, 0), corpus_fetch_fn(corpus), max_depth=2)
+    return rows_values_sql(
+        rows,
+        [("url", "VARCHAR"), ("depth", "BIGINT"), ("parent_url", "VARCHAR"),
+         ("result_seq", "BIGINT"), ("success", "BOOLEAN")],
+    )
+
+
+def _crawl_bff_fixture_sql() -> str:
+    from crawl4ai_spark.oracles import bff_rows, corpus_fetch_fn, rows_values_sql
+    from crawl4ai_spark.sources.corpus import generate_corpus, page_url
+
+    corpus = generate_corpus(seed=42, n_hosts=2, pages_per_host=12, with_images=False)
+    rows, _ = bff_rows(
+        page_url(0, 0), corpus_fetch_fn(corpus), max_depth=2, max_pages=15,
+        score_fn=_py_path_depth,
+    )
+    return rows_values_sql(
+        rows,
+        [("url", "VARCHAR"), ("depth", "BIGINT"), ("parent_url", "VARCHAR"),
+         ("wave_id", "BIGINT"), ("result_seq", "BIGINT"), ("success", "BOOLEAN")],
+    )
+
+
+def _crawl_job_fixture_sql() -> str:
+    from crawl4ai_spark.oracles import corpus_fetch_fn, job_rows, rows_values_sql
+    from crawl4ai_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(seed=42, n_hosts=3, pages_per_host=8, images_per_page=1)
+    seeds = list(zip(corpus["seeds"]["url"], corpus["seeds"]["priority"]))
+    robots = dict(zip(corpus["robots"]["host"], corpus["robots"]["rules"]))
+    rows = job_rows(
+        seeds, corpus_fetch_fn(corpus, canonical=True), robots=robots,
+        max_depth=2, max_waves=6, wave_budget=100.0, default_delay=1.0,
+    )
+    return rows_values_sql(
+        rows,
+        [("url", "VARCHAR"), ("host", "VARCHAR"), ("depth", "BIGINT"),
+         ("status_code", "BIGINT"), ("success", "BOOLEAN"), ("wave_id", "BIGINT")],
+    )
+
+
+def _gen_image_phashes(n: int = 200) -> list[tuple[str, int]]:
+    """pHash of each _gen_images payload — pure function of p_partkey."""
+    import numpy as np
+
+    from crawl4ai_spark.png import phash64
+
+    out = []
+    for k in range(n):
+        rng = np.random.default_rng(k)
+        rgb = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+        out.append((str(k), phash64(rgb)))
+    return out
+
+
+def _image_pipeline_fixture_sql() -> str:
+    """Expected decode/validate outcome per synthetic image: the PNG codec
+    is lossless so every check passes and the recomputed pHash equals the
+    stored one.  Joined against part so the row set tracks whatever keys
+    exist at the driver's sf."""
+    vals = ",\n".join(f"('{i}', {ph})" for i, ph in _gen_image_phashes())
+    return f"""
+WITH fx(image_id, phash) AS (VALUES
+{vals}
+)
+SELECT f.image_id, TRUE AS ok, TRUE AS dims_match, TRUE AS phash_matches,
+       CAST(f.phash AS BIGINT) AS phash_recomputed
+FROM fx f JOIN part p ON CAST(p.p_partkey AS VARCHAR) = f.image_id
+WHERE p.p_partkey < 200
+"""
+
+
+def _image_near_dup_fixture_sql() -> str:
+    """Expected pHash-LSH near-dup pairs over the 200 images + 20 copies:
+    same banding (4×16-bit) + Hamming ≤ 8 verify as the Spark operator,
+    computed in pure Python over the deterministic payloads."""
+    from crawl4ai_spark.oracles import rows_values_sql
+
+    base = _gen_image_phashes()
+    items = base + [(f"copy-{i}", ph) for i, ph in base if int(i) % 10 == 0]
+    mask = (1 << 64) - 1
+
+    def bands(ph: int) -> set[tuple[int, int]]:
+        u = ph & mask
+        return {(b, (u >> (16 * b)) & 0xFFFF) for b in range(4)}
+
+    pairs = []
+    for ai in range(len(items)):
+        for bi in range(len(items)):
+            id_a, ph_a = items[ai]
+            id_b, ph_b = items[bi]
+            if not id_a < id_b:
+                continue
+            if not (bands(ph_a) & bands(ph_b)):
+                continue
+            ham = bin((ph_a ^ ph_b) & mask).count("1")
+            if ham <= 8:
+                pairs.append((id_a, id_b, ham))
+    return rows_values_sql(
+        pairs, [("id_a", "VARCHAR"), ("id_b", "VARCHAR"), ("hamming", "BIGINT")]
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     toks = _TOKS_SQL.format(src="text")
     toks_l = _TOKS_SQL.format(src="lower(text)")
@@ -1579,10 +1874,30 @@ WITH toks AS (
 SELECT CAST(wave_id AS BIGINT) AS wave_id, CAST(COUNT(*) AS BIGINT) AS new_terms
 FROM first GROUP BY wave_id
 """,
+        # the iterative / binary queries get deterministic VALUES fixtures
+        # computed by the pure-Python reference-loop oracles (cached — the
+        # corpus replay costs ~100 ms once)
+        "structured_regex": _structured_regex_sql(),
+        "json_css_items": _json_css_sql(),
+        "crawl_bfs": _cached_fixture("crawl_bfs", _crawl_bfs_fixture_sql),
+        "crawl_dfs": _cached_fixture("crawl_dfs", _crawl_dfs_fixture_sql),
+        "crawl_best_first": _cached_fixture("crawl_best_first", _crawl_bff_fixture_sql),
+        "crawl_job_e2e": _cached_fixture("crawl_job_e2e", _crawl_job_fixture_sql),
+        "image_pipeline": _cached_fixture("image_pipeline", _image_pipeline_fixture_sql),
+        "image_near_dup": _cached_fixture("image_near_dup", _image_near_dup_fixture_sql),
+        "image_psnr_invariant": """
+SELECT CAST(p_partkey AS VARCHAR) AS image_id, TRUE AS psnr_ge_40, TRUE AS caption_equal
+FROM part WHERE p_partkey < 200
+""",
         # simhash_pairs: xxhash64-based — not portable to DuckDB (rows-only)
-        # image_pipeline / image_near_dup: binary PNG codec — rows-only
-        # crawl_bfs: iterative traversal — rows-only
+        # adaptive_digest: iterative confidence loop — rows-only
     }
+
+
+def _cached_fixture(name: str, builder) -> str:
+    if name not in _FIXTURE_CACHE:
+        _FIXTURE_CACHE[name] = builder()
+    return _FIXTURE_CACHE[name]
 
 
 # ---------------------------------------------------------------------------

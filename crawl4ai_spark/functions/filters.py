@@ -178,7 +178,9 @@ def url_quality_score_expr(url: Column) -> Column:
     multiplicative penalties on the lowercased urlparse *path* — len>80
     ×0.7, a 4-digit run ×0.8, query present ×0.6, underscore ×0.9."""
     path = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1))
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # anchored before any fragment: a '?' appearing only after '#' is part
+    # of the fragment, not a query (urlparse semantics)
+    query = F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)
     score = F.lit(1.0)
     score = score * F.when(F.length(path) > 80, F.lit(0.7)).otherwise(F.lit(1.0))
     score = score * F.when(path.rlike(r"\d{4}"), F.lit(0.8)).otherwise(F.lit(1.0))

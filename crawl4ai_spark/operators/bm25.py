@@ -43,7 +43,10 @@ def bm25_scores(
     [0,1] (all-equal scores → 0.5, async_url_seeder.py:1717-1721).
     """
     terms = sorted({t.lower() for t in query_terms})
-    base = docs.select(F.col(id_col).alias("doc_id"), tokens_expr(F.lower(F.col(text_col))).alias("toks"))
+    # null text ⇒ empty doc (dl=0), as the reference treats missing head
+    # text — without the coalesce, null toks poison dl and avgdl
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    base = docs.select(F.col(id_col).alias("doc_id"), tokens_expr(F.lower(text)).alias("toks"))
     dl = base.select("doc_id", F.size("toks").cast("double").alias("dl"))
 
     toks = base.select("doc_id", F.explode("toks").alias("term")).filter(F.col("term").isin(terms))
@@ -89,7 +92,7 @@ def bm25_sql(query_terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
     return f"""
 WITH base AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+         list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'), x -> x <> '') AS toks
   FROM documents
 ), dl AS (
   SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base

@@ -36,11 +36,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Bloom hash-scheme version, stamped into every persisted shard.  Blooms
+# are consulted on resume from catalog snapshots: a shard built by an
+# older hash scheme would silently produce false NEGATIVES (rows tagged
+# not-maybe-seen bypass the exact anti-join), so readers must check
+# ``bloom_version_ok`` and rebuild from the seen table on mismatch.
+# v2 = seeded-xxhash64 double hashing (v1 was md5-derived keys).
+BLOOM_FORMAT_VERSION = 2
+
 BLOOM_SCHEMA = T.StructType(
     [
         T.StructField("bloom_part", T.IntegerType()),
         T.StructField("bits", T.BinaryType()),
         T.StructField("n_items", T.LongType()),
+        T.StructField("fmt_version", T.IntegerType()),
     ]
 )
 
@@ -84,7 +93,12 @@ def build_bloom(
         pos = _positions(h1, h2, m_bits).ravel()
         np.bitwise_or.at(bits, (pos >> 3).astype(np.int64), (1 << (pos & 7)).astype(np.uint8))
         return pd.DataFrame(
-            {"bloom_part": [key[0]], "bits": [bits.tobytes()], "n_items": [len(pdf)]}
+            {
+                "bloom_part": [key[0]],
+                "bits": [bits.tobytes()],
+                "n_items": [len(pdf)],
+                "fmt_version": [BLOOM_FORMAT_VERSION],
+            }
         )
 
     with_part = _with_bloom_keys(df, url_col, n_partitions)
@@ -100,10 +114,30 @@ def merge_blooms(blooms: DataFrame) -> DataFrame:
             arr = np.frombuffer(b, np.uint8)
             acc = arr.copy() if acc is None else (acc | arr)
         return pd.DataFrame(
-            {"bloom_part": [key[0]], "bits": [acc.tobytes()], "n_items": [int(pdf["n_items"].sum())]}
+            {
+                "bloom_part": [key[0]],
+                "bits": [acc.tobytes()],
+                "n_items": [int(pdf["n_items"].sum())],
+                "fmt_version": [int(pdf["fmt_version"].min())],
+            }
         )
 
     return blooms.groupBy("bloom_part").applyInPandas(merge, BLOOM_SCHEMA)
+
+
+def bloom_version_ok(blooms: DataFrame | None) -> bool:
+    """True iff every persisted shard was built by the CURRENT hash
+    scheme.  A missing/older version means the shard's bit positions no
+    longer correspond to today's hashes — using it would produce silent
+    false negatives — so callers must rebuild from the seen table."""
+    if blooms is None:
+        return True
+    if "fmt_version" not in blooms.columns:
+        return False
+    row = blooms.agg(F.min("fmt_version").alias("lo"), F.max("fmt_version").alias("hi")).first()
+    if row["lo"] is None:
+        return True  # empty bloom table
+    return int(row["lo"]) == int(row["hi"]) == BLOOM_FORMAT_VERSION
 
 
 def bloom_maybe_seen(

@@ -198,7 +198,10 @@ def simhash_expr(text: Column) -> Column:
     return packed
 
 
-def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    include_empty: bool = True,
+) -> DataFrame:
     """(doc_id, simhash) — same values as :func:`simhash_expr` but computed
     as explode → groupBy bit-vote sums instead of one giant per-row
     expression tree.  The unrolled transform builds a 64-wide lambda per
@@ -224,6 +227,8 @@ def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
             F.when(F.col(f"v{i}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
         )
     votes = votes.select("doc_id", packed.alias("simhash"))
+    if not include_empty:
+        return votes
     # docs with zero tokens vanish in the explode; their simhash is 0
     empty = docs.select(F.col(id_col).alias("doc_id")).join(
         votes.select("doc_id"), "doc_id", "left_anti"
@@ -236,8 +241,14 @@ def simhash_pairs(
     band_bits: int = 16,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance; banded like pHash LSH
-    so no O(n²) cross join."""
-    sh = simhash_table(docs, text_col=text_col, id_col=id_col)
+    so no O(n²) cross join.
+
+    Zero-token docs are EXCLUDED from banding: every empty/boilerplate-
+    blank doc gets simhash 0 and would collide in all bands, turning the
+    candidate join quadratic on a real corpus (f² pair rows for f empty
+    docs).  Empty docs are exact duplicates of each other by definition —
+    route them through exact_dedup instead."""
+    sh = simhash_table(docs, text_col=text_col, id_col=id_col, include_empty=False)
     n_bands = 64 // band_bits
     bands = F.array(
         *[

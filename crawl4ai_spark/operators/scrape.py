@@ -315,13 +315,14 @@ TABLE_SCHEMA = T.StructType(
 
 
 class _Table:
-    __slots__ = ("attrs", "rows", "caption", "thead_rows", "th_count", "tag_count",
-                 "nested", "has_thead", "has_tbody", "first_row_has_th")
+    __slots__ = ("attrs", "rows", "caption", "has_caption", "thead_rows", "th_count",
+                 "tag_count", "nested", "has_thead", "has_tbody", "first_row_has_th")
 
     def __init__(self, attrs):
         self.attrs = dict(attrs)
-        self.rows = []        # list of (in_thead, [(tag, colspan, text_parts)])
-        self.caption = []
+        self.rows = []        # list of (in_thead, [(tag, colspan_raw, text_parts)])
+        self.caption = []     # caption TEXT NODES (reference takes .//caption/text()[0])
+        self.has_caption = False  # caption ELEMENT present (scoring signal)
         self.thead_rows = 0
         self.th_count = 0
         self.tag_count = 0
@@ -343,10 +344,17 @@ class _TableParser(HTMLParser):
         self._stack: list[_Table] = []
         self._in_thead = 0
         self._in_caption = False
-        self._cell = None  # (tag, colspan, parts)
+        self._cap_cur: list[str] | None = None  # current caption text node
+        self._cell = None  # (tag, colspan_raw, parts)
         self._row = None
 
+    def _flush_caption_node(self):
+        if self._in_caption and self._cap_cur is not None and self._stack:
+            self._stack[-1].caption.append("".join(self._cap_cur))
+        self._cap_cur = None
+
     def handle_starttag(self, tag, attrs):
+        self._flush_caption_node()  # a child element splits caption text nodes
         for t in self._stack:
             t.tag_count += 1
         if tag == "table":
@@ -367,6 +375,7 @@ class _TableParser(HTMLParser):
             t.has_tbody = True
         elif tag == "caption":
             self._in_caption = True
+            t.has_caption = True
         elif tag == "tr":
             self._row = (self._in_thead > 0, [])
             t.rows.append(self._row)
@@ -376,11 +385,10 @@ class _TableParser(HTMLParser):
             if self._row is None:
                 self._row = (self._in_thead > 0, [])
                 t.rows.append(self._row)
-            try:
-                colspan = int(a.get("colspan", 1))
-            except (TypeError, ValueError):
-                colspan = 1
-            self._cell = (tag, colspan, [])
+            # keep the RAW colspan attr: the reference int()s it at extract
+            # time and a non-int drops the whole table (except-continue) —
+            # _extract_table reproduces that by raising
+            self._cell = (tag, a.get("colspan", 1), [])
             self._row[1].append(self._cell)
             if tag == "th":
                 t.th_count += 1
@@ -388,6 +396,7 @@ class _TableParser(HTMLParser):
                     t.first_row_has_th = True
 
     def handle_endtag(self, tag):
+        self._flush_caption_node()
         if tag == "table" and self._stack:
             self._stack.pop()
             self._row = None
@@ -403,7 +412,9 @@ class _TableParser(HTMLParser):
 
     def handle_data(self, data):
         if self._in_caption and self._stack:
-            self._stack[-1].caption.append(data)
+            if self._cap_cur is None:
+                self._cap_cur = []
+            self._cap_cur.append(data)
         elif self._cell is not None:
             self._cell[2].append(data)
 
@@ -430,7 +441,7 @@ def _score_table(t: _Table) -> float:
     variance = sum((c - avg) ** 2 for c in col_counts) / len(col_counts)
     if variance < 1:
         score += 2
-    if t.caption:
+    if t.has_caption:
         score += 2
     if t.attrs.get("summary"):
         score += 1
@@ -451,18 +462,24 @@ def _score_table(t: _Table) -> float:
 def _extract_table(t: _Table) -> dict:
     """extract_table_data (table_extraction.py:212-295): colspan-expanded
     headers (thead first row th, else first row th|td), td-only body rows,
-    alignment to max columns, default 'Column i' headers."""
-    caption = "".join(t.caption).strip()
+    alignment to max columns, default 'Column i' headers.
+
+    Parity quirks pinned: caption = FIRST caption text node only
+    (xpath .//caption/text()[0], :229-230); a non-integer colspan raises
+    here so the caller drops the whole table, exactly like the
+    reference's except-continue (:126-128 around int(colspan) at
+    :240,:248,:257)."""
+    caption = t.caption[0].strip() if t.caption else ""
     summary = (t.attrs.get("summary") or "").strip()
     headers: list[str] = []
     if t.has_thead and t.thead_rows:
         first_thead = next(cells for in_th, cells in t.rows if in_th)
         for tag, colspan, parts in first_thead:
             if tag == "th":
-                headers.extend(["".join(parts).strip()] * colspan)
+                headers.extend(["".join(parts).strip()] * int(colspan))
     elif t.rows:
         for tag, colspan, parts in t.rows[0][1]:
-            headers.extend(["".join(parts).strip()] * colspan)
+            headers.extend(["".join(parts).strip()] * int(colspan))
     rows = []
     for in_thead, cells in t.rows:
         if in_thead:
@@ -470,7 +487,7 @@ def _extract_table(t: _Table) -> dict:
         row_data: list[str] = []
         for tag, colspan, parts in cells:
             if tag == "td":
-                row_data.extend(["".join(parts).strip()] * colspan)
+                row_data.extend(["".join(parts).strip()] * int(colspan))
         if row_data:
             rows.append(row_data)
     max_cols = len(headers) if headers else (max((len(r) for r in rows), default=0))
@@ -507,7 +524,10 @@ def extract_tables(
                 for t in p.tables:
                     if _score_table(t) < table_score_threshold:
                         continue
-                    d = _extract_table(t)
+                    try:
+                        d = _extract_table(t)
+                    except Exception:
+                        continue  # e.g. non-int colspan (reference :126-128)
                     if min_rows > 0 and d["row_count"] < min_rows:
                         continue
                     if min_cols > 0 and d["column_count"] < min_cols:

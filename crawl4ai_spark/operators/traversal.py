@@ -234,12 +234,16 @@ class CrawlEngine:
             # a result whose remaining capacity is already 0 adds NOTHING to
             # the seen set (link_discovery early-returns before visited.add —
             # bfs_strategy.py:101-104, pinned), so filter BEFORE dedup.
-            w_cum = Window.orderBy("result_seq").rowsBetween(Window.unboundedPreceding, 0)
-            succ = (
-                results.filter("success")
-                .select("result_seq")
-                .withColumn("_cum", F.count("*").over(w_cum))
-            )
+            # result_seq is unique per wave, so the cumulative success count
+            # at a result == its 1-based rank among successes — computed with
+            # the same two-phase distributed sequence as global_sequence
+            # (a bare Window.orderBy here would funnel the whole wave's
+            # successes through one partition).
+            succ = global_sequence(
+                results.filter("success").select("result_seq"),
+                [F.col("result_seq")],
+                "_cum",
+            ).withColumn("_cum", F.col("_cum") + 1)
             disc = disc.join(succ, "result_seq", "left").withColumn(
                 "capacity", F.lit(float(cfg.max_pages)) - F.lit(pages_before) - F.col("_cum")
             )
@@ -418,13 +422,22 @@ class CrawlEngine:
             popped_seqs = [r["push_seq"] for r in popped]
             frontier = frontier.filter(~F.col("push_seq").isin(popped_seqs))
 
-            # visited filtering happens AFTER the pop (dupes consume slots)
-            seen_set = {r["url"] for r in seen.collect()}
+            # visited filtering happens AFTER the pop (dupes consume slots).
+            # The popped set is ≤ batch_size rows — broadcast it into a
+            # semi-join against seen instead of collecting the whole seen
+            # set (O(history) driver traffic per wave, O(n²) over a crawl).
+            pop_df = spark.createDataFrame(
+                [(u,) for u in {r["url"] for r in popped}], SEEN_SCHEMA
+            )
+            seen_hits = {
+                r["url"]
+                for r in seen.join(F.broadcast(pop_df), "url", "left_semi").collect()
+            }
             batch = []
             for r in popped:
-                if r["url"] in seen_set:
+                if r["url"] in seen_hits:
                     continue
-                seen_set.add(r["url"])
+                seen_hits.add(r["url"])
                 batch.append(r)
             if batch:
                 seen = seen.unionByName(

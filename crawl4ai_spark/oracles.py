@@ -1,0 +1,528 @@
+"""Pure-Python transcription of the reference traversal algorithms.
+
+This is the ordering/seen-set oracle for the Spark engines: a faithful
+sequential reimplementation of BFSDeepCrawlStrategy._arun_batch +
+link_discovery (bfs_strategy.py:81-227), DFSDeepCrawlStrategy
+(dfs_strategy.py:27-277) and BestFirstCrawlingStrategy._arun_best_first
+(bff_strategy.py:100-269), parameterized over:
+
+* fetch(url) -> (success: bool, status: int, html: str)
+* the same link-extraction + normalization pipeline the Spark engine uses
+  (scrape.parse_page + normalize_url + normalize_url_for_deep_crawl), so
+  any divergence in a traversal test is an orchestration bug, not a
+  parsing difference (parsing parity is covered by the URL golden tests).
+
+Two layers:
+
+* the classic oracles (``bfs_oracle`` / ``dfs_oracle`` /
+  ``best_first_oracle``) return ``(results, visited)`` with 4-tuple
+  results — used by the pytest parity suite;
+* the ``*_rows`` wrappers add the driver-contract bookkeeping (wave_id /
+  result_seq exactly as the Spark engines assign them) plus
+  ``job_rows``, a sequential transcription of the production CrawlJob
+  wave composition (pipeline.py), so ``__spark_entry__.oracle_sql`` can
+  materialize the expected rows as a deterministic DuckDB ``VALUES``
+  fixture.  No Spark is imported anywhere in this module.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from typing import Callable
+from urllib.parse import urlparse
+
+from .functions.urls import (
+    get_base_domain,
+    is_external_url,
+    is_valid_crawl_url,
+    normalize_url,
+    normalize_url_for_deep_crawl,
+)
+
+
+def _parse_page(url: str, html: str):
+    # local import: scrape pulls pyspark at module level; only the pure
+    # _PageParser is needed here
+    from .operators.scrape import parse_page
+
+    return parse_page(url, html)
+
+
+def page_links(url: str, html: str, include_external: bool) -> list[str]:
+    """Extract + extended-normalize links exactly as the scrape stage does
+    (first occurrence per page wins; schemes filtered; external split)."""
+    parser = _parse_page(url, html)
+    base = parser.base_href or url
+    dom = get_base_domain(url)
+    out, seen_page = [], set()
+    for ln in parser.links:
+        raw = ln["href"]
+        if raw.startswith(("mailto:", "tel:", "javascript:", "data:")):
+            continue
+        norm = normalize_url(raw, base)
+        if not norm or norm in seen_page:
+            continue
+        seen_page.add(norm)
+        if is_external_url(norm, dom) and not include_external:
+            continue
+        out.append(norm)
+    return out
+
+
+def bfs_oracle(
+    start_url: str,
+    fetch: Callable[[str], tuple[bool, int, str]],
+    max_depth: int = 2,
+    max_pages: float = math.inf,
+    score_threshold: float = -math.inf,
+    score_fn: Callable[[str], float] | None = None,
+    filter_fn: Callable[[str], bool] | None = None,
+    include_external: bool = False,
+):
+    """Returns (results, visited): results = [(url, depth, parent, success)]
+    in crawl order; visited = the reference's seen set."""
+    rows, visited = bfs_rows(
+        start_url, fetch, max_depth, max_pages, score_threshold, score_fn,
+        filter_fn, include_external,
+    )
+    return [(u, d, p, s) for (u, d, p, _w, _q, s) in rows], visited
+
+
+def bfs_rows(
+    start_url: str,
+    fetch: Callable[[str], tuple[bool, int, str]],
+    max_depth: int = 2,
+    max_pages: float = math.inf,
+    score_threshold: float = -math.inf,
+    score_fn: Callable[[str], float] | None = None,
+    filter_fn: Callable[[str], bool] | None = None,
+    include_external: bool = False,
+):
+    """Driver-row variant: results = [(url, depth, parent, wave_id,
+    result_seq, success)] with the Spark engine's wave/seq assignment
+    (result_seq = position within the wave)."""
+    visited: set[str] = set()
+    current_level: list[tuple[str, str | None]] = [(start_url, None)]
+    depths: dict[str, int] = {start_url: 0}
+    pages_crawled = 0
+    results = []
+    wave_id = 0
+
+    while current_level:
+        if pages_crawled >= max_pages:
+            break
+        next_level: list[tuple[str, str | None]] = []
+        for seq, (url, parent) in enumerate(current_level):
+            success, status, html = fetch(url)
+            depth = depths.get(url, 0)
+            results.append((url, depth, parent, wave_id, seq, success))
+            if not success:
+                continue
+            pages_crawled += 1
+            # ---- link_discovery (bfs_strategy.py:81-153) ----
+            next_depth = depth + 1
+            if next_depth > max_depth:
+                continue
+            remaining = max_pages - pages_crawled
+            if remaining <= 0:
+                continue
+            valid: list[tuple[str, float]] = []
+            for href in page_links(url, html, include_external):
+                canon = normalize_url_for_deep_crawl(href, url)
+                if canon in visited:
+                    continue
+                if not is_valid_crawl_url(href):
+                    continue
+                if filter_fn is not None and not filter_fn(href):
+                    continue
+                score = score_fn(canon) if score_fn else 0.0
+                if score < score_threshold:
+                    continue
+                visited.add(canon)
+                valid.append((canon, score))
+            if len(valid) > remaining:
+                if score_fn is not None:
+                    valid.sort(key=lambda x: x[1], reverse=True)  # stable
+                valid = valid[: int(remaining)]
+            for u, _s in valid:
+                next_level.append((u, url))
+                depths[u] = next_depth
+        current_level = next_level
+        wave_id += 1
+    return results, visited
+
+
+def dfs_oracle(
+    start_url: str,
+    fetch: Callable[[str], tuple[bool, int, str]],
+    max_depth: int = 2,
+    max_pages: float = math.inf,
+    score_threshold: float = -math.inf,
+    score_fn=None,
+    filter_fn=None,
+    include_external: bool = False,
+):
+    rows, visited = dfs_rows(
+        start_url, fetch, max_depth, max_pages, score_threshold, score_fn,
+        filter_fn, include_external,
+    )
+    return [(u, d, p, s) for (u, d, p, _q, s) in rows], visited
+
+
+def dfs_rows(
+    start_url: str,
+    fetch: Callable[[str], tuple[bool, int, str]],
+    max_depth: int = 2,
+    max_pages: float = math.inf,
+    score_threshold: float = -math.inf,
+    score_fn=None,
+    filter_fn=None,
+    include_external: bool = False,
+):
+    """Driver-row variant: [(url, depth, parent, result_seq, success)]."""
+    visited: set[str] = set()
+    dfs_seen: set[str] = {start_url}
+    stack: list[tuple[str, str | None, int]] = [(start_url, None, 0)]
+    depths = {start_url: 0}
+    pages_crawled = 0
+    results = []
+    seq = 0
+    while stack:
+        url, parent, depth = stack.pop()
+        if url in visited or depth > max_depth:
+            continue
+        visited.add(url)
+        success, status, html = fetch(url)
+        results.append((url, depth, parent, seq, success))
+        seq += 1
+        if not success:
+            continue
+        pages_crawled += 1
+        if pages_crawled >= max_pages:
+            break
+        next_depth = depth + 1
+        if next_depth > max_depth:
+            continue
+        remaining = max_pages - pages_crawled
+        if remaining <= 0:
+            continue
+        valid = []
+        for href in page_links(url, html, include_external):
+            canon = normalize_url_for_deep_crawl(href, url)
+            if not canon or canon in dfs_seen:
+                continue
+            if not is_valid_crawl_url(href):
+                continue
+            if filter_fn is not None and not filter_fn(href):
+                continue
+            score = score_fn(canon) if score_fn else 0.0
+            if score < score_threshold:
+                continue
+            dfs_seen.add(canon)
+            valid.append((canon, score))
+        if len(valid) > remaining:
+            if score_fn is not None:
+                valid.sort(key=lambda x: x[1], reverse=True)
+            valid = valid[: int(remaining)]
+        new_links = []
+        for canon, _s in valid:
+            new_links.append((canon, url))
+            depths[canon] = next_depth
+        for new_url, new_parent in reversed(new_links):
+            stack.append((new_url, new_parent, depths.get(new_url, next_depth)))
+    return results, visited
+
+
+def best_first_oracle(
+    start_url: str,
+    fetch: Callable[[str], tuple[bool, int, str]],
+    max_depth: int = 2,
+    max_pages: float = math.inf,
+    score_fn=None,
+    filter_fn=None,
+    include_external: bool = False,
+    batch_size: int = 10,
+):
+    rows, visited = bff_rows(
+        start_url, fetch, max_depth, max_pages, score_fn, filter_fn,
+        include_external, batch_size,
+    )
+    return [(u, d, p, s) for (u, d, p, _w, _q, s) in rows], visited
+
+
+def _pop_key(neg: float, depth: int, url: str, parent: str | None, counter: int):
+    # engine pop order: (neg_score, depth, url, parent nulls-first, push_seq)
+    return (neg, depth, url, (parent is not None, parent or ""), counter)
+
+
+def bff_rows(
+    start_url: str,
+    fetch: Callable[[str], tuple[bool, int, str]],
+    max_depth: int = 2,
+    max_pages: float = math.inf,
+    score_fn=None,
+    filter_fn=None,
+    include_external: bool = False,
+    batch_size: int = 10,
+):
+    """Driver-row variant: [(url, depth, parent, wave_id, result_seq,
+    success)] with the engine's wave numbering (wave_id advances on every
+    non-empty pop, including all-dupe batches that emit nothing)."""
+    visited: set[str] = set()
+    pages_crawled = 0
+    results = []
+    counter = 0  # heap push tiebreaker = the engine's push_seq
+    heap: list = []
+    s0 = score_fn(start_url) if score_fn else 0.0
+    heapq.heappush(heap, _pop_key(-s0, 0, start_url, None, counter))
+    wave_id = 0
+    while heap:
+        if pages_crawled >= max_pages:
+            break
+        batch = []
+        for _ in range(batch_size):
+            if not heap:
+                break
+            neg, depth, url, (_has_p, parent), _c = heapq.heappop(heap)
+            if url in visited:
+                continue  # dupes consume pop slots (pinned)
+            visited.add(url)
+            batch.append((neg, depth, url, parent if _has_p else None))
+        if not batch:
+            wave_id += 1
+            continue
+        broke = False
+        for i, (neg, depth, url, parent) in enumerate(batch):
+            success, status, html = fetch(url)
+            if success:
+                pages_crawled += 1
+                if pages_crawled >= max_pages:
+                    broke = True
+                    break  # limit-reaching result NOT emitted (pinned quirk)
+            results.append((url, depth, parent, wave_id, i, success))
+            if not success:
+                continue
+            # discovery (no threshold, no trim, no visited-add at push)
+            new_depth = depth + 1
+            if new_depth > max_depth:
+                continue
+            if max_pages - pages_crawled <= 0:
+                continue
+            for href in page_links(url, html, include_external):
+                canon = normalize_url_for_deep_crawl(href, url)
+                if canon in visited:
+                    continue
+                if not is_valid_crawl_url(href):
+                    continue
+                if filter_fn is not None and not filter_fn(href):
+                    continue
+                sc = score_fn(canon) if score_fn else 0.0
+                counter += 1
+                heapq.heappush(heap, _pop_key(-sc, new_depth, canon, url, counter))
+        wave_id += 1
+        if broke:
+            break
+    return results, visited
+
+
+# ---------------------------------------------------------------------------
+# CrawlJob (production wave composition) oracle — pipeline.py transcription
+# ---------------------------------------------------------------------------
+
+
+def _host_of(url: str) -> str:
+    return urlparse(url).netloc.lower()
+
+
+def _can_fetch(rules: str | None, url: str) -> bool:
+    from urllib.robotparser import RobotFileParser
+
+    if rules is None or not str(rules).strip():
+        return True
+    rp = RobotFileParser()
+    rp.parse(str(rules).splitlines())
+    return bool(rp.can_fetch("*", url))
+
+
+def job_rows(
+    seeds: list[str],
+    fetch: Callable[[str], tuple[bool, int, str]],
+    robots: dict[str, str] | None = None,
+    max_depth: int = 2,
+    max_waves: int = 6,
+    wave_budget: float = 60.0,
+    default_delay: float = 1.0,
+    max_pages: float = math.inf,
+):
+    """Sequential CrawlJob oracle → [(url, host, depth, status_code,
+    success, wave_id)] matching pipeline.CrawlJob.run's results table.
+
+    Transcribes one wave (pipeline.py:179-318): robots gate (denial ⇒
+    403 row, dropped from the frontier) → per-host politeness schedule
+    (rank by the queue discipline, offset = ready + (rank-1)*delay,
+    admitted iff offset < budget) → fetch → expansion (link extract +
+    canonicalize + in-wave dedup + seen anti-join) → host-state backoff
+    fold (deterministic, jitter off).  ``fetch`` is keyed by CANONICAL
+    url (canonical_corpus_fetcher semantics).
+    """
+    robots = robots or {}
+    # seed(): canonicalize, validity, dedup; seen starts as the seed set.
+    # ``seeds`` items are raw urls or (url, priority) pairs.
+    frontier: list[dict] = []
+    seen: set[str] = set()
+    for item in seeds:
+        raw, pri = item if isinstance(item, tuple) else (item, 1.0)
+        canon = normalize_url_for_deep_crawl(raw, raw)
+        if not canon or not is_valid_crawl_url(canon) or canon in seen:
+            continue
+        seen.add(canon)
+        frontier.append(dict(url=canon, host=_host_of(canon), depth=0, score=float(pri)))
+    host_state: dict[str, tuple[float, float, int]] = {}  # host → (last, delay, fails)
+
+    out_rows: list[tuple] = []
+    wave_id = 0
+    waves_done = 0
+    pages_crawled = 0
+    while waves_done < max_waves and pages_crawled < max_pages:
+        if not frontier:
+            break
+        wave_id += 1
+        wave_start = (wave_id - 1) * wave_budget
+
+        allowed, denied = [], []
+        for r in frontier:
+            if _can_fetch(robots.get(r["host"]), r["url"]):
+                allowed.append(r)
+            else:
+                denied.append(r)
+        for r in denied:
+            out_rows.append((r["url"], r["host"], r["depth"], 403, False, wave_id))
+
+        # politeness schedule (scheduler.schedule_wave, jitterless)
+        by_host: dict[str, list[dict]] = {}
+        for r in allowed:
+            by_host.setdefault(r["host"], []).append(r)
+        admitted, carried = [], []
+        offsets: dict[str, list[float]] = {}
+        for host, rows in by_host.items():
+            st = host_state.get(host)
+            delay = st[1] if st is not None else default_delay
+            ready = max((st[0] + delay - wave_start) if st is not None else 0.0, 0.0)
+            # queue discipline: priority asc (all 0 here — no retries, no
+            # fairness aging in the oracle corpus), score desc, depth asc,
+            # url asc
+            rows = sorted(rows, key=lambda r: (-r.get("score", 0.0), r["depth"], r["url"]))
+            for i, r in enumerate(rows):
+                off = ready + i * delay
+                if off < wave_budget:
+                    admitted.append((r, off))
+                    offsets.setdefault(host, []).append(off)
+                else:
+                    carried.append(r)
+        scheduled = len(allowed)
+
+        # fetch admitted
+        ok_pages: list[tuple[dict, str]] = []
+        statuses: dict[str, list[tuple[float, int]]] = {}
+        for r, off in admitted:
+            success, status, html = fetch(r["url"])
+            out_rows.append((r["url"], r["host"], r["depth"], status, success, wave_id))
+            statuses.setdefault(r["host"], []).append((off, status))
+            if success:
+                pages_crawled += 1
+                ok_pages.append((r, html))
+
+        # expansion (_expand): depth gate → links → canon → in-wave dedup
+        # → seen anti-join
+        discovered: dict[str, tuple[int, str]] = {}
+        for r, html in ok_pages:
+            if r["depth"] + 1 > max_depth:
+                continue
+            for href in page_links(r["url"], html, include_external=False):
+                canon = normalize_url_for_deep_crawl(href, r["url"])
+                if not canon or not is_valid_crawl_url(href):
+                    continue
+                if canon in discovered:
+                    continue  # dropDuplicates(["canon"])
+                discovered[canon] = (r["depth"] + 1, r["url"])
+        fresh = {c: v for c, v in discovered.items() if c not in seen}
+        seen.update(fresh)
+
+        # host-state backoff fold (update_host_state, jitter off)
+        for host, evs in statuses.items():
+            st = host_state.get(host)
+            delay = st[1] if st is not None and st[1] else default_delay
+            fails = st[2] if st is not None else 0
+            evs.sort(key=lambda t: t[0])
+            last = wave_start + max(off for off, _ in evs)
+            for _off, status in evs:
+                if status in (429, 503):
+                    fails += 1
+                    if fails > 3:
+                        continue
+                    delay = min(delay * 2, 60.0)
+                else:
+                    delay = max(default_delay, delay * 0.75)
+                    fails = 0
+            host_state[host] = (last, delay, fails)
+
+        frontier = carried + [
+            dict(url=c, host=_host_of(c), depth=d, score=0.0)
+            for c, (d, _p) in fresh.items()
+        ]
+        waves_done += 1
+        if scheduled == 0:
+            break
+    return out_rows
+
+
+# ---------------------------------------------------------------------------
+# fixture fetchers + DuckDB VALUES emitter
+# ---------------------------------------------------------------------------
+
+
+def corpus_fetch_fn(corpus: dict, canonical: bool = False):
+    """fetch(url) over the generate_corpus pages table; ``canonical``
+    additionally keys by the deep-normalized url (canonical_corpus_fetcher)."""
+    pages = corpus["pages"]
+    html_by_url = dict(zip(pages["url"], pages["html"]))
+    status_by_url = dict(zip(pages["url"], pages["status_code"]))
+    if canonical:
+        html_by_url = {
+            normalize_url_for_deep_crawl(u, u): h for u, h in html_by_url.items()
+        }
+        status_by_url = {
+            normalize_url_for_deep_crawl(u, u): s for u, s in status_by_url.items()
+        }
+
+    def fetch(url: str) -> tuple[bool, int, str]:
+        h = html_by_url.get(url)
+        if h is None:
+            return False, 404, ""
+        sc = int(status_by_url[url])
+        return sc == 200, sc, h
+
+    return fetch
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def rows_values_sql(rows: list[tuple], columns: list[tuple[str, str]]) -> str:
+    """DuckDB SELECT over a VALUES fixture with explicit per-column casts
+    (``columns`` = [(name, duckdb_type), ...]) so the schema is stable
+    even when a column is all-NULL."""
+    col_sql = ", ".join(f"CAST({name} AS {typ}) AS {name}" for name, typ in columns)
+    names = ", ".join(name for name, _ in columns)
+    vals = ",\n".join("(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows)
+    return f"SELECT {col_sql} FROM (VALUES\n{vals}\n) AS t({names})"

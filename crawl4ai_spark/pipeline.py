@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 
 from .functions.urls import host_expr, is_valid_url_expr, normalize_deep_udf
 from .operators import scrape
-from .operators.dedup import anti_join_seen, build_bloom
+from .operators.dedup import anti_join_seen, bloom_version_ok, build_bloom
 from .operators.scheduler import (
     priority_bucket_expr,
     robots_gate,
@@ -268,6 +268,18 @@ class CrawlJob:
         # frontier expansion
         seen = self.catalog.read("seen", snap)
         blooms = self.catalog.read("bloom", snap) if cfg.use_bloom else None
+        bloom_rebuilt = None
+        if blooms is not None and not bloom_version_ok(blooms):
+            # persisted shards predate the current hash scheme (resume
+            # across an engine upgrade): stale bit positions would yield
+            # false NEGATIVES that bypass the exact anti-join — rebuild
+            # the whole bloom from the seen table and commit it as a
+            # reset baseline so later waves don't rebuild again.
+            bloom_rebuilt = self._ckpt(
+                build_bloom(seen, n_partitions=cfg.bloom_partitions, m_bits=cfg.bloom_bits),
+                f"bloom_rebuild_{wave_id}",
+            )
+            blooms = bloom_rebuilt
         new_rows, seen_delta, n_disc, n_dedup = self._expand(ok, seen, blooms, wave_id)
 
         # host state update (politeness backoff fold)
@@ -294,16 +306,22 @@ class CrawlJob:
         ).withColumn("duration_ms", F.lit(int((time.time() - t0) * 1000)).cast("long"))
 
         appends = {"seen": seen_delta, "results": results_log, "lineage": lineage}
+        resets = {}
         if cfg.use_bloom:
-            appends["bloom"] = build_bloom(
+            delta_bloom = build_bloom(
                 seen_delta, n_partitions=cfg.bloom_partitions, m_bits=cfg.bloom_bits
             )
+            if bloom_rebuilt is not None:
+                resets["bloom"] = bloom_rebuilt.unionByName(delta_bloom)
+            else:
+                appends["bloom"] = delta_bloom
         if images_delta is not None:
             appends["images"] = images_delta
         self.catalog.commit_wave(
             wave_id,
             state={"frontier": next_frontier, "host_state": new_host_state},
             appends=appends,
+            resets=resets or None,
         )
         return WaveStats(
             wave_id=wave_id,

@@ -79,10 +79,16 @@ class SnapshotCatalog:
         wave_id: int,
         state: dict[str, DataFrame] | None = None,
         appends: dict[str, DataFrame] | None = None,
+        resets: dict[str, DataFrame] | None = None,
     ) -> dict:
         """Write a wave's state + deltas, then atomically publish the
         snapshot. A crash before the manifest rename leaves the previous
-        snapshot live (same guarantee Iceberg gives via metadata swap)."""
+        snapshot live (same guarantee Iceberg gives via metadata swap).
+
+        ``resets`` rewrites an append-table's whole history as one new
+        baseline delta (compaction / format migration — e.g. a bloom
+        rebuilt under a new hash scheme); prior delta files stay on disk
+        but drop out of the snapshot's read set."""
         snap = {"snapshot_id": wave_id, "wave_id": wave_id, "ts": time.time(), "tables": {}}
         prev = self.latest_snapshot()
         if prev:
@@ -99,6 +105,10 @@ class SnapshotCatalog:
             path = os.path.join(self.root, name, f"wave={wave_id}")
             df.write.mode("overwrite").parquet(path)
             snap["appends"].setdefault(name, []).append(path)
+        for name, df in (resets or {}).items():
+            path = os.path.join(self.root, name, f"reset={wave_id}")
+            df.write.mode("overwrite").parquet(path)
+            snap["appends"][name] = [path]
 
         manifest = self._read_manifest()
         manifest["snapshots"].append(snap)

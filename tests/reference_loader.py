@@ -57,6 +57,47 @@ _BASE_GLOBALS = {
 }
 
 
+# Decorators and default-argument expressions on an extracted def execute
+# arbitrary code from the (untrusted) reference tree the moment the def is
+# exec'd.  The name allowlist alone doesn't cover that, so extracted nodes
+# are sanitized: decorators are restricted to a tiny benign set (stripped
+# otherwise — our call sites invoke the plain functions), and defaults must
+# be built from value-only AST nodes (no Call/Attribute/comprehension).
+_SAFE_DECORATORS = {"staticmethod", "classmethod", "property", "abstractmethod", "lru_cache"}
+
+_SAFE_DEFAULT_NODES = (
+    ast.Constant, ast.Tuple, ast.List, ast.Dict, ast.Set,
+    ast.UnaryOp, ast.USub, ast.UAdd, ast.BinOp, ast.Add, ast.Sub, ast.Mult,
+    ast.Name, ast.Load,
+)
+
+
+def _sanitize(node) -> None:
+    """Strip unsafe decorators; reject non-literal defaults (recursively
+    for class bodies)."""
+    if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+        kept = []
+        for d in node.decorator_list:
+            name = d.id if isinstance(d, ast.Name) else None
+            if name in _SAFE_DECORATORS:
+                kept.append(d)
+            elif isinstance(d, ast.Call) and isinstance(d.func, ast.Name) and d.func.id in _SAFE_DECORATORS:
+                kept.append(d)  # e.g. @lru_cache(maxsize=...) with literal args
+        node.decorator_list = kept
+    if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+        for d in list(node.args.defaults) + [x for x in node.args.kw_defaults if x is not None]:
+            for sub in ast.walk(d):
+                if not isinstance(sub, _SAFE_DEFAULT_NODES):
+                    raise ValueError(
+                        f"refusing to extract {node.name}: non-literal default "
+                        f"({type(sub).__name__}) would execute reference code at def time"
+                    )
+    if isinstance(node, ast.ClassDef):
+        for item in node.body:
+            if isinstance(item, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                _sanitize(item)
+
+
 def load_defs(
     rel_path: str, names: list[str], extra: dict | None = None, consts: list[str] | None = None
 ) -> dict:
@@ -79,6 +120,8 @@ def load_defs(
     missing = set(names) - {n.name for n in wanted if hasattr(n, "name")}
     if missing:
         raise KeyError(f"{rel_path}: defs not found: {missing}")
+    for n in wanted:
+        _sanitize(n)
     mod = ast.Module(body=wanted, type_ignores=[])
     ns = dict(_BASE_GLOBALS)
     ns.update(extra or {})
@@ -95,6 +138,7 @@ def load_method(rel_path: str, class_name: str, method: str, extra: dict | None 
         if isinstance(node, ast.ClassDef) and node.name == class_name:
             for item in node.body:
                 if isinstance(item, (ast.FunctionDef, ast.AsyncFunctionDef)) and item.name == method:
+                    _sanitize(item)
                     mod = ast.Module(body=[item], type_ignores=[])
                     ns = dict(_BASE_GLOBALS)
                     ns.update(extra or {})
