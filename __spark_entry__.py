@@ -996,6 +996,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_extraction": q_table_extraction,
         "structured_regex": q_structured_regex,
         "json_css_items": q_json_css_items,
+        "markdown_citations": q_markdown_citations,
+        "content_filter_bm25": q_content_filter_bm25,
+        "pruning_scores": q_pruning_scores,
     }
 
 
@@ -1550,6 +1553,191 @@ FROM base WHERE p_partkey % 2 = 0
 """
 
 
+def _md_pages(docs: DataFrame) -> DataFrame:
+    """One synthetic article page per document: h1 + a relative link + an
+    absolute titled link — the full citation surface."""
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), d.cast("string"),
+        F.lit('</h1><p>See <a href="/docs/'), d.cast("string"),
+        F.lit('">guide '), d.cast("string"),
+        F.lit('</a> and <a href="https://ext.example.org/x'), (d % 50).cast("string"),
+        F.lit('" title="Ext'), (d % 7).cast("string"),
+        F.lit('">ext</a> now.</p></body></html>'),
+    )
+    url = F.concat(F.lit("https://h"), d.cast("string"), F.lit(".example.com/page"))
+    return docs.select(url.alias("url"), html.alias("html"))
+
+
+def q_markdown_citations(spark, sf_dir):
+    """DefaultMarkdownGenerator semantics: markdown + citation conversion
+    + references block (markdown_generation_strategy.py:55-146)."""
+    from crawl4ai_spark.functions.markdown import markdown_for_pages
+
+    pages = _md_pages(_t(spark, sf_dir, "documents"))
+    out = markdown_for_pages(pages)
+    return out.select("url", "markdown_with_citations", "references_markdown")
+
+
+def _markdown_citations_sql() -> str:
+    nl = "chr(10)"
+    return f"""
+SELECT
+  'https://h' || CAST(doc_id AS VARCHAR) || '.example.com/page' AS url,
+  '# Doc ' || CAST(doc_id AS VARCHAR) || {nl}
+    || 'See guide ' || CAST(doc_id AS VARCHAR) || '⟨1⟩ and ext⟨2⟩ now.' || {nl}
+    AS markdown_with_citations,
+  {nl} || {nl} || '## References' || {nl} || {nl}
+    || '⟨1⟩ https://h' || CAST(doc_id AS VARCHAR) || '.example.com/page/docs/'
+    || CAST(doc_id AS VARCHAR) || ': guide ' || CAST(doc_id AS VARCHAR) || {nl}
+    || '⟨2⟩ https://ext.example.org/x' || CAST(doc_id % 50 AS VARCHAR)
+    || ': Ext' || CAST(doc_id % 7 AS VARCHAR) || ' - ext' || {nl}
+    AS references_markdown
+FROM documents
+"""
+
+
+def _cf_pages(docs: DataFrame) -> DataFrame:
+    """Three-chunk page per document for the chunk-BM25 query; each query
+    term confined to ≤1 chunk so the oracle's idf needs no epsilon floor."""
+    d = F.col("doc_id")
+    h1 = F.when(d % 3 == 0, F.lit("alphaq heading words")).otherwise(
+        F.lit("plain heading words")
+    )
+    p1 = F.concat(
+        F.expr("repeat('betaq ', cast(doc_id % 3 as int) + 1)"),
+        F.lit("filler words content"),
+    )
+    p2 = F.when(d % 2 == 0, F.lit("gammaq deep content block")).otherwise(
+        F.lit("other deep content block")
+    )
+    html = F.concat(
+        F.lit("<html><body><h1>"), h1, F.lit("</h1><p>"), p1,
+        F.lit("</p><p>"), p2, F.lit("</p></body></html>"),
+    )
+    return docs.select(F.col("doc_id").cast("string").alias("url"), html.alias("html"))
+
+
+def q_content_filter_bm25(spark, sf_dir):
+    """Chunk-level BM25ContentFilter scoring with tag-priority weights
+    (content_filter_strategy.py:381-531; h1 weight 5.0 at :425-438)."""
+    from crawl4ai_spark.operators.content_filter import page_chunks_bm25
+
+    pages = _cf_pages(_t(spark, sf_dir, "documents"))
+    out = page_chunks_bm25(pages, user_query="alphaq betaq gammaq")
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "tag",
+        _e6(F.col("adjusted")).alias("adjusted_e6"),
+    )
+
+
+def _content_filter_bm25_sql() -> str:
+    # BM25Okapi with N=3 chunks; idf(n=1) = ln(2.5) - ln(1.5); k1=1.5 b=0.75
+    idf = "(ln(2.5) - ln(1.5))"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(doc_id % 3 + 4 AS DOUBLE) AS dl2,
+    CAST(doc_id % 3 + 1 AS DOUBLE) AS tf2,
+    -- odd docs' third chunk is "other deep content block" and 'other'
+    -- is a clean_tokens stop word -> dl3 = 3, not 4
+    CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS DOUBLE) AS dl3,
+    (3.0 + CAST(doc_id % 3 + 4 AS DOUBLE)
+         + CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS DOUBLE)) / 3.0 AS avgdl
+  FROM documents
+), scored AS (
+  SELECT doc_id, 0 AS chunk_idx, 'h1' AS tag,
+    CASE WHEN doc_id % 3 = 0
+      THEN {idf} * (1 * 2.5) / (1 + 1.5 * (1 - 0.75 + 0.75 * 3.0 / avgdl)) * 5.0
+      ELSE 0.0 END AS adjusted
+  FROM base
+  UNION ALL
+  SELECT doc_id, 1 AS chunk_idx, 'p' AS tag,
+    {idf} * (tf2 * 2.5) / (tf2 + 1.5 * (1 - 0.75 + 0.75 * dl2 / avgdl)) AS adjusted
+  FROM base
+  UNION ALL
+  SELECT doc_id, 2 AS chunk_idx, 'p' AS tag,
+    CASE WHEN doc_id % 2 = 0
+      THEN {idf} * (1 * 2.5) / (1 + 1.5 * (1 - 0.75 + 0.75 * dl3 / avgdl))
+      ELSE 0.0 END AS adjusted
+  FROM base
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, tag,
+       CAST(round(adjusted * 1000000) AS BIGINT) AS adjusted_e6
+FROM scored
+"""
+
+
+def _prune_pages(docs: DataFrame) -> DataFrame:
+    """Per-doc page with three depth-1 nodes: a clean paragraph, a
+    link-farm div with a negative-pattern class, and an article."""
+    d = F.col("doc_id")
+    p = F.concat(
+        F.lit("<p>"), F.expr("repeat('lorem ipsum ', cast(doc_id % 5 as int) + 3)"),
+        F.lit("ending</p>"),
+    )
+    ad = F.concat(
+        F.lit('<div class="ads-banner"><a href="/c">'),
+        F.expr("repeat('ad ', cast(doc_id % 4 as int) + 1)"),
+        F.lit("click</a></div>"),
+    )
+    art = F.concat(
+        F.lit("<article>"),
+        F.expr("repeat('content value data ', cast(doc_id % 6 as int) + 2)"),
+        F.lit("closing</article>"),
+    )
+    html = F.concat(F.lit("<html><body>"), p, ad, art, F.lit("</body></html>"))
+    return docs.select(F.col("doc_id").cast("string").alias("url"), html.alias("html"))
+
+
+def q_pruning_scores(spark, sf_dir):
+    """PruningContentFilter composite scores + fixed-threshold verdicts
+    per top-level node (content_filter_strategy.py:728-766; the
+    max(0, class_score) clip at :758 is pinned)."""
+    from crawl4ai_spark.operators.content_filter import pruning_node_scores
+
+    pages = _prune_pages(_t(spark, sf_dir, "documents"))
+    out = pruning_node_scores(pages, threshold=0.48)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("node_idx").cast("long").alias("node_idx"),
+        "tag",
+        _e6(F.col("score")).alias("score_e6"),
+        "removed",
+    )
+
+
+def _pruning_scores_sql() -> str:
+    # composite = .4*density + .2*(1-linkdensity) + .2*tagw + .1*max(0,cls) + .1*ln(len+1)
+    # node0 <p>: text==inner html → density 1, no links
+    p_len = "12.0 * (doc_id % 5 + 3) + 6"
+    # node1 div: inner = '<a href="/c">' (13) + linktext + '</a>' (4)
+    lt_len = "3.0 * (doc_id % 4 + 1) + 5"
+    art_len = "19.0 * (doc_id % 6 + 2) + 7"
+    return f"""
+WITH s AS (
+  SELECT doc_id, 0 AS node_idx, 'p' AS tag,
+    (0.4 * 1.0 + 0.2 * 1.0 + 0.2 * 1.0 + 0.1 * 0.0 + 0.1 * ln(({p_len}) + 1)) AS score
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1 AS node_idx, 'div' AS tag,
+    (0.4 * (({lt_len}) / (({lt_len}) + 17.0)) + 0.2 * 0.0 + 0.2 * 0.5 + 0.1 * 0.0
+     + 0.1 * ln(({lt_len}) + 1)) AS score
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 2 AS node_idx, 'article' AS tag,
+    (0.4 * 1.0 + 0.2 * 1.0 + 0.2 * 1.5 + 0.1 * 0.0 + 0.1 * ln(({art_len}) + 1)) AS score
+  FROM documents
+)
+SELECT doc_id, CAST(node_idx AS BIGINT) AS node_idx, tag,
+       CAST(round(score * 1000000) AS BIGINT) AS score_e6,
+       (score < 0.48) AS removed
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # deterministic fixtures for the iterative / binary queries: the pure-Python
 # reference-loop oracles (crawl4ai_spark.oracles — transcriptions of
@@ -1879,6 +2067,9 @@ FROM first GROUP BY wave_id
         # corpus replay costs ~100 ms once)
         "structured_regex": _structured_regex_sql(),
         "json_css_items": _json_css_sql(),
+        "markdown_citations": _markdown_citations_sql(),
+        "content_filter_bm25": _content_filter_bm25_sql(),
+        "pruning_scores": _pruning_scores_sql(),
         "crawl_bfs": _cached_fixture("crawl_bfs", _crawl_bfs_fixture_sql),
         "crawl_dfs": _cached_fixture("crawl_dfs", _crawl_dfs_fixture_sql),
         "crawl_best_first": _cached_fixture("crawl_best_first", _crawl_bff_fixture_sql),

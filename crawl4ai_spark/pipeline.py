@@ -81,6 +81,9 @@ class JobConfig:
     bloom_bits: int = 1 << 20
     fairness_waves: int = 10
     emit_images: bool = True
+    emit_markdown: bool = False  # markdown/citations/fit_markdown table per wave
+    markdown_fit_mode: str | None = None  # None | "pruning" | "bm25"
+    markdown_query: str | None = None  # bm25 fit query
     n_partitions: int = 0  # 0 → defaultParallelism
 
 
@@ -265,6 +268,12 @@ class CrawlJob:
             images_delta = self._emit_images(ok, wave_id)
             n_images = images_delta.count()
 
+        # markdown emit (reference: every CrawlResult carries .markdown —
+        # markdown_generation_strategy.py:55-260; fit via content filter)
+        markdown_delta = None
+        if cfg.emit_markdown:
+            markdown_delta = self._emit_markdown(ok, wave_id)
+
         # frontier expansion
         seen = self.catalog.read("seen", snap)
         blooms = self.catalog.read("bloom", snap) if cfg.use_bloom else None
@@ -317,6 +326,8 @@ class CrawlJob:
                 appends["bloom"] = delta_bloom
         if images_delta is not None:
             appends["images"] = images_delta
+        if markdown_delta is not None:
+            appends["markdown"] = markdown_delta
         self.catalog.commit_wave(
             wave_id,
             state={"frontier": next_frontier, "host_state": new_host_state},
@@ -401,6 +412,23 @@ class CrawlJob:
         valid_ids = checks.filter("ok AND dims_match AND phash_matches").select("image_id")
         return payload.join(valid_ids, "image_id")
 
+    def _emit_markdown(self, ok: DataFrame, wave_id: int) -> DataFrame:
+        from .functions.markdown import markdown_for_pages
+        from .operators.content_filter import bm25_filter_content, pruning_filter_content
+
+        cfg = self.cfg
+        content_filter = None
+        if cfg.markdown_fit_mode == "pruning":
+            content_filter = pruning_filter_content
+        elif cfg.markdown_fit_mode == "bm25":
+            q = cfg.markdown_query
+
+            def content_filter(html):  # noqa: F811
+                return bm25_filter_content(html, user_query=q)
+
+        md = markdown_for_pages(ok, content_filter=content_filter)
+        return md.withColumn("wave_id", F.lit(wave_id))
+
     def _crawled_so_far(self) -> int:
         res = self.catalog.read("results")
         if res is None:
@@ -428,6 +456,9 @@ class CrawlJob:
 
     def images(self) -> DataFrame | None:
         return self.catalog.read("images")
+
+    def markdown(self) -> DataFrame | None:
+        return self.catalog.read("markdown")
 
     def lineage(self) -> DataFrame:
         return self.catalog.lineage()

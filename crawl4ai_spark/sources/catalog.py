@@ -43,7 +43,7 @@ LINEAGE_SCHEMA = T.StructType(
 )
 
 _STATE_TABLES = ("frontier", "host_state")  # rewritten per snapshot
-_APPEND_TABLES = ("seen", "images", "results", "lineage", "bloom")  # per-wave deltas
+_APPEND_TABLES = ("seen", "images", "results", "lineage", "bloom", "markdown")  # per-wave deltas
 
 
 class SnapshotCatalog:

@@ -1,0 +1,268 @@
+"""Markdown generation + content filters (PruningContentFilter /
+chunk-level BM25ContentFilter) — golden tests plus execution of the
+reference's own clean_tokens/fast_urljoin via AST extraction."""
+
+import math
+
+import pytest
+
+from crawl4ai_spark.functions.markdown import (
+    convert_links_to_citations,
+    fast_urljoin,
+    generate_markdown,
+    html_to_markdown,
+    markdown_for_pages,
+)
+from crawl4ai_spark.operators.content_filter import (
+    bm25_chunks,
+    bm25_filter_content,
+    bm25_okapi_scores,
+    clean_element,
+    clean_tokens,
+    composite_score,
+    extract_text_chunks,
+    fit_content,
+    page_chunks_bm25,
+    pruning_filter_content,
+)
+from crawl4ai_spark.functions.dom import ensure_body, parse_dom
+
+from reference_loader import load_defs
+
+
+# ---------------------------------------------------------------- xchecks
+def test_clean_tokens_xcheck_reference():
+    ref = load_defs("utils.py", ["clean_tokens"])["clean_tokens"]
+    samples = [
+        ["the", "quick", "brown", "fox", "at", "up", "↑top", "ab", "can't", "data"],
+        [],
+        ["running", "with", "scissors", "n't", "none", "alpha"],
+    ]
+    for toks in samples:
+        assert clean_tokens(toks) == ref(toks)
+
+
+def test_fast_urljoin_xcheck_reference():
+    ref = load_defs("markdown_generation_strategy.py", ["fast_urljoin"])["fast_urljoin"]
+    cases = [
+        ("https://a.com/page", "/x/y"),
+        ("https://a.com/page/", "/x/y"),
+        ("https://a.com/page", "rel/z"),
+        ("https://a.com/page", "https://b.com/q"),
+        ("https://a.com/page", "//cdn.com/q"),
+        ("https://a.com/page", "mailto:a@b.c"),
+    ]
+    for base, url in cases:
+        assert fast_urljoin(base, url) == ref(base, url)
+
+
+# ------------------------------------------------------------- markdown
+HTML = (
+    '<html><head><title>T</title></head><body><h1>Title 5</h1>'
+    '<p>See <a href="/docs/5">guide 5</a> and '
+    '<a href="https://ext.example.org/x" title="Ext T">ext link</a> now.</p>'
+    "<ul><li>one</li><li>two <b>bold</b></li></ul>"
+    "<pre>code block</pre><blockquote><p>quoted</p></blockquote></body></html>"
+)
+
+
+def test_html_to_markdown_golden():
+    md = html_to_markdown(HTML)
+    assert md == (
+        "# Title 5\n"
+        'See [guide 5](/docs/5) and [ext link](https://ext.example.org/x "Ext T") now.\n'
+        "* one\n"
+        "* two **bold**\n"
+        "```\ncode block\n```\n"
+        "> quoted\n"
+    )
+
+
+def test_citations_reference_semantics():
+    md, refs = convert_links_to_citations(
+        'See [guide](/docs/5) and [ext](https://e.org/x "T") and [guide](/docs/5).',
+        base_url="https://h.example.com/page",
+    )
+    # repeated link reuses the first number (markdown_generation_strategy.py:121-128)
+    assert md == "See guide⟨1⟩ and ext⟨2⟩ and guide⟨1⟩."
+    assert refs == (
+        "\n\n## References\n\n"
+        "⟨1⟩ https://h.example.com/page/docs/5: guide\n"
+        "⟨2⟩ https://e.org/x: T - ext\n"
+    )
+
+
+def test_citation_image_form():
+    md, _ = convert_links_to_citations("![alt text](/img/a.png)", base_url="https://h.com")
+    assert md == "![alt text⟨1⟩]"
+
+
+def test_markdown_for_pages_spark(spark):
+    pages = spark.createDataFrame([("https://h.com/p", HTML)], "url string, html string")
+    row = markdown_for_pages(pages).collect()[0]
+    assert row["raw_markdown"].startswith("# Title 5")
+    assert "guide 5⟨1⟩" in row["markdown_with_citations"]
+    assert "## References" in row["references_markdown"]
+
+
+# ------------------------------------------------------- chunk extraction
+CHUNK_HTML = (
+    "<html><head><title>alphaq overview</title></head><body>"
+    "<h1>alphaq heading words</h1>"
+    "<p>betaq betaq filler words content</p>"
+    '<div class="x"><span>inline</span> tail of div</div>'
+    "<p>gammaq deep block</p>"
+    "</body></html>"
+)
+
+
+def test_extract_text_chunks_order_and_tags():
+    body = ensure_body(parse_dom(CHUNK_HTML))
+    chunks = extract_text_chunks(body)
+    texts = [(t, tag.tag, tt) for _i, t, tt, tag in chunks]
+    # note "inlinetail": the reference strips EACH string node then joins
+    # with "" (content_filter_strategy.py:222-224) — pinned
+    assert texts == [
+        ("alphaq heading words", "h1", "header"),
+        ("betaq betaq filler words content", "p", "content"),
+        ("inlinetail of div", "div", "content"),
+        ("gammaq deep block", "p", "content"),
+    ]
+
+
+def test_bm25_chunks_scoring():
+    out = bm25_chunks(CHUNK_HTML, user_query="alphaq betaq gammaq")
+    assert [tag for _i, _c, tag, _r, _a in out] == ["h1", "p", "div", "p"]
+    # independent recomputation of the BM25Okapi formula
+    corpus = [
+        ["alphaq", "heading", "words"],
+        ["betaq", "betaq", "filler", "words", "content"],
+        ["inlinetail", "div"],
+        ["gammaq", "deep", "block"],
+    ]
+    scores = bm25_okapi_scores(corpus, ["alphaq", "betaq", "gammaq"])
+    for (idx, _c, tag, raw, adj), expect in zip(out, scores):
+        assert raw == pytest.approx(expect)
+        assert adj == pytest.approx(expect * (5.0 if tag == "h1" else 1.0))
+
+
+def test_bm25_okapi_epsilon_floor():
+    # a term in most docs gets negative idf → floored to 0.25 * avg_idf
+    corpus = [["common", "unique1"], ["common", "unique2"], ["common", "unique3"]]
+    n, N = 3, 3
+    idf_common = math.log(N - n + 0.5) - math.log(n + 0.5)
+    assert idf_common < 0
+    idf_unique = math.log(N - 1 + 0.5) - math.log(1.5)
+    avg = (idf_common + 3 * idf_unique) / 4
+    got = bm25_okapi_scores(corpus, ["common"])
+    expect = 0.25 * avg * (1 * 2.5) / (1 + 1.5 * (1 - 0.75 + 0.75 * 1.0))
+    assert got[0] == pytest.approx(expect)
+
+
+def test_bm25_filter_content_threshold_and_order():
+    blocks = bm25_filter_content(CHUNK_HTML, user_query="alphaq gammaq", bm25_threshold=0.8)
+    # h1 (weight 5) and the gammaq paragraph pass; order is document order
+    assert blocks[0].startswith("<h1>")
+    assert any("gammaq" in b for b in blocks)
+    assert all("betaq" not in b for b in blocks)
+    # at threshold 1.0 the unweighted paragraph (~0.88) drops, h1 stays
+    hi = bm25_filter_content(CHUNK_HTML, user_query="alphaq gammaq", bm25_threshold=1.0)
+    assert hi and all(b.startswith("<h1>") for b in hi)
+
+
+def test_bm25_stemming_unsupported():
+    with pytest.raises(NotImplementedError):
+        bm25_chunks(CHUNK_HTML, user_query="x", use_stemming=True)
+
+
+# --------------------------------------------------------------- pruning
+PRUNE_HTML = (
+    "<html><body>"
+    "<p>This paragraph carries a healthy amount of meaningful readable text "
+    "for density scoring purposes and should clearly survive pruning.</p>"
+    '<div class="ads-banner"><a href="/c">ad link</a></div>'
+    "<article>Long form article body text that is dense and informative, "
+    "with plenty of content to keep its composite score high.</article>"
+    "</body></html>"
+)
+
+
+def test_composite_score_quirks():
+    body = ensure_body(parse_dom(PRUNE_HTML))
+    p, div, art = body.element_children()
+    # p: pure text → density 1, no links
+    text = p.get_text(strip=True)
+    expect_p = (
+        0.4 * 1.0 + 0.2 * 1.0 + 0.2 * 1.0 + 0.1 * 0.0 + 0.1 * math.log(len(text) + 1)
+    )
+    assert composite_score(p) == pytest.approx(expect_p)
+    # div: all text is link text → link density 0; negative class clipped
+    # to 0 by the reference's max(0, class_score) (:758 — pinned quirk)
+    inner = div.inner_html()
+    lt = len("ad link")
+    expect_div = (
+        0.4 * (lt / len(inner)) + 0.2 * 0.0 + 0.2 * 0.5 + 0.1 * 0.0
+        + 0.1 * math.log(lt + 1)
+    )
+    assert composite_score(div) == pytest.approx(expect_div)
+
+
+def test_pruning_filter_drops_link_farm():
+    blocks = pruning_filter_content(PRUNE_HTML, threshold=0.48)
+    assert len(blocks) == 2
+    assert blocks[0].startswith("<p>") and blocks[1].startswith("<article>")
+
+
+def test_pruning_dynamic_threshold_runs():
+    blocks = pruning_filter_content(PRUNE_HTML, threshold=0.48, threshold_type="dynamic")
+    assert any(b.startswith("<article>") for b in blocks)
+
+
+def test_pruning_min_word_threshold():
+    blocks = pruning_filter_content(PRUNE_HTML, threshold=0.0, min_word_threshold=5)
+    # the ad div (2 words) scores -1.0 → removed even at threshold 0
+    assert all("ads-banner" not in b for b in blocks)
+
+
+def test_clean_element_strips_unwanted():
+    node = parse_dom('<div class="x" style="c" data-k="v"><script>x</script><p>t</p></div>').find("div")
+    assert clean_element(node) == '<div data-k="v"><p>t</p></div>'
+
+
+def test_fit_content_spark(spark):
+    pages = spark.createDataFrame([("u", PRUNE_HTML)], "url string, html string")
+    row = fit_content(pages, mode="pruning").collect()[0]
+    assert row["n_blocks"] == 2
+    assert "<div><p>" in row["fit_html"]
+    assert "healthy amount" in row["fit_markdown"]
+
+
+def test_page_chunks_bm25_spark(spark):
+    pages = spark.createDataFrame([("u", CHUNK_HTML)], "url string, html string")
+    rows = page_chunks_bm25(pages, user_query="alphaq betaq gammaq").orderBy("chunk_idx").collect()
+    assert [r["tag"] for r in rows] == ["h1", "p", "div", "p"]
+    assert rows[0]["adjusted"] == pytest.approx(rows[0]["bm25"] * 5.0)
+
+
+def test_crawljob_emits_markdown(spark, tmp_path):
+    from crawl4ai_spark.operators.traversal import canonical_corpus_fetcher
+    from crawl4ai_spark.pipeline import CrawlJob, JobConfig
+    from crawl4ai_spark.sources.corpus import generate_corpus, page_url
+
+    corpus = generate_corpus(seed=11, n_hosts=2, pages_per_host=5, with_images=False)
+    pages = spark.createDataFrame(corpus["pages"])
+    cfg = JobConfig(max_depth=2, wave_budget=100.0, use_bloom=False,
+                    emit_images=False, emit_markdown=True,
+                    markdown_fit_mode="pruning")
+    job = CrawlJob(spark, canonical_corpus_fetcher(pages), catalog_root=str(tmp_path),
+                   config=cfg)
+    job.seed(spark.createDataFrame([(page_url(0, 0),), (page_url(1, 0),)], "url string"))
+    job.run(max_waves=4)
+    md = job.markdown()
+    assert md is not None
+    rows = md.collect()
+    ok_urls = {r["url"] for r in job.results().filter("success").collect()}
+    assert {r["url"] for r in rows} == ok_urls
+    assert all(r["raw_markdown"].startswith("# ") for r in rows)  # corpus pages open with h1
+    assert any("## References" in r["references_markdown"] for r in rows)
+    assert all(r["fit_html"] is not None for r in rows)
