@@ -904,11 +904,7 @@ def q_table_extraction(spark, sf_dir):
     )
 
 
-def q_adaptive_digest(spark, sf_dir):
-    """Progressive crawl over a deterministic two-topic site: the loop
-    must favor on-query pages and stop at max_pages."""
-    from crawl4ai_spark.operators.adaptive import digest
-
+def _digest_site() -> dict:
     topics = {"spark": ["joins", "windows", "aggregation", "shuffle"],
               "bread": ["flour", "yeast", "ovens", "dough"]}
     pages = {"https://site.test/": ("landing page about many things", [])}
@@ -917,6 +913,15 @@ def q_adaptive_digest(spark, sf_dir):
             url = f"https://site.test/{topic}/{w}"
             pages[url] = (f"{topic} {w} content {' '.join(words)}", [])
             pages["https://site.test/"][1].append((url, f"{topic} {w} article", topic))
+    return pages
+
+
+def q_adaptive_digest(spark, sf_dir):
+    """Progressive crawl over a deterministic two-topic site: the loop
+    must favor on-query pages and stop at max_pages."""
+    from crawl4ai_spark.operators.adaptive import digest
+
+    pages = _digest_site()
 
     def fetch_text_fn(urls):
         rows = [
@@ -999,6 +1004,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_citations": q_markdown_citations,
         "content_filter_bm25": q_content_filter_bm25,
         "pruning_scores": q_pruning_scores,
+        "config_select": q_config_select,
+        "sitemap_expand": q_sitemap_expand,
+        "url_relevance": q_url_relevance,
+        "link_preview": q_link_preview,
     }
 
 
@@ -1738,6 +1747,270 @@ FROM s
 """
 
 
+_CONFIG_SET = None
+
+
+def _config_set():
+    global _CONFIG_SET
+    if _CONFIG_SET is None:
+        from crawl4ai_spark.operators.config_match import RunConfig
+
+        _CONFIG_SET = [
+            RunConfig("pdf", "*.pdf"),
+            RunConfig("editorial", ["*/blog/*", "*/article/*"]),
+            RunConfig("secure_com", ["https://*", "*.com/*"], match_mode="and"),
+        ]
+    return _CONFIG_SET
+
+
+def _config_urls(orders: DataFrame) -> DataFrame:
+    k = F.col("o_orderkey")
+    scheme = F.when(k % 5 == 0, F.lit("http://")).otherwise(F.lit("https://"))
+    tld = F.when(k % 3 == 0, F.lit(".com")).otherwise(F.lit(".org"))
+    sec = (
+        F.when(k % 4 == 0, F.lit("/blog/"))
+        .when(k % 4 == 1, F.lit("/article/"))
+        .otherwise(F.lit("/x/"))
+    )
+    ext = F.when(k % 7 == 0, F.lit(".pdf")).otherwise(F.lit(""))
+    url = F.concat(scheme, F.lit("site"), (k % 9).cast("string"), tld, sec,
+                   F.lit("doc"), k.cast("string"), ext)
+    return orders.select("o_orderkey", url.alias("url"))
+
+
+def q_config_select(spark, sf_dir):
+    """Per-URL config selection (async_dispatcher.py:101-125,
+    async_configs.py:1569-1612): first matching config's name, NULL ⇒
+    the skip-with-failed-result path.  Glob-only set → pure-Catalyst
+    CASE/rlike chain."""
+    from crawl4ai_spark.operators.config_match import assign_config
+
+    cu = _config_urls(_t(spark, sf_dir, "orders"))
+    return assign_config(cu, _config_set()).select("o_orderkey", "url", "config_name")
+
+
+def _config_select_sql() -> str:
+    return """
+WITH cu AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 5 = 0 THEN 'http://' ELSE 'https://' END
+    || 'site' || CAST(o_orderkey % 9 AS VARCHAR)
+    || CASE WHEN o_orderkey % 3 = 0 THEN '.com' ELSE '.org' END
+    || CASE WHEN o_orderkey % 4 = 0 THEN '/blog/' WHEN o_orderkey % 4 = 1 THEN '/article/' ELSE '/x/' END
+    || 'doc' || CAST(o_orderkey AS VARCHAR)
+    || CASE WHEN o_orderkey % 7 = 0 THEN '.pdf' ELSE '' END AS url
+  FROM orders
+)
+SELECT o_orderkey, url,
+  CASE WHEN url LIKE '%.pdf' THEN 'pdf'
+       WHEN url LIKE '%/blog/%' OR url LIKE '%/article/%' THEN 'editorial'
+       WHEN url LIKE 'https://%' AND url LIKE '%.com/%' THEN 'secure_com'
+       ELSE NULL END AS config_name
+FROM cu
+"""
+
+
+def q_sitemap_expand(spark, sf_dir):
+    """Sitemap-index recursion (async_url_seeder.py:866-1258): per nation
+    host, an index of two sub-sitemaps, each listing five pages (one sub
+    gzipped, relative locs, lastmod) — iterative DataFrame-union
+    expansion against the synthesized store."""
+    from crawl4ai_spark.operators.sitemap import expand_sitemaps
+
+    n = _t(spark, sf_dir, "nation")
+    host = F.concat(F.lit("h"), F.col("n_nationkey").cast("string"), F.lit(".example.com"))
+    idx_url = F.concat(F.lit("https://"), host, F.lit("/sitemap.xml"))
+    idx_xml = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>/sm/0.xml</loc><lastmod>2024-01-0"),
+        (F.col("n_nationkey") % 9 + 1).cast("string"),
+        F.lit("</lastmod></sitemap><sitemap><loc>https://"), host,
+        F.lit("/sm/1.xml.gz</loc></sitemap></sitemapindex>"),
+    )
+
+    def sub_xml(sub: int):
+        pages = "".join(
+            f"<url><loc>/p{sub}{j}</loc></url>" for j in range(5)
+        )
+        return F.lit(f"<urlset>{pages}</urlset>")
+
+    idx = n.select(idx_url.alias("sitemap_url"), F.encode(idx_xml, "utf-8").alias("content"))
+    sub0 = n.select(
+        F.concat(F.lit("https://"), host, F.lit("/sm/0.xml")).alias("sitemap_url"),
+        F.encode(sub_xml(0), "utf-8").alias("content"),
+    )
+
+    import gzip as _gzip
+
+    gz_payload = _gzip.compress(
+        b"<urlset>" + b"".join(f"<url><loc>/p1{j}</loc></url>".encode() for j in range(5)) + b"</urlset>"
+    )
+    sub1 = n.select(
+        F.concat(F.lit("https://"), host, F.lit("/sm/1.xml.gz")).alias("sitemap_url"),
+        F.lit(bytearray(gz_payload)).alias("content"),
+    )
+    store = idx.unionByName(sub0).unionByName(sub1)
+    seeds = idx.select("sitemap_url")
+    out = expand_sitemaps(spark, seeds, store)
+    return out.select("url", "source_sitemap", "lastmod")
+
+
+def _sitemap_expand_sql() -> str:
+    return """
+WITH hosts AS (SELECT 'h' || CAST(n_nationkey AS VARCHAR) || '.example.com' AS host FROM nation),
+subs AS (SELECT host, s.sub FROM hosts, (SELECT 0 AS sub UNION ALL SELECT 1) s),
+pages AS (SELECT host, sub, p.j FROM subs,
+          (SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4) p)
+SELECT
+  'https://' || host || '/p' || CAST(sub AS VARCHAR) || CAST(j AS VARCHAR) AS url,
+  'https://' || host || '/sm/' || CAST(sub AS VARCHAR) || CASE WHEN sub = 1 THEN '.xml.gz' ELSE '.xml' END AS source_sitemap,
+  NULL AS lastmod
+FROM pages
+"""
+
+
+def q_url_relevance(spark, sf_dir):
+    """URL-relevance fallback scorer (async_url_seeder.py:1497-1583) —
+    the seeder's scoring when no BM25 head text exists."""
+    from crawl4ai_spark.operators.seeder import url_relevance_udf
+
+    o = _t(spark, sf_dir, "orders")
+    url = _relevance_url_expr(F.col("o_orderkey"))
+    df = o.select("o_orderkey", url.alias("url"))
+    return df.select(
+        "o_orderkey", "url",
+        _e6(url_relevance_udf("python data tutorial")(F.col("url"))).alias("relevance_e6"),
+    )
+
+
+def _relevance_url_expr(k: Column) -> Column:
+    seg = (
+        F.when(k % 3 == 0, F.lit("python"))
+        .when(k % 3 == 1, F.lit("data-engineering"))
+        .otherwise(F.lit("misc"))
+    )
+    leaf = (
+        F.when(k % 4 == 0, F.lit("tutorial"))
+        .when(k % 4 == 1, F.lit("reference"))
+        .otherwise(F.lit("page"))
+    )
+    q = F.when(k % 5 == 0, F.lit("?q=data&lang=en")).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("https://www.site"), (k % 60 % 7).cast("string"), F.lit(".example.com/"),
+        seg, F.lit("/"), leaf, q,
+    )
+
+
+def _url_relevance_fixture_sql() -> str:
+    """Scores depend only on o_orderkey % 60 (every url component is a
+    mod-60 divisor residue) → 60-row fixture from the pure scorer."""
+    from crawl4ai_spark.operators.seeder import url_relevance_score
+
+    rows = []
+    for r in range(60):
+        seg = "python" if r % 3 == 0 else ("data-engineering" if r % 3 == 1 else "misc")
+        leaf = "tutorial" if r % 4 == 0 else ("reference" if r % 4 == 1 else "page")
+        q = "?q=data&lang=en" if r % 5 == 0 else ""
+        url = f"https://www.site{r % 7}.example.com/{seg}/{leaf}{q}"
+        score = url_relevance_score("python data tutorial", url)
+        rows.append((r, url, round(score * 1e6)))
+    vals = ",\n".join(f"({r}, '{u}', {s})" for r, u, s in rows)
+    return f"""
+WITH fx(r, url, relevance_e6) AS (VALUES
+{vals}
+)
+SELECT o.o_orderkey, fx.url, CAST(fx.relevance_e6 AS BIGINT) AS relevance_e6
+FROM orders o JOIN fx ON o.o_orderkey % 60 = fx.r
+"""
+
+
+def _preview_edges(part: DataFrame) -> DataFrame:
+    k = F.col("p_partkey")
+    sec = (
+        F.when(k % 4 == 0, F.lit("docs"))
+        .when(k % 4 == 1, F.lit("blog"))
+        .when(k % 4 == 2, F.lit("cart"))
+        .otherwise(F.lit("misc"))
+    )
+    return part.select(
+        "p_partkey",
+        F.concat(F.lit("https://site.example.com/page"), (k % 40).cast("string")).alias("src_url"),
+        F.concat(F.lit("https://site.example.com/"), sec, F.lit("/"), k.cast("string")).alias("href"),
+        (k % 7 == 0).alias("is_external"),
+        k.cast("long").alias("link_seq"),
+        ((k % 11).cast("double") / 2.0).alias("intrinsic_score"),
+    )
+
+
+def q_link_preview(spark, sf_dir):
+    """Link-preview composition (link_preview.py:71-380): candidate
+    filter (patterns + pre-dedup max_links cut) → head join → collective
+    BM25 contextual score (min-max normalized) → total score."""
+    from crawl4ai_spark.operators.link_preview import link_preview
+
+    part = _t(spark, sf_dir, "part")
+    edges = _preview_edges(part)
+    k = F.col("p_partkey")
+    heads = part.filter(k % 3 != 1).select(
+        F.concat(
+            F.lit("https://site.example.com/"),
+            F.when(k % 4 == 0, F.lit("docs")).when(k % 4 == 1, F.lit("blog"))
+            .when(k % 4 == 2, F.lit("cart")).otherwise(F.lit("misc")),
+            F.lit("/"), k.cast("string"),
+        ).alias("url"),
+        F.when(k % 5 == 0, F.concat(F.lit("data guide item"), k.cast("string")))
+        .otherwise(F.concat(F.lit("other words item"), k.cast("string")))
+        .alias("head_text"),
+    )
+    out = link_preview(
+        edges, heads, query_terms=["data", "guide"],
+        include_internal=True, include_external=False,
+        include_patterns=["*site.example.com/*"], exclude_patterns=["*/cart/*"],
+        max_links=5,
+    )
+    return out.select(
+        "src_url", "href",
+        F.col("preview_rank").cast("long").alias("preview_rank"),
+        "head_extraction_status",
+        _e6(F.col("contextual_score")).alias("contextual_e6"),
+        _e6(F.col("total_score")).alias("total_e6"),
+    )
+
+
+def _link_preview_sql() -> str:
+    # corpus design: every scored head doc has identical (tf, dl) → the
+    # min-max normalization collapses to 1.0 (has terms) / 0.0 (none)
+    return """
+WITH edges AS (
+  SELECT p_partkey,
+    'https://site.example.com/page' || CAST(p_partkey % 40 AS VARCHAR) AS src_url,
+    'https://site.example.com/' ||
+      CASE WHEN p_partkey % 4 = 0 THEN 'docs' WHEN p_partkey % 4 = 1 THEN 'blog'
+           WHEN p_partkey % 4 = 2 THEN 'cart' ELSE 'misc' END
+      || '/' || CAST(p_partkey AS VARCHAR) AS href,
+    (p_partkey % 7 = 0) AS is_external,
+    p_partkey AS link_seq,
+    CAST(p_partkey % 11 AS DOUBLE) / 2.0 AS intrinsic
+  FROM part
+), cand AS (
+  SELECT *, row_number() OVER (PARTITION BY src_url ORDER BY is_external ASC, link_seq ASC) AS preview_rank
+  FROM edges
+  WHERE NOT is_external AND href NOT LIKE '%/cart/%'
+), cut AS (
+  SELECT * FROM cand WHERE preview_rank <= 5
+)
+SELECT src_url, href, CAST(preview_rank AS BIGINT) AS preview_rank,
+  CASE WHEN p_partkey % 3 <> 1 THEN 'valid' ELSE 'not_processed' END AS head_extraction_status,
+  CASE WHEN p_partkey % 3 <> 1 THEN
+    CASE WHEN p_partkey % 5 = 0 THEN 1000000 ELSE 0 END END AS contextual_e6,
+  CASE WHEN p_partkey % 3 <> 1 THEN
+    CAST(round(greatest(0.0, least(
+      CAST(p_partkey % 11 AS DOUBLE) / 2.0 * 0.7
+      + least(CASE WHEN p_partkey % 5 = 0 THEN 10.0 ELSE 0.0 END, 10.0) * 0.3,
+      10.0)) * 1000000) AS BIGINT) END AS total_e6
+FROM cut
+"""
+
+
 # ---------------------------------------------------------------------------
 # deterministic fixtures for the iterative / binary queries: the pure-Python
 # reference-loop oracles (crawl4ai_spark.oracles — transcriptions of
@@ -1832,6 +2105,20 @@ def _gen_image_phashes(n: int = 200) -> list[tuple[str, int]]:
         rgb = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
         out.append((str(k), phash64(rgb)))
     return out
+
+
+def _adaptive_digest_fixture_sql() -> str:
+    """Crawl order of the progressive digest loop, replayed by the
+    sequential oracle transcription (crawl4ai_spark.oracles) on the same
+    deterministic two-topic site."""
+    from crawl4ai_spark.oracles import adaptive_digest_order, rows_values_sql
+
+    order = adaptive_digest_order(
+        _digest_site(), "https://site.test/", "spark joins windows",
+        confidence_threshold=0.95, max_pages=5, top_k_links=2,
+    )
+    rows = [(i, u) for i, u in enumerate(order)]
+    return rows_values_sql(rows, [("seq", "BIGINT"), ("url", "VARCHAR")])
 
 
 def _image_pipeline_fixture_sql() -> str:
@@ -2070,6 +2357,10 @@ FROM first GROUP BY wave_id
         "markdown_citations": _markdown_citations_sql(),
         "content_filter_bm25": _content_filter_bm25_sql(),
         "pruning_scores": _pruning_scores_sql(),
+        "config_select": _config_select_sql(),
+        "sitemap_expand": _sitemap_expand_sql(),
+        "url_relevance": _cached_fixture("url_relevance", _url_relevance_fixture_sql),
+        "link_preview": _link_preview_sql(),
         "crawl_bfs": _cached_fixture("crawl_bfs", _crawl_bfs_fixture_sql),
         "crawl_dfs": _cached_fixture("crawl_dfs", _crawl_dfs_fixture_sql),
         "crawl_best_first": _cached_fixture("crawl_best_first", _crawl_bff_fixture_sql),
@@ -2080,8 +2371,8 @@ FROM first GROUP BY wave_id
 SELECT CAST(p_partkey AS VARCHAR) AS image_id, TRUE AS psnr_ge_40, TRUE AS caption_equal
 FROM part WHERE p_partkey < 200
 """,
+        "adaptive_digest": _cached_fixture("adaptive_digest", _adaptive_digest_fixture_sql),
         # simhash_pairs: xxhash64-based — not portable to DuckDB (rows-only)
-        # adaptive_digest: iterative confidence loop — rows-only
     }
 
 

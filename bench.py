@@ -176,6 +176,16 @@ ENTRY_QUERIES = [
     "embedding_near_dup",
     "quality_scores",
     "lang_id",
+    # round-2 operator families
+    "structured_regex",
+    "json_css_items",
+    "markdown_citations",
+    "content_filter_bm25",
+    "pruning_scores",
+    "config_select",
+    "sitemap_expand",
+    "url_relevance",
+    "link_preview",
 ]
 
 

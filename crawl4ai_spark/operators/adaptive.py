@@ -272,3 +272,28 @@ def digest(
     m = confidence(kb, query, new_terms_history, id_col="url")
     history.append(dict(m, pages=len(crawled)))
     return {"kb": kb, "crawl_order": crawled, "metrics": history, "confidence": m}
+
+
+# ---------------------------------------------------------------------------
+# Knowledge-base JSONL export/import (adaptive_crawler.py:1761-1875)
+# ---------------------------------------------------------------------------
+
+KB_SCHEMA = (
+    "url string, timestamp string, success boolean, query string, "
+    "content string, crawl_order int, confidence_at_crawl double, "
+    "total_documents int"
+)
+
+
+def export_knowledge_base(kb: DataFrame, path: str) -> None:
+    """JSONL export — one document per line (df.write.json), the
+    reference's export_knowledge_base record shape flattened: url /
+    timestamp / success / query / content plus the crawl_metadata
+    fields (crawl_order, confidence_at_crawl, total_documents)."""
+    kb.write.mode("overwrite").json(path)
+
+
+def import_knowledge_base(spark, path: str) -> DataFrame:
+    """Round-trip import with the export schema (absent fields null —
+    mirrors the reference's MockCrawlResult defaults)."""
+    return spark.read.schema(KB_SCHEMA).json(path)

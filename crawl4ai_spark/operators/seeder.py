@@ -137,3 +137,88 @@ def seed_urls(
     if max_urls and max_urls > 0:
         seeds = seeds.limit(max_urls)
     return seeds
+
+
+# ---------------------------------------------------------------------------
+# URL relevance fallback scorer (async_url_seeder.py:1497-1583)
+# ---------------------------------------------------------------------------
+
+
+def url_relevance_score(query: str, url: str) -> float:
+    """Exact transcription of _calculate_url_relevance_score — the
+    scoring used whenever BM25 head text is unavailable in seeding:
+    exact/substring part matches (1.0/0.9), per-token best coverage
+    (0.7/0.6·coverage), 3-gram Jaccard (0.5·j), then a 1/(i+1)-weighted
+    average of the scores sorted descending, capped at 1.0."""
+    from urllib.parse import urlparse
+
+    query_lower = query.lower()
+    parsed = urlparse(url)
+    domain = parsed.netloc.replace("www.", "")
+    path = parsed.path.strip("/")
+    domain_parts = domain.split(".")
+    path_parts = [p for p in path.split("/") if p]
+    param_parts: list[str] = []
+    if parsed.query:
+        for param in parsed.query.split("&"):
+            if "=" in param:
+                key, value = param.split("=", 1)
+                param_parts.extend([key, value])
+    all_parts = domain_parts + path_parts + param_parts
+
+    scores: list[float] = []
+    query_tokens = query_lower.split()
+    for part in all_parts:
+        part_lower = part.lower()
+        if query_lower in part_lower:
+            scores.append(1.0)
+        elif part_lower in query_lower:
+            scores.append(0.9)
+    for token in query_tokens:
+        token_scores = []
+        for part in all_parts:
+            part_lower = part.lower()
+            if token in part_lower:
+                token_scores.append(0.7 * (len(token) / len(part_lower)))
+            elif part_lower in token:
+                token_scores.append(0.6 * (len(part_lower) / len(token)))
+        if token_scores:
+            scores.append(max(token_scores))
+
+    def get_ngrams(text: str, n: int = 3) -> set:
+        return set(text[i : i + n] for i in range(len(text) - n + 1))
+
+    url_text = " ".join(all_parts).lower()
+    if len(query_lower) >= 3 and len(url_text) >= 3:
+        query_ngrams = get_ngrams(query_lower)
+        url_ngrams = get_ngrams(url_text)
+        if query_ngrams and url_ngrams:
+            inter = len(query_ngrams & url_ngrams)
+            union = len(query_ngrams | url_ngrams)
+            scores.append(0.5 * (inter / union if union > 0 else 0))
+
+    if not scores:
+        return 0.0
+    scores.sort(reverse=True)
+    weighted = 0.0
+    total_weight = 0.0
+    for i, score in enumerate(scores):
+        weight = 1 / (i + 1)
+        weighted += score * weight
+        total_weight += weight
+    final = weighted / total_weight if total_weight > 0 else 0
+    return min(final, 1.0)
+
+
+def url_relevance_udf(query: str):
+    """Arrow-batched column form of the fallback scorer."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def score(urls: pd.Series) -> pd.Series:
+        return urls.map(lambda u: url_relevance_score(query, u))
+
+    # annotate explicitly: deferred annotations ('pd.Series' strings)
+    # don't resolve inside a closure for pandas_udf inference
+    score.__annotations__ = {"urls": pd.Series, "return": pd.Series}
+    return F.pandas_udf(score, T.DoubleType())

@@ -478,6 +478,127 @@ def job_rows(
 
 
 # ---------------------------------------------------------------------------
+# adaptive/progressive digest oracle (adaptive_crawler.py:1308-1453 +
+# StatisticalStrategy metrics :303-614) — sequential transcription of
+# operators/adaptive.digest for the driver fixture
+# ---------------------------------------------------------------------------
+
+
+def _adaptive_tok(text: str) -> list[str]:
+    import re as _re
+
+    return [t for t in _re.sub(r"[^\w\s]", " ", text).split() if len(t) > 2]
+
+
+def adaptive_digest_order(
+    pages: dict,
+    start_url: str,
+    query: str,
+    confidence_threshold: float = 0.7,
+    max_pages: int = 20,
+    top_k_links: int = 3,
+) -> list[str]:
+    """Crawl order of the progressive digest loop over a
+    ``pages: url -> (text, [(href, text, title)])`` site."""
+    crawled: list[str] = []
+    kb: list[tuple[str, str]] = []
+    pending: dict[str, tuple] = {}
+    vocab: set[str] = set()
+    nth: list[int] = []
+
+    def crawl_batch(urls):
+        for u in urls:
+            if u not in pages:
+                continue
+            text, links = pages[u]
+            crawled.append(u)
+            kb.append((u, text))
+            new = set(_adaptive_tok((text or "").lower())) - vocab
+            vocab.update(new)
+            nth.append(len(new))
+            for href, lt, lti in links:
+                if href not in pending and href not in set(crawled):
+                    pending[href] = (href, lt, lti)
+
+    def coverage_py() -> float:
+        n_docs = len(kb)
+        terms = _adaptive_tok(query.lower())
+        if n_docs == 0 or not terms:
+            return 0.0
+        tf: dict[str, int] = {}
+        df: dict[str, int] = {}
+        for _u, text in kb:
+            toks = _adaptive_tok(text.lower())
+            for t in toks:
+                tf[t] = tf.get(t, 0) + 1
+            for t in set(toks):
+                df[t] = df.get(t, 0) + 1
+        max_tf = max(tf.values()) if tf else 1
+        scores = []
+        for t in terms:
+            if df.get(t, 0) == 0:
+                scores.append(0.0)
+                continue
+            freq = math.log(1 + tf[t]) / math.log(1 + max_tf) if max_tf > 0 else 0.0
+            scores.append(df[t] / n_docs * (1 + 0.5 * freq))
+        return min(1.0, math.sqrt(sum(scores) / len(scores)))
+
+    def consistency_py() -> float:
+        if len(kb) < 2:
+            return 1.0
+        sets = [set(_adaptive_tok(t.lower())) for _u, t in kb]
+        sets = [s for s in sets if s]
+        pairs = []
+        for i in range(len(sets)):
+            for j in range(i + 1, len(sets)):
+                u = sets[i] | sets[j]
+                pairs.append(len(sets[i] & sets[j]) / len(u) if u else 0.0)
+        return sum(pairs) / len(pairs) if pairs else 0.0
+
+    def saturation_py() -> float:
+        if len(nth) < 2:
+            return 0.0
+        recent = nth[-1] if nth[-1] > 0 else 1
+        initial = nth[0] if nth[0] > 0 else 1
+        return max(0.0, min(1.0 - recent / initial, 1.0))
+
+    def confidence_py() -> float:
+        return 0.4 * coverage_py() + 0.3 * consistency_py() + 0.3 * saturation_py()
+
+    def rank_py(cand: list[tuple]) -> list[str]:
+        q_terms = sorted(set(_adaptive_tok(query.lower())))
+        out = []
+        for href, text, title in cand:
+            lterms = list(dict.fromkeys(_adaptive_tok(((text or "") + " " + (title or "")).lower())))
+            if q_terms:
+                rel = 0.0 if not lterms else len(set(lterms) & set(q_terms)) / len(q_terms)
+            else:
+                rel = 0.0
+            if not lterms:
+                nov = 0.5
+            else:
+                nov = sum(1 for t in lterms if t not in vocab) / max(len(lterms), 1)
+            out.append((0.5 * rel + 0.3 * nov + 0.2 * 1.0, href))
+        out.sort(key=lambda x: (-x[0], x[1]))
+        return [h for _s, h in out]
+
+    crawl_batch([start_url])
+    while len(crawled) < max_pages:
+        if confidence_py() >= confidence_threshold:
+            break
+        cand = [v for k, v in pending.items() if k not in set(crawled)]
+        if not cand:
+            break
+        batch = rank_py(cand)[:top_k_links]
+        if not batch:
+            break
+        for h in batch:
+            pending.pop(h, None)
+        crawl_batch(batch)
+    return crawled
+
+
+# ---------------------------------------------------------------------------
 # fixture fetchers + DuckDB VALUES emitter
 # ---------------------------------------------------------------------------
 

@@ -109,6 +109,7 @@ class CrawlJob:
         config: JobConfig | None = None,
         robots: DataFrame | None = None,
         image_store: DataFrame | None = None,
+        run_configs: list | None = None,
     ):
         self.spark = spark
         self.fetch_fn = fetch_fn
@@ -116,6 +117,9 @@ class CrawlJob:
         self.catalog = SnapshotCatalog(catalog_root, spark)
         self.robots = robots
         self.image_store = image_store  # image_id → payload (the synthetic "CDN")
+        # per-URL RunConfig selection (async_dispatcher.py:101-125); a URL
+        # matching no config becomes a failed result and leaves the frontier
+        self.run_configs = run_configs
         self.stats: list[WaveStats] = []
 
     # ------------------------------------------------------------------ API
@@ -203,6 +207,18 @@ class CrawlJob:
         denied = gated.filter(~F.col("robots_allowed"))
         allowed = gated.filter(F.col("robots_allowed")).drop("robots_allowed")
 
+        # per-URL config selection: no match ⇒ failed result (dispatcher
+        # semantics, async_dispatcher.py:241-263), row leaves the frontier
+        unmatched = None
+        if self.run_configs is not None:
+            from .operators.config_match import assign_config
+
+            assigned = self._ckpt(
+                assign_config(allowed, self.run_configs), f"cfgmatch_{wave_id}"
+            )
+            unmatched = assigned.filter(F.col("config_name").isNull()).drop("config_name")
+            allowed = assigned.filter(F.col("config_name").isNotNull()).drop("config_name")
+
         # politeness schedule; carried rows age up
         sched = schedule_wave(
             allowed, host_state, wave_start=wave_start, wave_budget=cfg.wave_budget,
@@ -225,6 +241,7 @@ class CrawlJob:
         ).first()
         n_sched, n_admit = int(srow["n"]), int(srow["n_admit"] or 0)
         n_denied = 0 if self.robots is None else denied.count()  # scans the gated checkpoint
+        n_unmatched = 0 if unmatched is None else unmatched.count()
 
         # fetch
         fetched = self.fetch_fn(admitted)
@@ -248,7 +265,7 @@ class CrawlJob:
             F.sum((is_rl & (F.col("retry_count") >= cfg.max_retries)).cast("long")).alias("n_gaveup"),
         ).first()
         n_ok = int(frow["n_ok"] or 0)
-        n_failed = n_denied + int(frow["n_hard"] or 0) + int(frow["n_gaveup"] or 0)
+        n_failed = n_denied + n_unmatched + int(frow["n_hard"] or 0) + int(frow["n_gaveup"] or 0)
 
         # results log (lineage-grade, not the payload)
         results_log = fetched.select(
@@ -261,6 +278,15 @@ class CrawlJob:
                 F.lit(0.0).alias("scheduled_offset"), F.lit(wave_id).alias("wave_id"),
             )
         )
+        if unmatched is not None:
+            # "No matching configuration found" → failed result, no fetch
+            results_log = results_log.unionByName(
+                unmatched.select(
+                    "url", "host", "depth", "parent_url",
+                    F.lit(0).alias("status_code"), F.lit(False).alias("success"),
+                    F.lit(0.0).alias("scheduled_offset"), F.lit(wave_id).alias("wave_id"),
+                )
+            )
 
         # image payload emit
         images_delta, n_images = None, 0
