@@ -234,6 +234,47 @@ def q_simhash_pairs(spark, sf_dir):
     return docdedup.simhash_pairs(aug, max_hamming=6)
 
 
+def q_simhash_pairs_portable(spark, sf_dir):
+    """60-bit md5 SimHash twin of simhash_pairs — same banded-LSH shape,
+    hash portable to the DuckDB oracle (the xxhash64 variant stays the
+    scale default and keeps its rows-only check)."""
+    aug = _docs_aug(_t(spark, sf_dir, "documents"))
+    pairs = docdedup.simhash_pairs_md5(aug, max_hamming=6)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _simhash_portable_sql() -> str:
+    votes = ", ".join(
+        f"SUM(((h >> {i}) & 1) * 2 - 1) AS v{i}" for i in range(60)
+    )
+    pack = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60))
+    return f"""
+WITH {_DOCS_AUG_SQL},
+toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> ''))) AS tok
+  FROM docs_aug
+), hs AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+), votes AS (
+  SELECT doc_id, {votes} FROM hs GROUP BY doc_id
+), sim AS (
+  SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM votes
+), banded AS (
+  SELECT doc_id, simhash, bb.b AS band_idx, (simhash >> (bb.b * 15)) & 32767 AS band_val
+  FROM sim, (SELECT 0 AS b UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) bb
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
@@ -970,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_pairs_portable": q_simhash_pairs_portable,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "url_canonicalize": q_url_canonicalize,
@@ -2372,7 +2414,10 @@ SELECT CAST(p_partkey AS VARCHAR) AS image_id, TRUE AS psnr_ge_40, TRUE AS capti
 FROM part WHERE p_partkey < 200
 """,
         "adaptive_digest": _cached_fixture("adaptive_digest", _adaptive_digest_fixture_sql),
-        # simhash_pairs: xxhash64-based — not portable to DuckDB (rows-only)
+        "simhash_pairs_portable": _simhash_portable_sql(),
+        # simhash_pairs: xxhash64-based (the scale default) — hash not
+        # portable to DuckDB, rows-only; its md5 twin above carries the
+        # hash-checked verdict for the operator shape
     }
 
 

@@ -236,6 +236,75 @@ def simhash_table(
     return votes.unionByName(empty)
 
 
+def simhash_table_md5(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Portable 60-bit SimHash: token hash = first 15 hex digits of
+    md5(token) (identical in Spark `conv(_,16,10)` and DuckDB
+    `('0x'||_)::BIGINT`, so the whole operator is oracle-checkable).
+    Same explode → bit-vote groupBy shape as :func:`simhash_table`;
+    the md5 costs ~2× an xxhash64, so the xxhash64 variant stays the
+    scale default.  Zero-token docs excluded (see simhash_pairs)."""
+    bits = 60
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens_expr(F.lower(F.col(text_col))))).alias("tok"),
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for i in range(bits):
+        packed = packed.bitwiseXOR(
+            F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_pairs_md5(
+    docs: DataFrame, max_hamming: int = 6, text_col: str = "text", id_col: str = "doc_id",
+    band_bits: int = 15,
+) -> DataFrame:
+    """Portable near-dup pairs: 4×15-bit banded LSH over the 60-bit md5
+    SimHash, exact-Hamming verify — the oracle twin of simhash_pairs."""
+    sh = simhash_table_md5(docs, text_col=text_col, id_col=id_col)
+    n_bands = 60 // band_bits
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * band_bits).bitwiseAND(
+                F.lit((1 << band_bits) - 1)
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = sh.select("doc_id", "simhash", F.posexplode(bands).alias("band_idx", "band_val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
 def simhash_pairs(
     docs: DataFrame, max_hamming: int = 6, text_col: str = "text", id_col: str = "doc_id",
     band_bits: int = 16,

@@ -128,7 +128,19 @@ class CrawlEngine:
         self.catalog = catalog
 
     # ------------------------------------------------------------------ BFS
-    def crawl_bfs(self, start_url: str, resume: dict | None = None) -> CrawlRun:
+    def crawl_bfs(
+        self, start_url: str, resume: dict | None = None, stream_visited: bool = False
+    ) -> CrawlRun:
+        """``stream_visited`` selects the STREAM-mode visited timing
+        (bfs_strategy.py:257): each wave's URLs join the visited set at
+        CRAWL time, in addition to the discovery-time adds — so an
+        in-flight URL (including the start URL) can never be
+        re-discovered.  Batch mode (default) adds only at discovery
+        (:134), letting the start URL be re-discovered — both timings
+        pinned by oracle parity tests.  Result ordering follows the
+        logical wave order either way (the reference's stream yields in
+        nondeterministic completion order; its own tests assert logical
+        order — SURVEY §7.4)."""
         cfg = self.cfg
         spark = self.spark
         if resume:
@@ -154,6 +166,9 @@ class CrawlEngine:
             if n_wave == 0:
                 break
             t0 = time.time()
+            if stream_visited:
+                # stream mode: visited.update(urls) before the crawl
+                seen = seen.unionByName(wave.select("url").distinct()).distinct()
             fetched = self.fetch_fn(wave)
             fetched = self._checkpoint(fetched, f"bfs_fetched_{wave_id}")
 

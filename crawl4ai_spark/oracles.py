@@ -98,10 +98,13 @@ def bfs_rows(
     score_fn: Callable[[str], float] | None = None,
     filter_fn: Callable[[str], bool] | None = None,
     include_external: bool = False,
+    stream_visited: bool = False,
 ):
     """Driver-row variant: results = [(url, depth, parent, wave_id,
     result_seq, success)] with the Spark engine's wave/seq assignment
-    (result_seq = position within the wave)."""
+    (result_seq = position within the wave).  ``stream_visited`` = the
+    stream-mode visited timing (bfs_strategy.py:257: level urls join
+    visited at crawl time too)."""
     visited: set[str] = set()
     current_level: list[tuple[str, str | None]] = [(start_url, None)]
     depths: dict[str, int] = {start_url: 0}
@@ -112,6 +115,8 @@ def bfs_rows(
     while current_level:
         if pages_crawled >= max_pages:
             break
+        if stream_visited:
+            visited.update(u for u, _p in current_level)
         next_level: list[tuple[str, str | None]] = []
         for seq, (url, parent) in enumerate(current_level):
             success, status, html = fetch(url)

@@ -291,7 +291,9 @@ class CrawlJob:
         # image payload emit
         images_delta, n_images = None, 0
         if cfg.emit_images and self.image_store is not None:
-            images_delta = self._emit_images(ok, wave_id)
+            # pin the validated payload once: counting and the snapshot
+            # write would otherwise each run the decode/validate UDF
+            images_delta = self._ckpt(self._emit_images(ok, wave_id), f"img_delta_{wave_id}")
             n_images = images_delta.count()
 
         # markdown emit (reference: every CrawlResult carries .markdown —

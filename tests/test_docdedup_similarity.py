@@ -133,3 +133,23 @@ def test_shingles(spark):
     df = spark.createDataFrame([("a b c d",)], "text string")
     got = df.select(tx.shingles_expr(F.col("text"), 3).alias("s")).collect()[0]["s"]
     assert got == ["a b c", "b c d"]
+
+
+def test_simhash_md5_portable_twin(spark):
+    """The md5-60-bit SimHash twin: exact dups collide at hamming 0;
+    near-dups (one token appended) stay within the threshold; empty docs
+    never band."""
+    from crawl4ai_spark.operators import docdedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base), (2, base), (3, base + " extraword"), (4, ""), (5, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in docdedup.simhash_pairs_md5(docs, max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 10
+    assert not any(4 in p or 5 in p for p in pairs)
+    # table values are 60-bit non-negative longs
+    sh = {r["doc_id"]: r["simhash"] for r in docdedup.simhash_table_md5(docs).collect()}
+    assert all(0 <= v < (1 << 60) for v in sh.values())
+    assert sh[1] == sh[2]

@@ -146,3 +146,26 @@ def test_best_first_parity_max_pages(spark, world):
     got = [(r["url"], r["depth"], r["parent_url"], r["success"]) for r in rows]
     assert got == res
     assert seen_set(run) == vis
+
+
+def test_bfs_stream_visited_timing(spark, world):
+    """Stream mode adds wave urls to visited at CRAWL time
+    (bfs_strategy.py:257): the start URL can never be re-discovered,
+    unlike batch mode where it can (visited starts empty)."""
+    from reference_oracle import bfs_rows
+
+    cfg = CrawlConfig(max_depth=2)
+    eng = CrawlEngine(spark, corpus_fetcher(world["pages_df"]), cfg)
+    batch = eng.crawl_bfs(START)
+    stream = eng.crawl_bfs(START, stream_visited=True)
+    res_s, vis_s = bfs_rows(START, world["fetch"], max_depth=2, stream_visited=True)
+    rows = stream.results.orderBy("wave_id", "result_seq").collect()
+    got = [(r["url"], r["depth"], r["parent_url"], r["wave_id"], r["result_seq"], r["success"]) for r in rows]
+    assert got == res_s
+    assert seen_set(stream) == vis_s
+    # the observable timing difference: stream visited contains the raw
+    # start URL; batch visited does not (it was only *crawled*, and its
+    # canonical form may be re-discovered)
+    assert START in seen_set(stream)
+    res_b, vis_b = bfs_rows(START, world["fetch"], max_depth=2)
+    assert START not in vis_b  # canonicalized rediscovery identity differs
