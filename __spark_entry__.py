@@ -694,8 +694,17 @@ def q_adaptive_consistency(spark, sf_dir):
 def q_new_terms_per_wave(spark, sf_dir):
     from crawl4ai_spark.operators.adaptive import new_terms_per_wave
 
+    # the 30-word synthetic vocabulary saturates in wave 0; the appended
+    # wave-tagged tokens make each wave genuinely introduce terms, so the
+    # min-wave aggregation's multi-group shape is actually exercised
     docs = _t(spark, sf_dir, "documents").withColumn(
         "wave_id", (F.col("doc_id") % 5).cast("int")
+    ).withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" extra"), (F.col("doc_id") % 5).cast("string"),
+            F.lit("w"), (F.col("doc_id") % 13).cast("string"),
+        ),
     )
     out = new_terms_per_wave(docs)
     return out.select(F.col("wave_id").cast("long"), F.col("new_terms").cast("long"))
@@ -2383,10 +2392,14 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM nonempty a, nonempty b WHERE a.doc_id < b.doc_id
 """,
         "new_terms_per_wave": f"""
-WITH toks AS (
+WITH aug AS (
   SELECT doc_id % 5 AS wave_id,
-         unnest(list_distinct(list_filter(regexp_split_to_array(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+'), x -> length(x) > 2))) AS term
+         text || ' extra' || CAST(doc_id % 5 AS VARCHAR) || 'w' || CAST(doc_id % 13 AS VARCHAR) AS text
   FROM documents
+), toks AS (
+  SELECT wave_id,
+         unnest(list_distinct(list_filter(regexp_split_to_array(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), '\\s+'), x -> length(x) > 2))) AS term
+  FROM aug
 ), first AS (SELECT term, MIN(wave_id) AS wave_id FROM toks GROUP BY term)
 SELECT CAST(wave_id AS BIGINT) AS wave_id, CAST(COUNT(*) AS BIGINT) AS new_terms
 FROM first GROUP BY wave_id
