@@ -21,10 +21,12 @@ DataFrame computations:
   (utils.py:350-355); denial ⇒ FAILED row with status 403
   (async_webcrawler.py:382-395).
 * **Backoff state** — per-host (last_request_time, current_delay,
-  fail_count) folded sequentially inside ``applyInPandas`` per host with
-  the reference's update rule (async_dispatcher.py:65-85) and
-  deterministic jitter (jitter RNG seeded per host — parity tests pin
-  jitter to 1.0).
+  fail_count) folded with the reference's update rule
+  (async_dispatcher.py:65-85) and deterministic jitter (RNG seeded per
+  host — parity tests pin jitter to 1.0).  Physically: collect_list per
+  host + ONE Arrow-batched fold over many hosts per Python call — a
+  per-group applyInPandas pays ~5 ms of pandas overhead per host, which
+  measured 4.5-8.3 s/wave at just 1.5k hosts and would be hours at 10^7.
 """
 
 from __future__ import annotations
@@ -255,39 +257,59 @@ def update_host_state(
             .withColumn("fail_count", F.lit(None).cast("int"))
         )
 
-    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        host = key[0]
-        pdf = pdf.sort_values("scheduled_offset")
-        delay = pdf["current_delay"].iloc[0]
-        fails = pdf["fail_count"].iloc[0]
-        delay = float(base_delay[0] if pd.isna(delay) or delay == 0 else delay)
-        fails = int(0 if pd.isna(fails) else fails)
+    # One aggregation gathers each host's wave events in scheduled order
+    # (offsets are distinct per host by construction — the scheduler
+    # assigns rank-spaced timestamps — so the struct sort IS the
+    # scheduled order), then ONE Arrow batch folds many hosts per Python
+    # call.  The previous per-group applyInPandas paid ~5 ms of pandas
+    # overhead per HOST (seconds per wave at 10^3 hosts, hours at 10^7).
+    grouped = src.groupBy("host").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("scheduled_offset").alias("off"),
+                    F.col("status_code").alias("sc"),
+                )
+            )
+        ).alias("evs"),
+        F.first("current_delay").alias("current_delay"),
+        F.first("fail_count").alias("fail_count"),
+    )
+
+    def gen(batches):
         import zlib
 
-        rng = np.random.default_rng((seed, zlib.crc32(host.encode())))
-        last = wave_start + float(pdf["scheduled_offset"].max())
-        for status in pdf["status_code"]:
-            if status in (429, 503):
-                fails += 1
-                if fails > max_retries:
-                    continue  # give-up branch: delay frozen (dispatcher :71-73)
-                j = rng.uniform(0.75, 1.25) if jitter else 1.0
-                delay = min(delay * 2 * j, max_delay)
-            else:
-                b = rng.uniform(*base_delay) if jitter else base_delay[0]
-                delay = max(b, delay * 0.75)
-                fails = 0
-        return pd.DataFrame(
-            {
-                "host": [host],
-                "last_request_time": [last],
-                "current_delay": [delay],
-                "fail_count": [fails],
-            }
-        )
+        for pdf in batches:
+            out = []
+            for host, evs, delay0, fails0 in zip(
+                pdf["host"], pdf["evs"], pdf["current_delay"], pdf["fail_count"]
+            ):
+                delay = float(base_delay[0] if pd.isna(delay0) or delay0 == 0 else delay0)
+                fails = int(0 if pd.isna(fails0) else fails0)
+                rng = np.random.default_rng((seed, zlib.crc32(host.encode())))
+                last = wave_start + max(float(e["off"]) for e in evs)
+                for e in evs:
+                    if e["sc"] in (429, 503):
+                        fails += 1
+                        if fails > max_retries:
+                            continue  # give-up branch: delay frozen (dispatcher :71-73)
+                        j = rng.uniform(0.75, 1.25) if jitter else 1.0
+                        delay = min(delay * 2 * j, max_delay)
+                    else:
+                        b = rng.uniform(*base_delay) if jitter else base_delay[0]
+                        delay = max(b, delay * 0.75)
+                        fails = 0
+                out.append((host, last, delay, fails))
+            yield pd.DataFrame(
+                out,
+                columns=["host", "last_request_time", "current_delay", "fail_count"],
+            )
 
-    updated = src.groupBy("host").applyInPandas(fold, HOST_STATE_SCHEMA)
+    updated = grouped.mapInPandas(gen, HOST_STATE_SCHEMA)
     if host_state is None:
         return updated
+    # pin: the anti-join's build side and the union branch must not each
+    # re-run the fold
+    updated = updated.localCheckpoint(eager=False)
     untouched = host_state.join(updated.select("host"), "host", "left_anti")
     return untouched.unionByName(updated)

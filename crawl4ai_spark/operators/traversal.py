@@ -581,16 +581,22 @@ def corpus_fetcher(pages: DataFrame) -> FetchFn:
     return fetch
 
 
-def canonical_corpus_fetcher(pages: DataFrame) -> FetchFn:
+def canonical_corpus_fetcher(pages: DataFrame, cache: bool = True) -> FetchFn:
     """corpus_fetcher keyed by the canonical (deep-normalized) page URL —
     for pipelines whose frontier holds canonical URLs (CrawlJob), where
     the corpus's raw keys ('https://host/' with trailing slash) must
-    resolve for canonical requests ('https://host')."""
+    resolve for canonical requests ('https://host').
+
+    The canonical index is cached by default: without it every wave
+    re-runs the canonicalize UDF + dedup shuffle over the whole world —
+    synthetic-network cost masquerading as engine cost."""
     src = pages.select(
         normalize_deep_udf(F.col("url"), F.col("url")).alias("_page_url"),
         "html",
         F.col("status_code").alias("_sc"),
     ).dropDuplicates(["_page_url"])
+    if cache:
+        src = src.cache()
 
     def fetch(wave: DataFrame) -> DataFrame:
         j = wave.join(src, wave["url"] == src["_page_url"], "left")

@@ -82,6 +82,7 @@ class JobConfig:
     fairness_waves: int = 10
     emit_images: bool = True
     emit_markdown: bool = False  # markdown/citations/fit_markdown table per wave
+    durable_tmp: bool = False  # parquet (vs executor-local) intra-wave checkpoints
     markdown_fit_mode: str | None = None  # None | "pruning" | "bm25"
     markdown_query: str | None = None  # bm25 fit query
     n_partitions: int = 0  # 0 → defaultParallelism
@@ -186,6 +187,19 @@ class CrawlJob:
     def _wave(self, snap: dict, frontier: DataFrame) -> WaveStats:
         cfg = self.cfg
         t0 = time.time()
+        # SPARK_CRAWL_PROFILE=1 → per-phase wall times on stderr
+        import os as _os
+        import sys as _sys
+
+        _prof = bool(_os.environ.get("SPARK_CRAWL_PROFILE"))
+        _pt = [time.time()]
+
+        def _mark(label: str) -> None:
+            if _prof:
+                now = time.time()
+                print(f"  wave phase {label}: {now - _pt[0]:.2f}s", file=_sys.stderr, flush=True)
+                _pt[0] = now
+
         wave_id = int(snap["wave_id"]) + 1
         host_state = self.catalog.read("host_state", snap)
         wave_start = (wave_id - 1) * cfg.wave_budget
@@ -204,6 +218,7 @@ class CrawlJob:
             gated = frontier.withColumn("robots_allowed", F.lit(True))
         else:
             gated = self._ckpt(robots_gate(frontier, self.robots), f"gated_{wave_id}")
+        _mark("robots_gate")
         denied = gated.filter(~F.col("robots_allowed"))
         allowed = gated.filter(F.col("robots_allowed")).drop("robots_allowed")
 
@@ -225,6 +240,7 @@ class CrawlJob:
             default_delay=cfg.default_delay,
         )
         sched = self._ckpt(sched, f"sched_{wave_id}")
+        _mark("schedule")
         admitted = sched.filter("admitted").drop("admitted")
         carried = (
             sched.filter(~F.col("admitted"))
@@ -240,12 +256,14 @@ class CrawlJob:
             F.sum(F.col("admitted").cast("long")).alias("n_admit"),
         ).first()
         n_sched, n_admit = int(srow["n"]), int(srow["n_admit"] or 0)
+        _mark("sched_counts")
         n_denied = 0 if self.robots is None else denied.count()  # scans the gated checkpoint
         n_unmatched = 0 if unmatched is None else unmatched.count()
 
         # fetch
         fetched = self.fetch_fn(admitted)
         fetched = self._ckpt(fetched, f"fetched_{wave_id}")
+        _mark("fetch")
         ok = fetched.filter("success")
         rate_limited = fetched.filter(F.col("status_code").isin(429, 503))
 
@@ -265,6 +283,7 @@ class CrawlJob:
             F.sum((is_rl & (F.col("retry_count") >= cfg.max_retries)).cast("long")).alias("n_gaveup"),
         ).first()
         n_ok = int(frow["n_ok"] or 0)
+        _mark("fetch_counts")
         n_failed = n_denied + n_unmatched + int(frow["n_hard"] or 0) + int(frow["n_gaveup"] or 0)
 
         # results log (lineage-grade, not the payload)
@@ -318,6 +337,7 @@ class CrawlJob:
             )
             blooms = bloom_rebuilt
         new_rows, seen_delta, n_disc, n_dedup = self._expand(ok, seen, blooms, wave_id)
+        _mark("expand")
 
         # host state update (politeness backoff fold)
         new_host_state = update_host_state(
@@ -326,6 +346,7 @@ class CrawlJob:
             wave_start=wave_start,
             base_delay=(cfg.default_delay, cfg.default_delay),
         )
+        _mark("host_state_def")
 
         # the salted (priority_bucket, host_hash) range layout is applied at
         # WRITE time — the scheduler's own windows re-shuffle by host, so
@@ -362,6 +383,7 @@ class CrawlJob:
             appends=appends,
             resets=resets or None,
         )
+        _mark("commit")
         return WaveStats(
             wave_id=wave_id,
             scheduled=n_sched,
@@ -469,11 +491,19 @@ class CrawlJob:
         return self.spark.createDataFrame([], HOST_STATE_SCHEMA)
 
     def _ckpt(self, df: DataFrame, name: str) -> DataFrame:
-        import os
+        """Intra-wave pin: cut lineage + stop branch recompute.  These
+        intermediates never participate in resume (the snapshot is what
+        commit_wave writes), so an executor-local checkpoint suffices —
+        the parquet round-trip it replaces cost ~2-4 s/wave of the e2e
+        fixed overhead.  ``durable_tmp`` restores the parquet path (e.g.
+        for debugging a wave post-mortem)."""
+        if self.cfg.durable_tmp:
+            import os
 
-        path = os.path.join(self.catalog.root, "tmp", name)
-        df.write.mode("overwrite").parquet(path)
-        return self.spark.read.parquet(path)
+            path = os.path.join(self.catalog.root, "tmp", name)
+            df.write.mode("overwrite").parquet(path)
+            return self.spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
 
     # ------------------------------------------------------------- queries
     def seen_urls(self) -> DataFrame:

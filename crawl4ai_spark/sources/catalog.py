@@ -97,17 +97,28 @@ class SnapshotCatalog:
         else:
             snap["appends"] = {}
 
+        import sys
+
+        prof = bool(os.environ.get("SPARK_CRAWL_PROFILE"))
+
+        def write(df, path):
+            t = time.time()
+            df.write.mode("overwrite").parquet(path)
+            if prof:
+                print(f"    commit write {path.split('/')[-2]}: {time.time() - t:.2f}s",
+                      file=sys.stderr, flush=True)
+
         for name, df in (state or {}).items():
             path = os.path.join(self.root, name, f"snap={wave_id}")
-            df.write.mode("overwrite").parquet(path)
+            write(df, path)
             snap["tables"][name] = path
         for name, df in (appends or {}).items():
             path = os.path.join(self.root, name, f"wave={wave_id}")
-            df.write.mode("overwrite").parquet(path)
+            write(df, path)
             snap["appends"].setdefault(name, []).append(path)
         for name, df in (resets or {}).items():
             path = os.path.join(self.root, name, f"reset={wave_id}")
-            df.write.mode("overwrite").parquet(path)
+            write(df, path)
             snap["appends"][name] = [path]
 
         manifest = self._read_manifest()
