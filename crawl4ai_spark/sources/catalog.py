@@ -98,6 +98,7 @@ class SnapshotCatalog:
             snap["appends"] = {}
 
         import sys
+        from concurrent.futures import ThreadPoolExecutor
 
         prof = bool(os.environ.get("SPARK_CRAWL_PROFILE"))
 
@@ -108,18 +109,31 @@ class SnapshotCatalog:
                 print(f"    commit write {path.split('/')[-2]}: {time.time() - t:.2f}s",
                       file=sys.stderr, flush=True)
 
+        # the snapshot's tables are independent — write them CONCURRENTLY
+        # (Spark actions are thread-safe per session); the manifest rename
+        # below stays the single atomic commit point, so a failure in any
+        # write still aborts the whole snapshot
+        todo: list[tuple] = []
         for name, df in (state or {}).items():
             path = os.path.join(self.root, name, f"snap={wave_id}")
-            write(df, path)
+            todo.append((df, path))
             snap["tables"][name] = path
         for name, df in (appends or {}).items():
             path = os.path.join(self.root, name, f"wave={wave_id}")
-            write(df, path)
+            todo.append((df, path))
             snap["appends"].setdefault(name, []).append(path)
         for name, df in (resets or {}).items():
             path = os.path.join(self.root, name, f"reset={wave_id}")
-            write(df, path)
+            todo.append((df, path))
             snap["appends"][name] = [path]
+        if len(todo) > 1:
+            with ThreadPoolExecutor(max_workers=min(len(todo), 6)) as ex:
+                futures = [ex.submit(write, df, path) for df, path in todo]
+                for f in futures:
+                    f.result()  # propagate the first failure before publishing
+        else:
+            for df, path in todo:
+                write(df, path)
 
         manifest = self._read_manifest()
         manifest["snapshots"].append(snap)
