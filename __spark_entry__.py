@@ -905,10 +905,13 @@ def q_crawl_job_e2e(spark, sf_dir):
         max_depth=2, wave_budget=100.0, default_delay=1.0,
         use_bloom=True, bloom_partitions=4, bloom_bits=1 << 14,
     )
+    import os as _os
+
+    _tmp_base = "/dev/shm" if _os.path.isdir("/dev/shm") else None
     job = CrawlJob(
         spark,
         canonical_corpus_fetcher(world_pages),
-        catalog_root=tempfile.mkdtemp(prefix="crawl_e2e_"),
+        catalog_root=tempfile.mkdtemp(prefix="crawl_e2e_", dir=_tmp_base),
         config=cfg,
         robots=spark.createDataFrame(corpus["robots"]),
         image_store=images,

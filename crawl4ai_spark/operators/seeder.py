@@ -222,3 +222,57 @@ def url_relevance_udf(query: str):
     # don't resolve inside a closure for pandas_udf inference
     score.__annotations__ = {"urls": pd.Series, "return": pd.Series}
     return F.pandas_udf(score, T.DoubleType())
+
+
+def seed_pipeline(
+    spark,
+    robots: DataFrame,
+    sitemap_store: DataFrame,
+    pattern: str = "*",
+    query: str | None = None,
+    head_texts: DataFrame | None = None,
+    extra_sources: list[DataFrame] | None = None,
+    max_urls: int = -1,
+    max_sitemap_rounds: int = 5,
+) -> DataFrame:
+    """The complete AsyncUrlSeeder.urls() flow end-to-end
+    (async_url_seeder.py:364-549): sitemap DISCOVERY from the robots
+    dimension table (conventional locations + declared ``Sitemap:``
+    lines) → sitemap-index EXPANSION (iterative, gz, relative locs) →
+    optional extra sources (e.g. a Common-Crawl url table) unioned in →
+    glob pattern + nonsense filters → cross-source dedup → relevance
+    scoring (collective BM25 over ``head_texts`` when provided, else the
+    URL-relevance fallback scorer when a query is given) → sort +
+    ``max_urls`` cut.
+
+    Returns (url[, relevance_score]).
+    """
+    from .sitemap import expand_sitemaps, sitemap_candidates_from_robots
+
+    cands = sitemap_candidates_from_robots(robots).select("sitemap_url")
+    expanded = expand_sitemaps(
+        spark, cands, sitemap_store, max_rounds=max_sitemap_rounds
+    ).select("url")
+    sources = [expanded] + [s.select("url") for s in (extra_sources or [])]
+
+    if query and head_texts is not None:
+        with_heads = sources[0]
+        for s in sources[1:]:
+            with_heads = with_heads.unionByName(s)
+        with_heads = with_heads.join(
+            head_texts.select("url", "head_text"), "url", "left"
+        ).withColumn("head_text", F.coalesce(F.col("head_text"), F.lit("")))
+        return seed_urls(
+            [with_heads], pattern=pattern, query_terms=query.lower().split(),
+            max_urls=max_urls,
+        )
+    out = seed_urls(sources, pattern=pattern, max_urls=-1)
+    if query:
+        # BM25 unavailable (no head text) → URL-relevance fallback
+        # (async_url_seeder.py:1497-1583), same sort + cut discipline
+        out = out.withColumn(
+            "relevance_score", url_relevance_udf(query)(F.col("url"))
+        ).orderBy(F.col("relevance_score").desc(), F.col("url").asc())
+    if max_urls and max_urls > 0:
+        out = out.limit(max_urls)
+    return out

@@ -301,3 +301,47 @@ def test_crawljob_config_matcher_gate(spark, tmp_path):
     assert any(r["success"] and "host0" in r["url"] for r in res)
     # host1 children were never discovered (root never fetched)
     assert not any("host1.example.com/" in u for u in by_url if by_url[u]["success"])
+
+
+def test_seed_pipeline_end_to_end(spark):
+    """Full seeds-ingest: robots-declared sitemaps → index expansion →
+    filters → fallback relevance scoring → cut."""
+    from crawl4ai_spark.operators.seeder import seed_pipeline
+
+    robots = spark.createDataFrame(
+        [("h0.example.com", "User-agent: *\nSitemap: https://h0.example.com/sitemap.xml")],
+        "host string, rules string",
+    )
+    idx = b"<sitemapindex><sitemap><loc>/sm/a.xml</loc></sitemap></sitemapindex>"
+    sm = (
+        b"<urlset>"
+        b"<url><loc>https://h0.example.com/python/tutorial</loc></url>"
+        b"<url><loc>https://h0.example.com/misc/page</loc></url>"
+        b"<url><loc>https://h0.example.com/wp-admin/options</loc></url>"
+        b"<url><loc>https://h0.example.com/favicon.ico</loc></url>"
+        b"</urlset>"
+    )
+    store = spark.createDataFrame(
+        [
+            ("https://h0.example.com/sitemap.xml", bytearray(idx)),
+            ("https://h0.example.com/sm/a.xml", bytearray(sm)),
+        ],
+        "sitemap_url string, content binary",
+    )
+    cc = spark.createDataFrame(
+        [("https://h0.example.com/python/reference",), ("https://h0.example.com/python/tutorial",)],
+        "url string",
+    )
+    out = seed_pipeline(
+        spark, robots, store, pattern="*example.com/*", query="python tutorial",
+        extra_sources=[cc], max_urls=3,
+    ).collect()
+    urls = [r["url"] for r in out]
+    # nonsense filtered (wp-admin, favicon); cross-source dup collapsed;
+    # on-query urls rank first
+    assert "https://h0.example.com/wp-admin/options" not in urls
+    assert "https://h0.example.com/favicon.ico" not in urls
+    assert len(urls) == len(set(urls)) == 3
+    assert urls[0] == "https://h0.example.com/python/tutorial"
+    scores = [r["relevance_score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
