@@ -101,17 +101,23 @@ def _glob_only(configs: list[RunConfig]) -> bool:
     return True
 
 
+def _fn_rx(pattern: str) -> str:
+    # fnmatch.translate anchors only the END (\Z) — rlike is a substring
+    # find, so without \A a pattern like 'doc?' would match 'xdoc5'
+    return r"\A" + fnmatch.translate(pattern)
+
+
 def _matcher_col(url: Column, c: RunConfig) -> Column:
     m = c.url_matcher
     if m is None:
         return F.lit(True)
     if isinstance(m, str):
-        return url.rlike(fnmatch.translate(m))
+        return url.rlike(_fn_rx(m))
     # list of glob strings (invalid entries skipped, as the reference does)
     pats = [x for x in m if isinstance(x, str)]
     if not pats:
         return F.lit(False)
-    cols = [url.rlike(fnmatch.translate(p)) for p in pats]
+    cols = [url.rlike(_fn_rx(p)) for p in pats]
     out = cols[0]
     for col in cols[1:]:
         out = (out | col) if c.match_mode == MATCH_OR else (out & col)

@@ -68,17 +68,51 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_posting: int = 0,
 ) -> DataFrame:
     """All pairs with shingle-Jaccard ≥ threshold.
 
     Shuffle profile: one explode + self-equi-join on the shingle value +
     one aggregation — each shingle's posting list joins locally; a
-    stop-shingle appearing in f docs contributes f² pair rows, so
-    extremely common shingles should be length-capped upstream (n≥3 word
-    grams make that rare in practice).
+    stop-shingle appearing in f docs contributes f² pair rows.
+
+    ``max_posting`` > 0 drops shingles whose posting list exceeds it
+    (standard stop-shingle prefix filtering) — the 100-TB guard against
+    boilerplate shingles going quadratic.  Candidate GENERATION then
+    misses only pairs whose every shared shingle is a stop-shingle; the
+    Jaccard itself stays exact because intersections are recomputed from
+    the FULL shingle sets of surviving candidate pairs, so a capped run
+    can only lose pairs gated by ultra-common boilerplate (at
+    threshold ≥ 0.8 such pairs are boilerplate dups that exact/minhash
+    dedup already catches).
     """
     sh = _shingled(docs, text_col, id_col, n)
     posts = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
+    if max_posting and max_posting > 0:
+        df_counts = posts.groupBy("shingle").agg(F.count("*").alias("_pf"))
+        posts = posts.join(
+            df_counts.filter(F.col("_pf") <= max_posting).select("shingle"), "shingle"
+        )
+        # exact verify on full shingle sets for the surviving candidates
+        cand = (
+            posts.select(F.col("shingle"), F.col("doc_id").alias("id_a"))
+            .join(posts.select(F.col("shingle"), F.col("doc_id").alias("id_b")), "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        full = sh.select("doc_id", "shingles", "n_shingles")
+        cand = cand.join(
+            full.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"),
+                        F.col("n_shingles").alias("na")), "id_a"
+        ).join(
+            full.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"),
+                        F.col("n_shingles").alias("nb")), "id_b"
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        jac = inter / (F.col("na") + F.col("nb") - inter)
+        return cand.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
+            "id_a", "id_b", "jaccard"
+        )
     a = posts.select(
         F.col("shingle"), F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("na")
     )

@@ -36,7 +36,8 @@ from .bm25 import bm25_scores
 
 
 def _match_any(url: Column, patterns: list[str]) -> Column:
-    cols = [url.rlike(fnmatch.translate(p)) for p in patterns]
+    # \A-anchored: fnmatch.translate only end-anchors, rlike is a find
+    cols = [url.rlike(r"\A" + fnmatch.translate(p)) for p in patterns]
     out = cols[0]
     for c in cols[1:]:
         out = out | c

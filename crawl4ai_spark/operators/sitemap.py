@@ -137,9 +137,9 @@ def expand_sitemaps(
     seed_sitemaps(sitemap_url) → rounds of: join the unvisited frontier
     against the store, parse, route sub-sitemap locs back into the
     frontier (anti-joined against visited), accumulate page locs.
-    Returns (url, source_sitemap, lastmod) — distinct page urls with the
-    sitemap that declared them (first discovery round wins on dupes via
-    dropDuplicates on url).
+    Returns (url, source_sitemap, lastmod) — distinct page urls; a url
+    declared by several sitemaps deterministically keeps the
+    lexicographically-smallest (source_sitemap, lastmod).
     """
     store = sitemap_store.select(
         F.col("sitemap_url").alias("_sm_url"), F.col("content").alias("content")
@@ -173,4 +173,8 @@ def expand_sitemaps(
         return spark.createDataFrame(
             [], "url string, source_sitemap string, lastmod string"
         )
-    return pages.dropDuplicates(["url"])
+    return (
+        pages.groupBy("url")
+        .agg(F.min(F.struct("source_sitemap", "lastmod")).alias("_s"))
+        .select("url", F.col("_s.source_sitemap"), F.col("_s.lastmod"))
+    )

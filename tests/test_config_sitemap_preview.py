@@ -345,3 +345,15 @@ def test_seed_pipeline_end_to_end(spark):
     assert urls[0] == "https://h0.example.com/python/tutorial"
     scores = [r["relevance_score"] for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_assign_config_anchoring_no_substring_match(spark):
+    """fnmatch is a FULL match: 'doc?' must not match 'xdoc5' on the JVM
+    rlike path (translate() only end-anchors; rlike is a find)."""
+    cfgs = [RunConfig("d", "doc?")]
+    df = spark.createDataFrame([("doc5",), ("xdoc5",), ("doc55",)], "url string")
+    got = {r["url"]: r["config_name"] for r in assign_config(df, cfgs).collect()}
+    assert got == {"doc5": "d", "xdoc5": None, "doc55": None}
+    for u in got:
+        expect = select_config(u, cfgs)
+        assert got[u] == (expect.name if expect else None)

@@ -153,3 +153,30 @@ def test_simhash_md5_portable_twin(spark):
     sh = {r["doc_id"]: r["simhash"] for r in docdedup.simhash_table_md5(docs).collect()}
     assert all(0 <= v < (1 << 60) for v in sh.values())
     assert sh[1] == sh[2]
+
+
+def test_ngram_posting_cap_equal_when_uncapped(spark):
+    """max_posting above the largest posting list changes nothing; a
+    tight cap still finds pairs sharing any non-stop shingle, with EXACT
+    jaccard values."""
+    from crawl4ai_spark.operators import docdedup
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),          # exact dup of 1
+        (3, "alpha beta gamma delta epsilon eta"),           # near dup
+        (4, "totally different words in this one here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in docdedup.ngram_jaccard_pairs(docs, threshold=0.3, n=2).collect()}
+    hi = {(r["id_a"], r["id_b"]): r["jaccard"]
+          for r in docdedup.ngram_jaccard_pairs(docs, threshold=0.3, n=2, max_posting=100).collect()}
+    assert base == hi
+    # cap=2 drops shingles shared by all of 1,2,3; pairs still surface via
+    # their rarer shingles and keep exact jaccard
+    lo = {(r["id_a"], r["id_b"]): r["jaccard"]
+          for r in docdedup.ngram_jaccard_pairs(docs, threshold=0.3, n=2, max_posting=2).collect()}
+    for k, v in lo.items():
+        assert base[k] == pytest.approx(v)
+    assert (1, 2) in lo
