@@ -1650,8 +1650,10 @@ SELECT
   '# Doc ' || CAST(doc_id AS VARCHAR) || {nl}
     || 'See guide ' || CAST(doc_id AS VARCHAR) || '⟨1⟩ and ext⟨2⟩ now.' || {nl}
     AS markdown_with_citations,
+  -- href absolutized by PROPER urljoin at markdown time (html2text
+  -- baseurl semantics): /docs/N resolves against the page's directory
   {nl} || {nl} || '## References' || {nl} || {nl}
-    || '⟨1⟩ https://h' || CAST(doc_id AS VARCHAR) || '.example.com/page/docs/'
+    || '⟨1⟩ https://h' || CAST(doc_id AS VARCHAR) || '.example.com/docs/'
     || CAST(doc_id AS VARCHAR) || ': guide ' || CAST(doc_id AS VARCHAR) || {nl}
     || '⟨2⟩ https://ext.example.org/x' || CAST(doc_id % 50 AS VARCHAR)
     || ': Ext' || CAST(doc_id % 7 AS VARCHAR) || ' - ext' || {nl}

@@ -266,7 +266,11 @@ def _compile_selector(selector: str) -> list[list[tuple[str, _Simple]]]:
 
 def css_select(scope: DomNode, selector: str) -> list[DomNode]:
     """All descendant elements of ``scope`` matching the selector, in
-    document order (BeautifulSoup ``.select`` semantics)."""
+    document order (BeautifulSoup ``.select`` semantics: the RESULT set
+    is restricted to descendants of ``scope``, but combinator ancestors
+    may match anywhere up the tree — including ``scope`` itself — so a
+    nested field selector that restates the base selector still
+    matches, exactly as soupsieve resolves it)."""
     groups = _compile_selector(selector)
     out: list[DomNode] = []
     seen: set[int] = set()
@@ -289,12 +293,13 @@ def _matches_chain(node: DomNode, units: list[tuple[str, _Simple]], scope: DomNo
         return True
     if comb == "child":
         p = node.parent
-        if p is None or p is scope:
+        if p is None:
             return False
         return _matches_chain(p, rest, scope)
-    # descendant: any ancestor strictly inside scope
+    # descendant: ancestors are unrestricted (scope included) — only the
+    # final matched node is scope-bounded, by the caller's iteration
     p = node.parent
-    while p is not None and p is not scope:
+    while p is not None:
         if _matches_chain(p, rest, scope):
             return True
         p = p.parent

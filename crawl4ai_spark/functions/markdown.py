@@ -62,9 +62,16 @@ def _collapse(text: str) -> str:
 
 
 class _MdWriter:
-    def __init__(self):
+    def __init__(self, base_url: str = ""):
         self.blocks: list[str] = []
         self.cur: list[str] = []
+        self.base_url = base_url
+
+    def resolve(self, url: str) -> str:
+        # html2text absolutizes with PROPER urljoin when baseurl is set
+        # (html2text/__init__.py:602) — unlike the citation pass's
+        # fast_urljoin quirk, which then no-ops on the absolute result
+        return urljoin(self.base_url, url) if self.base_url else url
 
     def text(self, s: str) -> None:
         self.cur.append(s)
@@ -109,6 +116,7 @@ def _render_node(n: DomNode, w: _MdWriter) -> None:
         if not label:
             return
         if href:
+            href = w.resolve(href)
             w.text(f'[{label}]({href} "{title}")' if title else f"[{label}]({href})")
         else:
             w.text(label)
@@ -118,6 +126,7 @@ def _render_node(n: DomNode, w: _MdWriter) -> None:
         src = n.get("src") or ""
         title = n.get("title")
         if src:
+            src = w.resolve(src)
             w.text(f'![{alt}]({src} "{title}")' if title else f"![{alt}]({src})")
         return
     if tag in ("strong", "b"):
@@ -194,9 +203,10 @@ def _render_block_children(n: DomNode, w: _MdWriter) -> None:
 
 def html_to_markdown(html: str, base_url: str = "") -> str:
     """Convert HTML to markdown (single_line_break: one newline between
-    blocks, no wrapping)."""
+    blocks, no wrapping).  With ``base_url`` link/image urls are
+    absolutized by proper urljoin, as html2text does with baseurl."""
     root = parse_dom(html or "")
-    w = _MdWriter()
+    w = _MdWriter(base_url)
     body = root.find("body") or root
     _render_block_children(body, w)
     w.flush()

@@ -134,8 +134,14 @@ def bloom_version_ok(blooms: DataFrame | None) -> bool:
         return True
     if "fmt_version" not in blooms.columns:
         return False
-    row = blooms.agg(F.min("fmt_version").alias("lo"), F.max("fmt_version").alias("hi")).first()
-    if row["lo"] is None:
+    # NULL-safe: a MIXED shard set (new deltas + column-less/pre-version
+    # files read as NULL) must fail — min/max skip NULLs, which is
+    # exactly the false-negative case this guard exists to catch
+    v = F.coalesce(F.col("fmt_version"), F.lit(-1))
+    row = blooms.agg(
+        F.min(v).alias("lo"), F.max(v).alias("hi"), F.count("*").alias("n")
+    ).first()
+    if int(row["n"]) == 0:
         return True  # empty bloom table
     return int(row["lo"]) == int(row["hi"]) == BLOOM_FORMAT_VERSION
 

@@ -125,11 +125,10 @@ def regex_extract_spans(
     span reporting (extraction_strategy.py:2100-2112 output shape)."""
     if isinstance(patterns, list):
         patterns = {k: DEFAULT_PATTERNS[k] for k in patterns}
-    compiled = {lbl: (lbl, rx) for lbl, rx in patterns.items()}
     schema = T.StructType([T.StructField(key_col, T.StringType())] + REGEX_SPAN_SCHEMA_FIELDS)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cres = {lbl: re.compile(rx, re.IGNORECASE | re.MULTILINE) for lbl, (_l, rx) in compiled.items()}
+        cres = {lbl: re.compile(rx, re.IGNORECASE | re.MULTILINE) for lbl, rx in patterns.items()}
         for pdf in batches:
             rows = []
             for key, text in zip(pdf[key_col], pdf[text_col]):
@@ -171,7 +170,10 @@ def _extract_single_field(element, field: dict):
     elif ftype == "regex":
         m = re.search(field["pattern"], _element_text(selected))
         value = m.group(1) if m else None
-    if "transform" in field and value is not None:
+    if "transform" in field:
+        # UNCONDITIONAL like the reference (:1163): transforming a None
+        # raises, and the enclosing _extract_field try collapses the
+        # whole (list) field to its default — pinned divergence surface
         t = field["transform"]
         if t == "lowercase":
             value = value.lower()

@@ -26,18 +26,16 @@ candidate head corpus — no Python in the plan except nothing.
 
 from __future__ import annotations
 
-import fnmatch
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.links import total_score_expr
 from .bm25 import bm25_scores
+from .config_match import _fn_rx
 
 
 def _match_any(url: Column, patterns: list[str]) -> Column:
-    # \A-anchored: fnmatch.translate only end-anchors, rlike is a find
-    cols = [url.rlike(r"\A" + fnmatch.translate(p)) for p in patterns]
+    cols = [url.rlike(_fn_rx(p)) for p in patterns]
     out = cols[0]
     for c in cols[1:]:
         out = out | c

@@ -247,9 +247,11 @@ def seed_pipeline(
 
     Returns (url[, relevance_score]).
     """
-    from .sitemap import expand_sitemaps, sitemap_candidates_from_robots
+    from .sitemap import expand_sitemaps, select_host_sitemaps
 
-    cands = sitemap_candidates_from_robots(robots).select("sitemap_url")
+    # first-SUCCESS chain per host (reference :896-970): /sitemap.xml,
+    # else /sitemap_index.xml, else ALL robots-declared Sitemap: lines
+    cands = select_host_sitemaps(robots, sitemap_store).select("sitemap_url")
     expanded = expand_sitemaps(
         spark, cands, sitemap_store, max_rounds=max_sitemap_rounds
     ).select("url")

@@ -80,24 +80,52 @@ def parse_sitemap_bytes(url: str, content: bytes) -> tuple[bool, list[str], str 
 
 
 def sitemap_candidates_from_robots(robots: DataFrame, host_col: str = "host") -> DataFrame:
-    """Candidate sitemap urls per host: the two conventional locations
-    plus every ``Sitemap:`` line in the robots rules (utils-style
+    """Candidate sitemap urls per host with their probe RANK — the
+    reference's fallback order (:896-970): 0 = /sitemap.xml,
+    1 = /sitemap_index.xml, 2 = robots ``Sitemap:`` lines (utils-style
     case-insensitive prefix, :957-961).  Pure column expressions."""
     host = F.col(host_col)
     conventional = F.array(
-        F.concat(F.lit("https://"), host, F.lit("/sitemap.xml")),
-        F.concat(F.lit("https://"), host, F.lit("/sitemap_index.xml")),
+        F.struct(F.lit(0).alias("rank"),
+                 F.concat(F.lit("https://"), host, F.lit("/sitemap.xml")).alias("sitemap_url")),
+        F.struct(F.lit(1).alias("rank"),
+                 F.concat(F.lit("https://"), host, F.lit("/sitemap_index.xml")).alias("sitemap_url")),
     )
     # everything after the 'sitemap:' prefix, trimmed
     declared = F.expr(
-        f"transform(filter(split(coalesce(rules, '') , '\\n'),"
-        f" ln -> lower(ln) like 'sitemap:%'),"
-        f" ln -> trim(substring(ln, 9)))"
+        "transform(filter(split(coalesce(rules, '') , '\\n'),"
+        " ln -> lower(ln) like 'sitemap:%'),"
+        " ln -> struct(2 as rank, trim(substring(ln, 9)) as sitemap_url))"
     )
     return robots.select(
         host.alias("host"),
-        F.array_union(conventional, declared).alias("sitemap_urls"),
-    ).select("host", F.explode("sitemap_urls").alias("sitemap_url"))
+        F.explode(F.concat(conventional, declared)).alias("c"),
+    ).select("host", F.col("c.sitemap_url").alias("sitemap_url"), F.col("c.rank").alias("rank"))
+
+
+def select_host_sitemaps(
+    robots: DataFrame, sitemap_store: DataFrame, host_col: str = "host"
+) -> DataFrame:
+    """First-SUCCESS sitemap selection per host, matching the reference
+    chain (_from_sitemaps, :896-970): probe /sitemap.xml then
+    /sitemap_index.xml — the first one that RESOLVES (here: exists in
+    the store) wins and the rest are ignored; only when neither
+    conventional location resolves do ALL robots-declared ``Sitemap:``
+    lines seed the expansion.  Returns (host, sitemap_url)."""
+    cands = sitemap_candidates_from_robots(robots, host_col)
+    keys = sitemap_store.select("sitemap_url").dropDuplicates(["sitemap_url"])
+    conv_present = cands.filter(F.col("rank") <= 1).join(keys, "sitemap_url", "left_semi")
+    best_conv = (
+        conv_present.groupBy("host")
+        .agg(F.min(F.struct("rank", "sitemap_url")).alias("_c"))
+        .select("host", F.col("_c.sitemap_url").alias("sitemap_url"))
+    )
+    declared = (
+        cands.filter(F.col("rank") == 2)
+        .join(best_conv.select("host"), "host", "left_anti")
+        .select("host", "sitemap_url")
+    )
+    return best_conv.unionByName(declared)
 
 
 PARSED_SCHEMA = T.StructType(

@@ -357,3 +357,43 @@ def test_assign_config_anchoring_no_substring_match(spark):
     for u in got:
         expect = select_config(u, cfgs)
         assert got[u] == (expect.name if expect else None)
+
+
+def test_select_host_sitemaps_first_success_chain(spark):
+    """Reference fallback order: /sitemap.xml beats /sitemap_index.xml
+    beats robots-declared; declared lines only seed when NO conventional
+    location resolves."""
+    from crawl4ai_spark.operators.sitemap import select_host_sitemaps
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "Sitemap: https://a.com/alt.xml"),       # has /sitemap.xml too
+            ("b.com", "Sitemap: https://b.com/alt1.xml\nSitemap: https://b.com/alt2.xml"),
+            ("c.com", "User-agent: *"),                        # only index present
+        ],
+        "host string, rules string",
+    )
+    store = spark.createDataFrame(
+        [
+            ("https://a.com/sitemap.xml",), ("https://a.com/alt.xml",),
+            ("https://c.com/sitemap_index.xml",),
+        ],
+        "sitemap_url string",
+    )
+    got = {}
+    for r in select_host_sitemaps(robots, store).collect():
+        got.setdefault(r["host"], set()).add(r["sitemap_url"])
+    assert got["a.com"] == {"https://a.com/sitemap.xml"}       # declared ignored
+    assert got["b.com"] == {"https://b.com/alt1.xml", "https://b.com/alt2.xml"}
+    assert got["c.com"] == {"https://c.com/sitemap_index.xml"}
+
+
+def test_bloom_version_null_rows_are_stale(spark):
+    from crawl4ai_spark.operators.dedup import BLOOM_FORMAT_VERSION, bloom_version_ok, build_bloom
+    from pyspark.sql import functions as F
+
+    urls = spark.range(100).select(F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"))
+    b = build_bloom(urls, n_partitions=2, m_bits=1 << 12)
+    mixed = b.unionByName(b.withColumn("fmt_version", F.lit(None).cast("int")))
+    assert bloom_version_ok(b)
+    assert not bloom_version_ok(mixed)  # NULL rows = pre-version shards

@@ -137,3 +137,44 @@ def test_transforms_and_nested():
     }
     items = extract_json_css(html, schema)
     assert items == [{"up": "MIXED CASE", "nested": {"v": "z"}}]
+
+
+def test_css_select_scope_semantics():
+    """soupsieve scoping: combinator ancestors may match the scope
+    element itself (or beyond) — a nested field selector restating the
+    base selector still extracts (code-review regression pin)."""
+    root = parse_dom(HTML)
+    base = css_select(root, "div.product")[0]
+    assert [n.get_text() for n in css_select(base, "div.product > h2.name")] != []
+    assert css_select(base, "div.product h2.name")[0].get_text(strip=True) == "WidgetOne"
+    assert css_select(base, "body div.product a")[0].get("href") == "/p/1"
+    # results stay scoped: the sibling product's nodes never leak in
+    assert all("/p/2" != n.get("href") for n in css_select(base, "a"))
+
+
+def test_json_css_nested_selector_restates_base():
+    schema = {
+        "baseSelector": "div.product",
+        "fields": [
+            {"name": "title", "type": "text", "selector": "div.product h2.name"},
+        ],
+    }
+    items = extract_json_css(HTML, SCHEMA | schema)
+    assert items[0]["title"] == "WidgetOne"
+
+
+def test_transform_on_missing_attribute_collapses_list():
+    """Reference quirk (:1163 + :1126-1146 try): transform applied
+    unconditionally — a None value raises and the whole LIST field
+    collapses to its default."""
+    html = '<div class="x"><i class="t" data-v="A">1</i><i class="t">2</i></div>'
+    schema = {
+        "baseSelector": "div.x",
+        "fields": [
+            {"name": "vals", "type": "list", "selector": "i.t", "default": [],
+             "fields": [{"name": "v", "type": "attribute", "attribute": "data-v",
+                         "transform": "lowercase"}]},
+        ],
+    }
+    items = extract_json_css(html, schema)
+    assert items == [{"vals": []}]  # second item's missing attr kills the list
