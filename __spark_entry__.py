@@ -1059,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_filter_bm25": q_content_filter_bm25,
         "pruning_scores": q_pruning_scores,
         "config_select": q_config_select,
+        "cache_modes": q_cache_modes,
         "sitemap_expand": q_sitemap_expand,
         "url_relevance": q_url_relevance,
         "link_preview": q_link_preview,
@@ -1803,6 +1804,59 @@ FROM s
 """
 
 
+def _scheme_urls(ev: DataFrame) -> DataFrame:
+    m = F.col("event_id") % 5
+    scheme = (
+        F.when(m == 0, F.lit("https://a.com/"))
+        .when(m == 1, F.lit("http://b.com/"))
+        .when(m == 2, F.lit("file:///tmp/"))
+        .when(m == 3, F.lit("raw:<html>"))
+        .otherwise(F.lit("ftp://c.com/"))
+    )
+    return ev.select(
+        "event_id", F.concat(scheme, (F.col("event_id") % 97).cast("string")).alias("url")
+    )
+
+
+def q_cache_modes(spark, sf_dir):
+    """CacheContext.should_read/should_write over every CacheMode ×
+    url-class combination (cache_context.py:60-88; raw:/ftp: never
+    cacheable) — xchecked against the reference class in tests."""
+    from crawl4ai_spark.operators.cache import should_read_expr, should_write_expr
+
+    su = _scheme_urls(_t(spark, sf_dir, "events"))
+    parts = []
+    for mode in ("enabled", "disabled", "read_only", "write_only", "bypass"):
+        parts.append(
+            su.select(
+                "event_id",
+                F.lit(mode).alias("mode"),
+                should_read_expr(F.col("url"), mode).alias("should_read"),
+                should_write_expr(F.col("url"), mode).alias("should_write"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _cache_modes_sql() -> str:
+    return """
+WITH su AS (
+  SELECT event_id, (event_id % 5) IN (0, 1, 2) AS cacheable FROM events
+), modes(mode, reads, writes) AS (
+  VALUES ('enabled', TRUE, TRUE), ('disabled', FALSE, FALSE),
+         ('read_only', TRUE, FALSE), ('write_only', FALSE, TRUE),
+         ('bypass', FALSE, FALSE)
+)
+SELECT event_id, mode,
+       (cacheable AND reads) AS should_read,
+       (cacheable AND writes) AS should_write
+FROM su CROSS JOIN modes
+"""
+
+
 _CONFIG_SET = None
 
 
@@ -2418,6 +2472,7 @@ FROM first GROUP BY wave_id
         "content_filter_bm25": _content_filter_bm25_sql(),
         "pruning_scores": _pruning_scores_sql(),
         "config_select": _config_select_sql(),
+        "cache_modes": _cache_modes_sql(),
         "sitemap_expand": _sitemap_expand_sql(),
         "url_relevance": _cached_fixture("url_relevance", _url_relevance_fixture_sql),
         "link_preview": _link_preview_sql(),

@@ -81,3 +81,61 @@ def cache_lookup(
         )
         .drop("_c_html", "_c_etag", "_c_fp", "_l_etag", "_l_fp", "_l_present")
     )
+
+
+# ---------------------------------------------------------------------------
+# CacheMode / CacheContext (cache_context.py:1-117)
+# ---------------------------------------------------------------------------
+
+CACHE_ENABLED = "enabled"
+CACHE_DISABLED = "disabled"
+CACHE_READ_ONLY = "read_only"
+CACHE_WRITE_ONLY = "write_only"
+CACHE_BYPASS = "bypass"
+
+
+def is_cacheable_expr(url):
+    """CacheContext.is_cacheable (:54): http/https/file URLs only —
+    raw: HTML is never cached."""
+    return (
+        url.startswith("http://") | url.startswith("https://") | url.startswith("file://")
+    )
+
+
+def should_read_expr(url, cache_mode: str = CACHE_ENABLED, always_bypass: bool = False):
+    """CacheContext.should_read (:60-73) as a boolean column."""
+    if always_bypass or cache_mode not in (CACHE_ENABLED, CACHE_READ_ONLY):
+        return F.lit(False)
+    return is_cacheable_expr(url)
+
+
+def should_write_expr(url, cache_mode: str = CACHE_ENABLED, always_bypass: bool = False):
+    """CacheContext.should_write (:75-88)."""
+    if always_bypass or cache_mode not in (CACHE_ENABLED, CACHE_WRITE_ONLY):
+        return F.lit(False)
+    return is_cacheable_expr(url)
+
+
+def cache_lookup_mode(
+    frontier: DataFrame,
+    cache: DataFrame | None,
+    cache_mode: str = CACHE_ENABLED,
+    live_heads: DataFrame | None = None,
+    check_freshness: bool = False,
+    url_col: str = "url",
+    always_bypass: bool = False,
+) -> DataFrame:
+    """Mode-aware cache read: rows whose CacheContext.should_read is
+    False stay ``miss`` regardless of cache contents (BYPASS/DISABLED/
+    WRITE_ONLY semantics); eligible rows go through the freshness-
+    validated lookup."""
+    out = cache_lookup(
+        frontier, cache, live_heads=live_heads, check_freshness=check_freshness,
+        url_col=url_col,
+    )
+    readable = should_read_expr(F.col(url_col), cache_mode, always_bypass)
+    return out.withColumn(
+        "cache_status", F.when(readable, F.col("cache_status")).otherwise(F.lit("miss"))
+    ).withColumn(
+        "cached_html", F.when(readable, F.col("cached_html"))
+    )
