@@ -929,6 +929,107 @@ def q_crawl_job_e2e(spark, sf_dir):
     return res
 
 
+def _flaky_status_rule(i: Column, retry: Column) -> Column:
+    """Deterministic flakiness keyed on the page index: i%5==2 → always
+    503 (give-up path); i%3==1 (minus the 503 set) → one 429 then
+    success; else healthy."""
+    flaky503 = i % 5 == 2
+    flaky429 = (i % 3 == 1) & ~flaky503
+    return (
+        F.when(flaky503, F.lit(503))
+        .when(flaky429 & (retry < 1), F.lit(429))
+        .otherwise(F.lit(200))
+    )
+
+
+def q_crawl_job_retries(spark, sf_dir):
+    """RateLimiter/dispatcher semantics under the driver's hash check:
+    429/503 requeue with retry_count+1, give-up after max_retries,
+    per-host backoff (delay doubling, freeze past give-up), and a tight
+    wave budget forcing carried rows — against a deterministic flaky
+    fetcher (async_dispatcher.py:65-85, 289-317)."""
+    import tempfile
+
+    from crawl4ai_spark.functions.urls import normalize_deep_udf as _nd
+    from crawl4ai_spark.pipeline import CrawlJob, JobConfig
+    from crawl4ai_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(seed=42, n_hosts=2, pages_per_host=8, with_images=False)
+    pages = spark.createDataFrame(corpus["pages"])
+    src = pages.select(
+        _nd(F.col("url"), F.col("url")).alias("_page_url"), "html",
+        F.col("status_code").alias("_sc"),
+    ).dropDuplicates(["_page_url"])
+
+    def fetch(wave):
+        j = wave.join(src, wave["url"] == src["_page_url"], "left")
+        ix = F.regexp_extract(F.col("url"), r"/p(\d+)$", 1)
+        i = F.when(ix == "", F.lit(0)).otherwise(ix.cast("int"))
+        status = F.when(F.col("_page_url").isNull(), F.lit(404)).otherwise(
+            F.when(_flaky_status_rule(i, F.col("retry_count")) == 200, F.col("_sc"))
+            .otherwise(_flaky_status_rule(i, F.col("retry_count")))
+        )
+        return (
+            j.withColumn("status_code", status)
+            .withColumn("success", F.col("_page_url").isNotNull() & (F.col("status_code") == 200))
+            .drop("_page_url", "_sc")
+        )
+
+    cfg = JobConfig(
+        max_depth=2, wave_budget=4.0, default_delay=1.0, max_retries=3,
+        use_bloom=True, bloom_partitions=4, bloom_bits=1 << 14, emit_images=False,
+    )
+    _tmp = "/dev/shm" if __import__("os").path.isdir("/dev/shm") else None
+    job = CrawlJob(
+        spark, fetch, catalog_root=tempfile.mkdtemp(prefix="crawl_retry_", dir=_tmp),
+        config=cfg,
+    )
+    job.seed(spark.createDataFrame(
+        [(f"https://host{h}.example.com/",) for h in range(2)], "url string"
+    ))
+    job.run(max_waves=12)
+    return job.results().select(
+        "url", "host",
+        F.col("depth").cast("long").alias("depth"),
+        F.col("status_code").cast("long").alias("status_code"),
+        "success",
+        F.col("wave_id").cast("long").alias("wave_id"),
+    )
+
+
+def _crawl_job_retries_fixture_sql() -> str:
+    import re as _re
+
+    from crawl4ai_spark.oracles import corpus_fetch_fn, job_rows, rows_values_sql
+    from crawl4ai_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(seed=42, n_hosts=2, pages_per_host=8, with_images=False)
+    base = corpus_fetch_fn(corpus, canonical=True)
+
+    def fetch(url: str, retry: int):
+        m = _re.search(r"/p(\d+)$", url)
+        i = int(m.group(1)) if m else 0
+        found, sc, html = base(url)
+        if not found and sc == 404:
+            return False, 404, ""
+        if i % 5 == 2:
+            return False, 503, ""
+        if i % 3 == 1 and retry < 1:
+            return False, 429, ""
+        return sc == 200, sc, html
+
+    rows = job_rows(
+        [f"https://host{h}.example.com/" for h in range(2)], fetch,
+        robots=None, max_depth=2, max_waves=12, wave_budget=4.0,
+        default_delay=1.0, max_retries=3, retry_aware_fetch=True,
+    )
+    return rows_values_sql(
+        rows,
+        [("url", "VARCHAR"), ("host", "VARCHAR"), ("depth", "BIGINT"),
+         ("status_code", "BIGINT"), ("success", "BOOLEAN"), ("wave_id", "BIGINT")],
+    )
+
+
 def q_table_extraction(spark, sf_dir):
     """HTML tables synthesized from nation rows → extract_tables must give
     back exactly the cell values (oracle constructs them directly)."""
@@ -1050,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_best_first": q_crawl_best_first,
         "crawl_dfs": q_crawl_dfs,
         "crawl_job_e2e": q_crawl_job_e2e,
+        "crawl_job_retries": q_crawl_job_retries,
         "image_psnr_invariant": q_image_psnr_invariant,
         "adaptive_digest": q_adaptive_digest,
         "table_extraction": q_table_extraction,
@@ -2480,6 +2582,7 @@ FROM first GROUP BY wave_id
         "crawl_dfs": _cached_fixture("crawl_dfs", _crawl_dfs_fixture_sql),
         "crawl_best_first": _cached_fixture("crawl_best_first", _crawl_bff_fixture_sql),
         "crawl_job_e2e": _cached_fixture("crawl_job_e2e", _crawl_job_fixture_sql),
+        "crawl_job_retries": _cached_fixture("crawl_job_retries", _crawl_job_retries_fixture_sql),
         "image_pipeline": _cached_fixture("image_pipeline", _image_pipeline_fixture_sql),
         "image_near_dup": _cached_fixture("image_near_dup", _image_near_dup_fixture_sql),
         "image_psnr_invariant": """

@@ -359,17 +359,23 @@ def job_rows(
     wave_budget: float = 60.0,
     default_delay: float = 1.0,
     max_pages: float = math.inf,
+    max_retries: int = 3,
+    fairness_waves: int = 10,
+    retry_aware_fetch: bool = False,
 ):
     """Sequential CrawlJob oracle → [(url, host, depth, status_code,
     success, wave_id)] matching pipeline.CrawlJob.run's results table.
 
     Transcribes one wave (pipeline.py:179-318): robots gate (denial ⇒
-    403 row, dropped from the frontier) → per-host politeness schedule
-    (rank by the queue discipline, offset = ready + (rank-1)*delay,
-    admitted iff offset < budget) → fetch → expansion (link extract +
-    canonicalize + in-wave dedup + seen anti-join) → host-state backoff
-    fold (deterministic, jitter off).  ``fetch`` is keyed by CANONICAL
-    url (canonical_corpus_fetcher semantics).
+    403 row, dropped from the frontier) → priority bucketing (retry /
+    fairness aging) → per-host politeness schedule (rank by the queue
+    discipline, offset = ready + (rank-1)*delay, admitted iff offset <
+    budget; carried rows age wait_waves) → fetch → 429/503 requeue with
+    retry_count+1 until max_retries (give-up = FAILED) → expansion
+    (link extract + canonicalize + in-wave dedup + seen anti-join) →
+    host-state backoff fold (deterministic, jitter off).  ``fetch`` is
+    keyed by CANONICAL url (canonical_corpus_fetcher semantics); with
+    ``retry_aware_fetch`` it is called as fetch(url, retry_count).
     """
     robots = robots or {}
     # seed(): canonicalize, validity, dedup; seen starts as the seed set.
@@ -382,7 +388,8 @@ def job_rows(
         if not canon or not is_valid_crawl_url(canon) or canon in seen:
             continue
         seen.add(canon)
-        frontier.append(dict(url=canon, host=_host_of(canon), depth=0, score=float(pri)))
+        frontier.append(dict(url=canon, host=_host_of(canon), depth=0, score=float(pri),
+                             retry=0, wait=0))
     host_state: dict[str, tuple[float, float, int]] = {}  # host → (last, delay, fails)
 
     out_rows: list[tuple] = []
@@ -404,39 +411,53 @@ def job_rows(
         for r in denied:
             out_rows.append((r["url"], r["host"], r["depth"], 403, False, wave_id))
 
+        # priority bucketing (scheduler.priority_bucket_expr)
+        for r in allowed:
+            r["priority"] = (
+                -r["wait"] if r["wait"] > fairness_waves else r["retry"]
+            )
+
         # politeness schedule (scheduler.schedule_wave, jitterless)
         by_host: dict[str, list[dict]] = {}
         for r in allowed:
             by_host.setdefault(r["host"], []).append(r)
         admitted, carried = [], []
-        offsets: dict[str, list[float]] = {}
         for host, rows in by_host.items():
             st = host_state.get(host)
             delay = st[1] if st is not None else default_delay
             ready = max((st[0] + delay - wave_start) if st is not None else 0.0, 0.0)
-            # queue discipline: priority asc (all 0 here — no retries, no
-            # fairness aging in the oracle corpus), score desc, depth asc,
-            # url asc
-            rows = sorted(rows, key=lambda r: (-r.get("score", 0.0), r["depth"], r["url"]))
+            # queue discipline: priority asc, score desc, depth asc, url asc
+            rows = sorted(
+                rows,
+                key=lambda r: (r["priority"], -r.get("score", 0.0), r["depth"], r["url"]),
+            )
             for i, r in enumerate(rows):
                 off = ready + i * delay
                 if off < wave_budget:
                     admitted.append((r, off))
-                    offsets.setdefault(host, []).append(off)
                 else:
+                    r["wait"] += 1
                     carried.append(r)
         scheduled = len(allowed)
 
-        # fetch admitted
+        # fetch admitted; 429/503 requeue up to max_retries
         ok_pages: list[tuple[dict, str]] = []
+        retries: list[dict] = []
         statuses: dict[str, list[tuple[float, int]]] = {}
         for r, off in admitted:
-            success, status, html = fetch(r["url"])
+            if retry_aware_fetch:
+                success, status, html = fetch(r["url"], r["retry"])
+            else:
+                success, status, html = fetch(r["url"])
             out_rows.append((r["url"], r["host"], r["depth"], status, success, wave_id))
             statuses.setdefault(r["host"], []).append((off, status))
             if success:
                 pages_crawled += 1
                 ok_pages.append((r, html))
+            elif status in (429, 503) and r["retry"] < max_retries:
+                r2 = dict(r)
+                r2["retry"] += 1
+                retries.append(r2)
 
         # expansion (_expand): depth gate → links → canon → in-wave dedup
         # → seen anti-join
@@ -464,7 +485,7 @@ def job_rows(
             for _off, status in evs:
                 if status in (429, 503):
                     fails += 1
-                    if fails > 3:
+                    if fails > max_retries:
                         continue
                     delay = min(delay * 2, 60.0)
                 else:
@@ -472,8 +493,8 @@ def job_rows(
                     fails = 0
             host_state[host] = (last, delay, fails)
 
-        frontier = carried + [
-            dict(url=c, host=_host_of(c), depth=d, score=0.0)
+        frontier = carried + retries + [
+            dict(url=c, host=_host_of(c), depth=d, score=0.0, retry=0, wait=0)
             for c, (d, _p) in fresh.items()
         ]
         waves_done += 1
