@@ -929,6 +929,56 @@ def q_crawl_job_e2e(spark, sf_dir):
     return res
 
 
+def q_head_parse(spark, sf_dir):
+    """Head-metadata parse (_parse_head, async_url_seeder.py:186-256):
+    title / charset / lang / meta map / canonical link / JSON-LD count
+    from a synthesized head fragment per document."""
+    from crawl4ai_spark.functions.heads import parse_heads
+
+    d = F.col("doc_id")
+    title = F.concat(F.lit("Doc "), d.cast("string"), F.lit(" Title"))
+    head = F.concat(
+        F.lit('<html lang="'),
+        F.when(d % 4 == 0, F.lit("en")).when(d % 4 == 1, F.lit("de")).otherwise(F.lit("fr")),
+        F.lit('"><head><title>  '), title, F.lit("  </title>"),
+        F.when(d % 3 == 0, F.lit('<meta charset="UTF-8">')).otherwise(F.lit("")),
+        F.lit('<meta name="description" content="desc '), d.cast("string"), F.lit('">'),
+        F.when(d % 5 == 0, F.lit('<meta name="robots" content="noindex">')).otherwise(F.lit("")),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit('<link rel="canonical" href="https://c.com/'), d.cast("string"), F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.lit('<script type="application/ld+json">{"@type": "Article"}</script>'),
+        ).otherwise(F.lit("")),
+        F.lit("</head></html>"),
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        d.cast("string").alias("url"), head.alias("head_html")
+    )
+    out = parse_heads(pages)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "title", "charset", "lang", "description", "robots_meta", "canonical",
+        F.col("n_jsonld").cast("long").alias("n_jsonld"),
+    )
+
+
+def _head_parse_sql() -> str:
+    return """
+SELECT doc_id,
+  'Doc ' || CAST(doc_id AS VARCHAR) || ' Title' AS title,
+  CASE WHEN doc_id % 3 = 0 THEN 'utf-8' END AS charset,
+  CASE WHEN doc_id % 4 = 0 THEN 'en' WHEN doc_id % 4 = 1 THEN 'de' ELSE 'fr' END AS lang,
+  'desc ' || CAST(doc_id AS VARCHAR) AS description,
+  CASE WHEN doc_id % 5 = 0 THEN 'noindex' END AS robots_meta,
+  CASE WHEN doc_id % 2 = 0 THEN 'https://c.com/' || CAST(doc_id AS VARCHAR) END AS canonical,
+  CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_jsonld
+FROM documents
+"""
+
+
 def _flaky_status_rule(i: Column, retry: Column) -> Column:
     """Deterministic flakiness keyed on the page index: i%5==2 → always
     503 (give-up path); i%3==1 (minus the 503 set) → one 429 then
@@ -1162,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruning_scores": q_pruning_scores,
         "config_select": q_config_select,
         "cache_modes": q_cache_modes,
+        "head_parse": q_head_parse,
         "sitemap_expand": q_sitemap_expand,
         "url_relevance": q_url_relevance,
         "link_preview": q_link_preview,
@@ -2575,6 +2626,7 @@ FROM first GROUP BY wave_id
         "pruning_scores": _pruning_scores_sql(),
         "config_select": _config_select_sql(),
         "cache_modes": _cache_modes_sql(),
+        "head_parse": _head_parse_sql(),
         "sitemap_expand": _sitemap_expand_sql(),
         "url_relevance": _cached_fixture("url_relevance", _url_relevance_fixture_sql),
         "link_preview": _link_preview_sql(),

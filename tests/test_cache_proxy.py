@@ -1,6 +1,7 @@
 """CacheMode gating + proxy rotation — with xchecks executing the
 reference's CacheContext and ProxyConfig classes."""
 
+import json
 import pytest
 from pyspark.sql import functions as F
 
@@ -98,3 +99,80 @@ def test_assign_proxies_sticky_and_round_robin(spark):
     assert all(r["proxy_server"] is None for r in none)
     with pytest.raises(ValueError):
         assign_proxies(df, servers, mode="round_robin")
+
+
+# ------------------------------------------------------------- head parse
+def test_parse_head_xcheck_reference_regex_fallback():
+    """Execute the reference's own _parse_head (regex-fallback path: LXML
+    isn't importable here) and compare the shared observable fields."""
+    import re
+
+    from crawl4ai_spark.functions.heads import parse_head
+
+    refs = load_defs(
+        "async_url_seeder.py",
+        ["_parse_head"],
+        extra={
+            "LXML": False,
+            "json": __import__("json"),
+            "Any": object,
+            "_title_rx": re.compile(r"<title[^>]*>(.*?)</title>", re.I | re.S),
+            "_meta_rx": re.compile(
+                r'<meta[^>]+(?:name|property)=["\']([^"\']+)["\'][^>]*content=["\']([^"\']*)["\']',
+                re.I,
+            ),
+            "_charset_rx": re.compile(r'<meta[^>]+charset=["\']?([^"\' >/]+)', re.I),
+            "_link_rx": re.compile(
+                r'<link[^>]+rel=["\']([^"\']+)["\'][^>]*href=["\']([^"\']+)["\']', re.I
+            ),
+            "re": re,
+        },
+    )
+    ref_parse = refs["_parse_head"]
+    src = (
+        '<html lang="en-GB"><head><title> My Page </title>'
+        '<meta charset="UTF-8"><meta name="description" content="Desc here">'
+        '<meta property="og:type" content="article">'
+        '<link rel="canonical" href="https://a.com/c">'
+        '<script type="application/ld+json">{"@type": "Article"}</script>'
+        "</head></html>"
+    )
+    ours = parse_head(src)
+    theirs = ref_parse(src)
+    assert ours["title"] == theirs["title"] == "My Page"
+    assert ours["charset"] == theirs["charset"] == "utf-8"
+    assert ours["lang"] == theirs["lang"] == "en-GB"
+    assert ours["meta"]["description"] == theirs["meta"]["description"]
+    assert ours["link"]["canonical"][0]["href"] == theirs["link"]["canonical"][0]["href"]
+    assert ours["jsonld"] == theirs["jsonld"] == [{"@type": "Article"}]
+
+
+def test_parse_head_lxml_semantics():
+    from crawl4ai_spark.functions.heads import parse_head
+
+    h = parse_head(
+        '<head><meta http-equiv="refresh" content="30">'
+        '<link rel="preload stylesheet" href="/s.css" as="style" type="text/css">'
+        '<link href="/nofel.css"><title>A</title><title>B</title></head>'
+    )
+    assert h["title"] == "A"  # first title wins
+    assert h["meta"]["refresh"] == "30"  # http-equiv keys the meta map
+    # space-separated rel fans out; rel-less links dropped
+    assert h["link"]["preload"] == h["link"]["stylesheet"] == [
+        {"href": "/s.css", "as": "style", "type": "text/css"}
+    ]
+    assert "nofel" not in json.dumps(h["link"])
+    assert parse_head("")["title"] is None
+
+
+def test_parse_heads_operator(spark):
+    from crawl4ai_spark.functions.heads import parse_heads
+
+    pages = spark.createDataFrame(
+        [("u1", '<head><title>T1</title><meta name="robots" content="noindex">'
+                '<link rel="canonical" href="https://a.com/x"></head>')],
+        "url string, head_html string",
+    )
+    r = parse_heads(pages).collect()[0]
+    assert r["title"] == "T1" and r["robots_meta"] == "noindex"
+    assert r["canonical"] == "https://a.com/x" and r["n_jsonld"] == 0
