@@ -929,6 +929,36 @@ def q_crawl_job_e2e(spark, sf_dir):
     return res
 
 
+def q_sentence_chunking(spark, sf_dir):
+    """Sentence chunking (NlpSentenceChunking analog) — the reference's
+    list(set(...)) dedup quirk pinned via sorted-distinct output."""
+    from crawl4ai_spark.functions.chunking import sentence_chunks_expr
+
+    d = F.col("doc_id")
+    text = F.concat(
+        F.lit("Alpha "), d.cast("string"), F.lit(" one. Beta "),
+        (d % 7).cast("string"), F.lit(" two! Gamma three?\nAlpha "),
+        d.cast("string"), F.lit(" one."),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", text.alias("text"))
+    out = docs.select("doc_id", F.posexplode(sentence_chunks_expr(F.col("text"))).alias("chunk_idx", "sentence"))
+    return out.select("doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"), "sentence")
+
+
+def _sentence_chunking_sql() -> str:
+    # the duplicate trailing sentence dedups; sorted order is Alpha < Beta < Gamma
+    return """
+WITH s AS (
+  SELECT doc_id, 0 AS chunk_idx, 'Alpha ' || CAST(doc_id AS VARCHAR) || ' one.' AS sentence FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 'Beta ' || CAST(doc_id % 7 AS VARCHAR) || ' two!' FROM documents
+  UNION ALL
+  SELECT doc_id, 2, 'Gamma three?' FROM documents
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, sentence FROM s
+"""
+
+
 def q_head_parse(spark, sf_dir):
     """Head-metadata parse (_parse_head, async_url_seeder.py:186-256):
     title / charset / lang / meta map / canonical link / JSON-LD count
@@ -1213,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "config_select": q_config_select,
         "cache_modes": q_cache_modes,
         "head_parse": q_head_parse,
+        "sentence_chunking": q_sentence_chunking,
         "sitemap_expand": q_sitemap_expand,
         "url_relevance": q_url_relevance,
         "link_preview": q_link_preview,
@@ -2627,6 +2658,7 @@ FROM first GROUP BY wave_id
         "config_select": _config_select_sql(),
         "cache_modes": _cache_modes_sql(),
         "head_parse": _head_parse_sql(),
+        "sentence_chunking": _sentence_chunking_sql(),
         "sitemap_expand": _sitemap_expand_sql(),
         "url_relevance": _cached_fixture("url_relevance", _url_relevance_fixture_sql),
         "link_preview": _link_preview_sql(),

@@ -91,3 +91,18 @@ def overlapping_window_chunks_expr(
         idx, lambda i: F.concat_ws(" ", F.slice(words, i * stride + 1, window_size))
     )
     return F.when(n <= window_size, F.array(text)).otherwise(chunks)
+
+
+def sentence_chunks_expr(text: Column) -> Column:
+    """Sentence chunking (NlpSentenceChunking, chunking_strategy.py:65-90).
+
+    The reference tokenizes with nltk punkt (absent from this
+    environment); this is the regex analog its own commented-out
+    fallback sketches (:79-83): split after [.?!] or newline followed by
+    whitespace, strip, drop empties.  NOTE the reference returns
+    ``list(set(...))`` — an UNORDERED deduped set (:89, quirk) — so this
+    expression also dedupes and sorts for a deterministic order.
+    """
+    sentences = F.split(text, r"(?<=[.?!\n])\s+")
+    stripped = F.transform(sentences, lambda s: F.trim(s))
+    return F.array_sort(F.array_distinct(F.filter(stripped, lambda s: s != "")))

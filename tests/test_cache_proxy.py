@@ -176,3 +176,14 @@ def test_parse_heads_operator(spark):
     r = parse_heads(pages).collect()[0]
     assert r["title"] == "T1" and r["robots_meta"] == "noindex"
     assert r["canonical"] == "https://a.com/x" and r["n_jsonld"] == 0
+
+
+def test_sentence_chunks(spark):
+    from crawl4ai_spark.functions.chunking import sentence_chunks_expr
+
+    df = spark.createDataFrame(
+        [("One sentence. Two now!  Three?\nFour line. Two now!",)], "text string"
+    )
+    got = df.select(sentence_chunks_expr(F.col("text")).alias("s")).first()["s"]
+    # deduped (reference's list(set(...)) quirk) + deterministic order
+    assert got == sorted({"One sentence.", "Two now!", "Three?", "Four line."})
