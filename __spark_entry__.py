@@ -1036,10 +1036,12 @@ def q_crawl_job_retries(spark, sf_dir):
 
     corpus = generate_corpus(seed=42, n_hosts=2, pages_per_host=8, with_images=False)
     pages = spark.createDataFrame(corpus["pages"])
+    # cached like canonical_corpus_fetcher: the canonicalize UDF + dedup
+    # must not re-run on every one of up to 12 waves
     src = pages.select(
         _nd(F.col("url"), F.col("url")).alias("_page_url"), "html",
         F.col("status_code").alias("_sc"),
-    ).dropDuplicates(["_page_url"])
+    ).dropDuplicates(["_page_url"]).cache()
 
     def fetch(wave):
         j = wave.join(src, wave["url"] == src["_page_url"], "left")

@@ -49,14 +49,19 @@ def parse_head(src: str) -> dict:
     for el in root.find_all("meta"):
         k = el.get("name") or el.get("property") or el.get("http-equiv")
         if k:
-            info["meta"][k.lower()] = el.get("content", "")
+            info["meta"][k.lower()] = el.get("content") or ""
         elif "charset" in el.attrs:
-            info["charset"] = el.attrs["charset"].lower()
+            # html.parser yields None for valueless attrs; lxml gives ""
+            info["charset"] = (el.attrs["charset"] or "").lower()
     for el in root.find_all("link"):
-        rel_attr = el.get("rel", "")
+        rel_attr = el.get("rel") or ""
         if not rel_attr:
             continue
-        entry = {a: el.attrs[a] for a in ("href", "as", "type", "hreflang") if a in el.attrs}
+        entry = {
+            a: (el.attrs[a] or "")
+            for a in ("href", "as", "type", "hreflang")
+            if a in el.attrs
+        }
         for rel in rel_attr.lower().split():
             info["link"].setdefault(rel, []).append(entry)
     for script in root.find_all("script"):
@@ -69,7 +74,7 @@ def parse_head(src: str) -> dict:
                     pass
     html_el = root.find("html")
     if html_el is not None:
-        info["lang"] = html_el.get("lang", "")
+        info["lang"] = html_el.get("lang") or ""
     return info
 
 

@@ -93,6 +93,13 @@ CACHE_READ_ONLY = "read_only"
 CACHE_WRITE_ONLY = "write_only"
 CACHE_BYPASS = "bypass"
 
+_CACHE_MODES = {CACHE_ENABLED, CACHE_DISABLED, CACHE_READ_ONLY, CACHE_WRITE_ONLY, CACHE_BYPASS}
+
+
+def _check_mode(cache_mode: str) -> None:
+    if cache_mode not in _CACHE_MODES:
+        raise ValueError(f"unknown cache_mode: {cache_mode!r} (expected one of {sorted(_CACHE_MODES)})")
+
 
 def is_cacheable_expr(url):
     """CacheContext.is_cacheable (:54): http/https/file URLs only —
@@ -103,7 +110,9 @@ def is_cacheable_expr(url):
 
 
 def should_read_expr(url, cache_mode: str = CACHE_ENABLED, always_bypass: bool = False):
-    """CacheContext.should_read (:60-73) as a boolean column."""
+    """CacheContext.should_read (:60-73) as a boolean column.  Unknown
+    modes raise (the reference makes them unrepresentable via the enum)."""
+    _check_mode(cache_mode)
     if always_bypass or cache_mode not in (CACHE_ENABLED, CACHE_READ_ONLY):
         return F.lit(False)
     return is_cacheable_expr(url)
@@ -111,6 +120,7 @@ def should_read_expr(url, cache_mode: str = CACHE_ENABLED, always_bypass: bool =
 
 def should_write_expr(url, cache_mode: str = CACHE_ENABLED, always_bypass: bool = False):
     """CacheContext.should_write (:75-88)."""
+    _check_mode(cache_mode)
     if always_bypass or cache_mode not in (CACHE_ENABLED, CACHE_WRITE_ONLY):
         return F.lit(False)
     return is_cacheable_expr(url)
@@ -128,7 +138,13 @@ def cache_lookup_mode(
     """Mode-aware cache read: rows whose CacheContext.should_read is
     False stay ``miss`` regardless of cache contents (BYPASS/DISABLED/
     WRITE_ONLY semantics); eligible rows go through the freshness-
-    validated lookup."""
+    validated lookup.  When the MODE itself forbids reading, the cache
+    joins are skipped entirely (the join would only be overwritten to
+    miss — Catalyst can't prune it because a left join may change
+    multiplicity)."""
+    _check_mode(cache_mode)
+    if always_bypass or cache_mode not in (CACHE_ENABLED, CACHE_READ_ONLY):
+        return cache_lookup(frontier, None, url_col=url_col)
     out = cache_lookup(
         frontier, cache, live_heads=live_heads, check_freshness=check_freshness,
         url_col=url_col,

@@ -345,6 +345,7 @@ class CrawlJob:
             host_state,
             wave_start=wave_start,
             base_delay=(cfg.default_delay, cfg.default_delay),
+            max_retries=cfg.max_retries,  # freeze threshold = give-up threshold
         )
         _mark("host_state_def")
 

@@ -103,8 +103,14 @@ def test_assign_proxies_sticky_and_round_robin(spark):
 
 # ------------------------------------------------------------- head parse
 def test_parse_head_xcheck_reference_regex_fallback():
-    """Execute the reference's own _parse_head (regex-fallback path: LXML
-    isn't importable here) and compare the shared observable fields."""
+    """Execute the reference's own _parse_head with its own module-level
+    regexes (loaded as consts — LXML isn't importable here, so the
+    regex-FALLBACK path runs).  Our implementation transcribes the
+    PRIMARY lxml path, so the comparison input is restricted to where
+    the two reference paths agree by construction: bare <title>,
+    single-token attribute values (the fallback regexes truncate
+    multi-word content at the first space — a known lossiness of the
+    fallback, not of the primary path)."""
     import re
 
     from crawl4ai_spark.functions.heads import parse_head
@@ -112,26 +118,13 @@ def test_parse_head_xcheck_reference_regex_fallback():
     refs = load_defs(
         "async_url_seeder.py",
         ["_parse_head"],
-        extra={
-            "LXML": False,
-            "json": __import__("json"),
-            "Any": object,
-            "_title_rx": re.compile(r"<title[^>]*>(.*?)</title>", re.I | re.S),
-            "_meta_rx": re.compile(
-                r'<meta[^>]+(?:name|property)=["\']([^"\']+)["\'][^>]*content=["\']([^"\']*)["\']',
-                re.I,
-            ),
-            "_charset_rx": re.compile(r'<meta[^>]+charset=["\']?([^"\' >/]+)', re.I),
-            "_link_rx": re.compile(
-                r'<link[^>]+rel=["\']([^"\']+)["\'][^>]*href=["\']([^"\']+)["\']', re.I
-            ),
-            "re": re,
-        },
+        consts=["_title_rx", "_meta_rx", "_charset_rx", "_link_rx"],
+        extra={"LXML": False, "json": __import__("json"), "Any": object, "re": re},
     )
     ref_parse = refs["_parse_head"]
     src = (
-        '<html lang="en-GB"><head><title> My Page </title>'
-        '<meta charset="UTF-8"><meta name="description" content="Desc here">'
+        '<html lang="en-GB"><head><title> MyPage </title>'
+        '<meta charset="UTF-8"><meta name="description" content="descword">'
         '<meta property="og:type" content="article">'
         '<link rel="canonical" href="https://a.com/c">'
         '<script type="application/ld+json">{"@type": "Article"}</script>'
@@ -139,12 +132,26 @@ def test_parse_head_xcheck_reference_regex_fallback():
     )
     ours = parse_head(src)
     theirs = ref_parse(src)
-    assert ours["title"] == theirs["title"] == "My Page"
+    assert ours["title"] == theirs["title"] == "MyPage"
     assert ours["charset"] == theirs["charset"] == "utf-8"
     assert ours["lang"] == theirs["lang"] == "en-GB"
-    assert ours["meta"]["description"] == theirs["meta"]["description"]
+    assert ours["meta"]["description"] == theirs["meta"]["description"] == "descword"
+    assert ours["meta"]["og:type"] == theirs["meta"]["og:type"] == "article"
     assert ours["link"]["canonical"][0]["href"] == theirs["link"]["canonical"][0]["href"]
     assert ours["jsonld"] == theirs["jsonld"] == [{"@type": "Article"}]
+    # primary-path fidelity the fallback cannot express (multi-word
+    # content kept whole) — pinned separately
+    full = parse_head('<head><meta name="description" content="Desc here"></head>')
+    assert full["meta"]["description"] == "Desc here"
+
+
+def test_parse_head_valueless_attrs_no_crash():
+    from crawl4ai_spark.functions.heads import parse_head
+
+    h = parse_head('<html lang><head><meta charset><meta name="x" content>'
+                   '<link rel href="/a"><title>T</title></head></html>')
+    assert h["charset"] == "" and h["lang"] == "" and h["meta"]["x"] == ""
+    assert h["title"] == "T"
 
 
 def test_parse_head_lxml_semantics():
@@ -187,3 +194,18 @@ def test_sentence_chunks(spark):
     got = df.select(sentence_chunks_expr(F.col("text")).alias("s")).first()["s"]
     # deduped (reference's list(set(...)) quirk) + deterministic order
     assert got == sorted({"One sentence.", "Two now!", "Three?", "Four line."})
+
+
+def test_cache_mode_validation_and_short_circuit(spark):
+    frontier = spark.createDataFrame([("https://a.com/x",)], "url string")
+    cache = spark.createDataFrame(
+        [("https://a.com/x", "<h>", "e", "f")],
+        "url string, html string, etag string, head_fingerprint string",
+    )
+    with pytest.raises(ValueError):
+        should_read_expr(F.col("url"), "ENABLED")
+    with pytest.raises(ValueError):
+        cache_lookup_mode(frontier, cache, "readonly")
+    # unreadable modes skip the cache join entirely
+    plan = cache_lookup_mode(frontier, cache, CACHE_BYPASS)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan

@@ -78,3 +78,12 @@ def test_markdown_no_links_is_identity():
     conv, refs = convert_links_to_citations(md, "https://b.com")
     assert conv == md
     assert refs == "\n\n## References\n\n"
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.one_of(_fragment, _broken))
+def test_parse_head_never_crashes(html):
+    from crawl4ai_spark.functions.heads import parse_head
+
+    h = parse_head(html)
+    assert isinstance(h, dict) and set(h) == {"title", "charset", "meta", "link", "jsonld", "lang"}
