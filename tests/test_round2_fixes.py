@@ -221,3 +221,72 @@ def test_bm25_null_text_is_empty_doc(spark):
     assert set(got) == {1, 2, 3}
     assert got[2] == 0.0 and got[3] == 0.0
     assert got[1] > 0.0
+
+
+def test_backoff_freeze_uses_config_max_retries(spark):
+    """update_host_state freeze threshold must follow max_retries (was
+    hardcoded 3): with max_retries=1, the second failure freezes delay."""
+    from crawl4ai_spark.operators.scheduler import update_host_state
+
+    res = spark.createDataFrame(
+        [("h.com", 429, 0.0), ("h.com", 429, 1.0), ("h.com", 429, 2.0)],
+        "host string, status_code int, scheduled_offset double",
+    )
+    row = update_host_state(res, None, wave_start=0.0, base_delay=(1.0, 1.0),
+                            max_retries=1).collect()[0]
+    # fail1: delay 1->2 (fails=1 <= 1); fail2: fails=2 > 1 -> frozen; fail3 frozen
+    assert row["current_delay"] == pytest.approx(2.0)
+    assert row["fail_count"] == 3
+    row3 = update_host_state(res, None, wave_start=0.0, base_delay=(1.0, 1.0),
+                             max_retries=3).collect()[0]
+    assert row3["current_delay"] == pytest.approx(8.0)  # doubled thrice
+
+
+def test_crawljob_retry_state_survives_resume(spark, tmp_path):
+    """Requeued 429 rows and host backoff state persist through a
+    snapshot resume: split run == straight run, including retry rows."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.functions.urls import normalize_url_for_deep_crawl
+    from crawl4ai_spark.pipeline import CrawlJob, JobConfig
+    from crawl4ai_spark.sources.corpus import generate_corpus, page_url
+
+    corpus = generate_corpus(seed=3, n_hosts=2, pages_per_host=6, with_images=False)
+    pages = spark.createDataFrame(corpus["pages"])
+    from crawl4ai_spark.functions.urls import normalize_deep_udf as _nd
+
+    src = pages.select(
+        _nd(F.col("url"), F.col("url")).alias("_p"), "html",
+        F.col("status_code").alias("_sc"),
+    ).dropDuplicates(["_p"]).cache()
+
+    def fetch(wave):
+        j = wave.join(src, wave["url"] == src["_p"], "left")
+        ix = F.regexp_extract(F.col("url"), r"/p(\d+)$", 1)
+        i = F.when(ix == "", F.lit(0)).otherwise(ix.cast("int"))
+        status = F.when(F.col("_p").isNull(), 404).when(
+            (i % 2 == 1) & (F.col("retry_count") < 1), 429
+        ).otherwise(F.col("_sc"))
+        return j.withColumn("status_code", status).withColumn(
+            "success", F.col("_p").isNotNull() & (F.col("status_code") == 200)
+        ).drop("_p", "_sc")
+
+    cfg = JobConfig(max_depth=2, wave_budget=3.0, default_delay=1.0,
+                    use_bloom=False, emit_images=False)
+
+    def run(root, splits):
+        job = None
+        for i, w in enumerate(splits):
+            job = CrawlJob(spark, fetch, catalog_root=str(root), config=cfg)
+            if i == 0:
+                job.seed(spark.createDataFrame(
+                    [(page_url(0, 0),), (page_url(1, 0),)], "url string"))
+            job.run(max_waves=w)
+        return job
+
+    a = run(tmp_path / "straight", [10])
+    b = run(tmp_path / "split", [2, 8])
+    rows_a = {(r["url"], r["wave_id"], r["status_code"]) for r in a.results().collect()}
+    rows_b = {(r["url"], r["wave_id"], r["status_code"]) for r in b.results().collect()}
+    assert rows_a == rows_b
+    assert any(sc == 429 for _u, _w, sc in rows_a)  # retries actually exercised
