@@ -1395,7 +1395,8 @@ WITH {_ORDER_URL_SQL},
 feat AS (
   SELECT o_orderkey, url,
     list_max(list_filter(
-      list_transform(regexp_extract_all(url, '(?:/|[-_])((?:19|20)\\d{{2}})', 1),
+      list_transform(regexp_extract_all(url,
+        '(?:/|[-_])((?:19|20)\\d{{2}})(?:(?:/|[-_])\\d{{2}}(?:(?:/|[-_])\\d{{2}})?)?', 1),
                      v -> CAST(v AS INTEGER)),
       v -> v <= 2024)) AS yr,
     len(list_filter(string_split(
@@ -1424,7 +1425,10 @@ def _seo_scores_sql() -> str:
 WITH {_HEAD_FIELDS_SQL},
 feat AS (
   SELECT doc_id, url, title, descr, canonical, robots, head_html,
-    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)) AS path,
+    -- urlparse excludes the last segment's ;params from .path
+    lower(regexp_replace(
+      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1),
+      ';[^/]*$', '')) AS path,
     regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query
   FROM hf
 ), comp AS (

@@ -149,7 +149,9 @@ def content_type(allowed_types: str | list[str]):
 
 def domain(allowed_domains=None, blocked_domains=None):
     """Blocked-then-allowed, subdomain-inclusive (filters.py:432-506)."""
-    allowed = None if allowed_domains is None else [d.lower() for d in (
+    # reference: `frozenset(...) if allowed_domains else None` — a FALSY
+    # allow-list ([], "", None) means "no restriction", not "reject all"
+    allowed = None if not allowed_domains else [d.lower() for d in (
         [allowed_domains] if isinstance(allowed_domains, str) else allowed_domains
     )]
     blocked = [] if blocked_domains is None else [d.lower() for d in (
@@ -177,7 +179,9 @@ def url_quality_score_expr(url: Column) -> Column:
     """SEOFilter's URL-quality feature (filters.py:682-698 exact):
     multiplicative penalties on the lowercased urlparse *path* — len>80
     ×0.7, a 4-digit run ×0.8, query present ×0.6, underscore ×0.9."""
-    path = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1))
+    raw_path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    # urlparse splits the LAST segment's ';params' out of .path — strip it
+    path = F.lower(F.regexp_replace(raw_path, r";[^/]*$", ""))
     # anchored before any fragment: a '?' appearing only after '#' is part
     # of the fragment, not a query (urlparse semantics)
     query = F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)

@@ -96,8 +96,15 @@ def content_type(type_weights: dict[str, float], weight: float = 1.0):
 
 def freshness_year_expr(url: Column, current_year: int = 2024) -> Column:
     """Latest plausible year in the URL (scorers.py:353-379): years
-    1900-2099 preceded by / - or _, capped at current_year; null if none."""
-    years = F.regexp_extract_all(url, F.lit(r"(?:/|[-_])((?:19|20)\d{2})"), 1)
+    1900-2099 preceded by / - or _, capped at current_year; null if none.
+    The reference pattern CONSUMES an optional /mm[/dd] tail, so
+    non-overlapping matching skips month/day digits that would otherwise
+    read as extra years (e.g. '/2023-08-2024…' finds only 2023+…)."""
+    years = F.regexp_extract_all(
+        url,
+        F.lit(r"(?:/|[-_])((?:19|20)\d{2})(?:(?:/|[-_])\d{2}(?:(?:/|[-_])\d{2})?)?"),
+        1,
+    )
     ints = F.transform(years, lambda y: y.cast("int"))
     valid = F.filter(ints, lambda y: y <= F.lit(current_year))
     return F.array_max(valid)

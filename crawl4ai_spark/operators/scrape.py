@@ -73,8 +73,8 @@ META_SCHEMA = T.StructType(
     ]
 )
 
-_IMG_FORMATS = ("jpg", "jpeg", "png", "webp", "gif", "avif", "svg")
-_ICON_HINTS = ("icon", "logo", "button", "sprite")
+_IMG_FORMATS = ("jpg", "jpeg", "png", "webp", "avif", "gif")  # :449 exact (no svg)
+_ICON_HINTS = ("button", "icon", "logo")  # :428-436 exact (no 'sprite')
 
 
 def parse_srcset_expr(s):
@@ -100,58 +100,95 @@ def parse_srcset_expr(s):
     return F.transform(parts, variant)
 
 
+_VOIDISH = {"br", "img", "hr", "input", "meta", "link", "area", "base", "col",
+            "source", "track", "wbr", "embed", "param"}
+
+
 class _PageParser(HTMLParser):
-    def __init__(self):
+    """``links_only`` skips the image/title/meta branches entirely — the
+    prefetch/frontier-expansion hot path pays no per-<img> dict cost."""
+
+    def __init__(self, links_only: bool = False):
         super().__init__(convert_charrefs=True)
         self.links: list[dict] = []
         self.images: list[dict] = []
         self.base_href: str | None = None
         self.title = ""
         self.description = ""
+        self.links_only = links_only
         self._in_a: dict | None = None
         self._in_title = False
+        # (tag, class) ancestor stack for image parent/picture context
+        self._stack: list[tuple[str, str]] = []
 
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
         if tag == "a" and a.get("href"):
+            if self._in_a is not None:
+                self._flush_a()  # lxml auto-closes a nested <a>; keep both
             self._in_a = {
                 "href": a["href"],
                 "text": [],
-                "title": a.get("title", ""),
-                "rel": a.get("rel", ""),
-                "class": a.get("class", ""),
+                "title": (a.get("title") or "").strip(),
+                "rel": a.get("rel") or "",
+                "class": a.get("class") or "",
             }
         elif tag == "img":
-            self.images.append(
-                {
-                    "src": a.get("src") or a.get("data-src") or "",
-                    "alt": a.get("alt", ""),
-                    "width": _to_int(a.get("width")),
-                    "height": _to_int(a.get("height")),
-                    "class": a.get("class", ""),
-                    "srcset": a.get("srcset", ""),
-                }
-            )
+            if not self.links_only:
+                parent_tag, parent_class = self._stack[-1] if self._stack else ("", "")
+                self.images.append(
+                    {
+                        "src": a.get("src") or "",
+                        "data_src": a.get("data-src") or "",
+                        "alt": a.get("alt") or "",
+                        "style": a.get("style") or "",
+                        "width": a.get("width"),
+                        "height": a.get("height"),
+                        "class": a.get("class") or "",
+                        "srcset": a.get("srcset") or "",
+                        "data_srcset": a.get("data-srcset") or "",
+                        "parent_tag": parent_tag,
+                        "parent_class": parent_class,
+                        "in_picture": any(t == "picture" for t, _c in self._stack),
+                    }
+                )
         elif tag == "base" and a.get("href") and self.base_href is None:
-            self.base_href = a["href"]
+            self.base_href = (a["href"] or "").strip() or None
         elif tag == "title":
-            self._in_title = True
+            if not self.links_only:
+                self._in_title = True
         elif tag == "meta" and a.get("name") == "description":
-            self.description = a.get("content", "")
+            if not self.links_only:
+                self.description = a.get("content") or ""
+        if tag not in _VOIDISH:
+            self._stack.append((tag, a.get("class") or ""))
+
+    def _flush_a(self):
+        # lxml text_content().strip(): ends stripped, internal whitespace kept
+        self._in_a["text"] = "".join(self._in_a["text"]).strip()
+        self.links.append(self._in_a)
+        self._in_a = None
 
     def handle_endtag(self, tag):
         if tag == "a" and self._in_a is not None:
-            self._in_a["text"] = " ".join("".join(self._in_a["text"]).split())
-            self.links.append(self._in_a)
-            self._in_a = None
+            self._flush_a()
         elif tag == "title":
             self._in_title = False
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i][0] == tag:
+                del self._stack[i:]
+                break
 
     def handle_data(self, data):
         if self._in_a is not None:
             self._in_a["text"].append(data)
         if self._in_title:
             self.title += data
+
+    def close(self):
+        super().close()
+        if self._in_a is not None:
+            self._flush_a()  # unclosed trailing <a> still emits (lxml recovers)
 
 
 def _to_int(v) -> int | None:
@@ -161,8 +198,8 @@ def _to_int(v) -> int | None:
         return None
 
 
-def parse_page(url: str, html: str) -> _PageParser:
-    p = _PageParser()
+def parse_page(url: str, html: str, links_only: bool = False) -> _PageParser:
+    p = _PageParser(links_only=links_only)
     try:
         p.feed(html or "")
         p.close()
@@ -172,30 +209,51 @@ def parse_page(url: str, html: str) -> _PageParser:
 
 
 def image_score(img: dict, index: int, total: int) -> int:
-    """Reference image heuristic (content_scraping_strategy.py:440-467):
-    +1 each for width>150, height>150, alt present, first-half position,
-    known format in src, srcset present."""
+    """Reference image heuristic (content_scraping_strategy.py:440-467
+    exact): +1 each for isdigit width>150, isdigit height>150, alt
+    present, first-half position, a known format substring in ANY of
+    src/data-src/srcset/data-srcset ({jpg,jpeg,png,webp,avif,gif} — no
+    svg), srcset-or-data-srcset present, and a <picture> ancestor."""
     s = 0
-    if (img.get("width") or 0) > 150:
+    w = img.get("width")
+    if w and str(w).isdigit() and int(w) > 150:
         s += 1
-    if (img.get("height") or 0) > 150:
+    h = img.get("height")
+    if h and str(h).isdigit() and int(h) > 150:
         s += 1
     if img.get("alt"):
         s += 1
     if total and index / total < 0.5:
         s += 1
-    src = (img.get("src") or "").lower()
-    if any(f".{f}" in src for f in _IMG_FORMATS):
+    for u in (img.get("src"), img.get("data_src"), img.get("srcset"), img.get("data_srcset")):
+        if u and any(f in u.lower() for f in _IMG_FORMATS):
+            s += 1
+            break
+    if img.get("srcset") or img.get("data_srcset"):
         s += 1
-    if img.get("srcset"):
+    if img.get("in_picture"):
         s += 1
     return s
 
 
 def _is_icon(img: dict) -> bool:
-    cls = (img.get("class") or "").lower()
-    src = (img.get("src") or "").lower()
-    return any(h in cls or h in src for h in _ICON_HINTS)
+    """process_image's quick rejections (content_scraping_strategy.py:
+    421-438 exact): display:none style, button/input PARENT, a
+    button|icon|logo hint in any parent class, or in src, or in alt."""
+    if "display:none" in (img.get("style") or ""):
+        return True
+    if (img.get("parent_tag") or "") in ("button", "input"):
+        return True
+    parent_classes = (img.get("parent_class") or "").split()
+    if any(h in cls for cls in parent_classes for h in _ICON_HINTS):
+        return True
+    src = img.get("src") or ""
+    alt = img.get("alt") or ""
+    if (src and any(h in src for h in _ICON_HINTS)) or (
+        alt and any(h in alt for h in _ICON_HINTS)
+    ):
+        return True
+    return False
 
 
 def extract_links(
@@ -225,7 +283,7 @@ def extract_links(
         for pdf in batches:
             rows = []
             for url, html in zip(pdf[url_col], pdf[html_col]):
-                parser = parse_page(url, html)
+                parser = parse_page(url, html, links_only=True)
                 base = parser.base_href or url
                 page_domain = get_base_domain(url)
                 seen_page: set[str] = set()
@@ -276,7 +334,16 @@ def extract_image_refs(
                         continue
                     s = image_score(img, i, total)
                     rows.append(
-                        (url, img["src"], img["alt"], img["width"], img["height"], img["class"], i, s)
+                        (
+                            url,
+                            img["src"] or img["data_src"],
+                            img["alt"],
+                            _to_int(img["width"]),
+                            _to_int(img["height"]),
+                            img["class"],
+                            i,
+                            s,
+                        )
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_REF_SCHEMA.fields])
 
@@ -347,6 +414,10 @@ class _TableParser(HTMLParser):
         self._cap_cur: list[str] | None = None  # current caption text node
         self._cell = None  # (tag, colspan_raw, parts)
         self._row = None
+        # reference's .//tr[1]/th (table_extraction.py:160): the FIRST tr
+        # of EACH section (table/thead/tbody) counts — track per-section
+        self._section_tr_seen: list[bool] = []
+        self._row_is_section_first = False
 
     def _flush_caption_node(self):
         if self._in_caption and self._cap_cur is not None and self._stack:
@@ -363,6 +434,7 @@ class _TableParser(HTMLParser):
             t = _Table(attrs)
             self.tables.append(t)
             self._stack.append(t)
+            self._section_tr_seen.append(False)
             return
         if not self._stack:
             return
@@ -371,8 +443,10 @@ class _TableParser(HTMLParser):
         if tag == "thead":
             t.has_thead = True
             self._in_thead += 1
+            self._section_tr_seen.append(False)
         elif tag == "tbody":
             t.has_tbody = True
+            self._section_tr_seen.append(False)
         elif tag == "caption":
             self._in_caption = True
             t.has_caption = True
@@ -381,10 +455,16 @@ class _TableParser(HTMLParser):
             t.rows.append(self._row)
             if self._in_thead:
                 t.thead_rows += 1
+            self._row_is_section_first = not (
+                self._section_tr_seen and self._section_tr_seen[-1]
+            )
+            if self._section_tr_seen:
+                self._section_tr_seen[-1] = True
         elif tag in ("td", "th"):
             if self._row is None:
                 self._row = (self._in_thead > 0, [])
                 t.rows.append(self._row)
+                self._row_is_section_first = len(t.rows) == 1
             # keep the RAW colspan attr: the reference int()s it at extract
             # time and a non-int drops the whole table (except-continue) —
             # _extract_table reproduces that by raising
@@ -392,7 +472,7 @@ class _TableParser(HTMLParser):
             self._row[1].append(self._cell)
             if tag == "th":
                 t.th_count += 1
-                if len(t.rows) == 1:
+                if self._row_is_section_first:
                     t.first_row_has_th = True
 
     def handle_endtag(self, tag):
@@ -401,8 +481,15 @@ class _TableParser(HTMLParser):
             self._stack.pop()
             self._row = None
             self._cell = None
+            if self._section_tr_seen:
+                self._section_tr_seen.pop()
         elif tag == "thead":
             self._in_thead = max(0, self._in_thead - 1)
+            if self._section_tr_seen:
+                self._section_tr_seen.pop()
+        elif tag == "tbody":
+            if self._section_tr_seen:
+                self._section_tr_seen.pop()
         elif tag == "caption":
             self._in_caption = False
         elif tag in ("td", "th"):

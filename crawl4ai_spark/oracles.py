@@ -41,18 +41,18 @@ from .functions.urls import (
 )
 
 
-def _parse_page(url: str, html: str):
+def _parse_page(url: str, html: str, links_only: bool = False):
     # local import: scrape pulls pyspark at module level; only the pure
     # _PageParser is needed here
     from .operators.scrape import parse_page
 
-    return parse_page(url, html)
+    return parse_page(url, html, links_only=links_only)
 
 
 def page_links(url: str, html: str, include_external: bool) -> list[str]:
     """Extract + extended-normalize links exactly as the scrape stage does
     (first occurrence per page wins; schemes filtered; external split)."""
-    parser = _parse_page(url, html)
+    parser = _parse_page(url, html, links_only=True)
     base = parser.base_href or url
     dom = get_base_domain(url)
     out, seen_page = [], set()

@@ -290,3 +290,88 @@ def test_crawljob_retry_state_survives_resume(spark, tmp_path):
     rows_b = {(r["url"], r["wave_id"], r["status_code"]) for r in b.results().collect()}
     assert rows_a == rows_b
     assert any(sc == 429 for _u, _w, sc in rows_a)  # retries actually exercised
+
+
+# ---- third review pass pins (round-1 parity drift) ----
+
+def test_domain_filter_empty_allowlist_means_no_restriction(spark):
+    from crawl4ai_spark.functions.filters import domain
+
+    df = spark.createDataFrame([("https://a.com/x",), ("https://b.org/y",)], "url string")
+    got = {r["url"]: r["ok"] for r in df.select("url", domain(allowed_domains=[])(F.col("url")).alias("ok")).collect()}
+    assert all(got.values())  # falsy allow-list = no restriction (reference)
+    blocked = {r["url"]: r["ok"] for r in df.select(
+        "url", domain(allowed_domains=[], blocked_domains=["b.org"])(F.col("url")).alias("ok")).collect()}
+    assert blocked["https://a.com/x"] and not blocked["https://b.org/y"]
+
+
+def test_freshness_consumes_month_day(spark):
+    """Reference date pattern consumes /mm[/dd] — '-2024' inside a
+    consumed month/day tail is NOT a second year."""
+    from crawl4ai_spark.functions.scorers import freshness_year_expr
+
+    df = spark.createDataFrame(
+        [("https://site.com/season-2023-2024/stats",),
+         ("https://site.com/archive/2023/05/2024",),
+         ("https://site.com/posts/2022/11/30/x",),
+         ("https://site.com/plain",)],
+        "url string",
+    )
+    got = {r["url"]: r["y"] for r in df.select("url", freshness_year_expr(F.col("url")).alias("y")).collect()}
+    assert got["https://site.com/season-2023-2024/stats"] == 2023
+    assert got["https://site.com/archive/2023/05/2024"] == 2023
+    assert got["https://site.com/posts/2022/11/30/x"] == 2022
+    assert got["https://site.com/plain"] is None
+
+
+def test_parser_nested_and_unclosed_anchors():
+    from crawl4ai_spark.operators.scrape import parse_page
+
+    p = parse_page("https://h.com/", '<a href="/p1">One <a href="/p2">Two</a> and <a href="/p3">Three')
+    hrefs = [ln["href"] for ln in p.links]
+    assert hrefs == ["/p1", "/p2", "/p3"]  # nested auto-closed; trailing flushed
+    # link text: strip ends only, internal whitespace preserved (text_content().strip())
+    p2 = parse_page("https://h.com/", '<a href="/x">hello\n   world </a>')
+    assert p2.links[0]["text"] == "hello\n   world"
+
+
+def test_image_score_and_icon_reference_parity():
+    from crawl4ai_spark.operators.scrape import _is_icon, image_score, parse_page
+
+    html = (
+        '<picture><source srcset="/a.webp 1x"><img src="/hero" data-srcset="/h.png 2x" alt="x"></picture>'
+        '<img width="800px" height="600px" src="/art.svg">'
+        '<div class="logo-box"><img src="/brand.png" alt="brand"></div>'
+        '<img alt="Company logo" src="/hero2.png">'
+        '<button><img src="/b.png"></button>'
+        '<img src="/css-sprite-main.png" alt="strip">'
+    )
+    p = parse_page("https://h.com/", html)
+    imgs = {i["src"]: i for i in p.images}
+    hero = imgs["/hero"]
+    # picture ancestor +1, data-srcset format (png) +1, srcset-presence +1, alt +1, position +1
+    assert hero["in_picture"] and image_score(hero, 0, 6) == 5
+    # px-suffixed dims don't count (isdigit), svg is not a format
+    assert image_score(imgs["/art.svg"], 1, 6) == 1  # only first-half position
+    assert _is_icon(imgs["/brand.png"])      # parent class contains 'logo'
+    assert _is_icon(imgs["/hero2.png"])      # alt contains 'logo'
+    assert _is_icon(imgs["/b.png"])          # button parent
+    assert not _is_icon(imgs["/css-sprite-main.png"])  # 'sprite' is NOT a hint
+
+
+def test_table_first_row_th_per_section(spark):
+    from crawl4ai_spark.operators.scrape import extract_tables
+
+    # no thead; th only in the SECOND tbody's first tr — reference
+    # .//tr[1]/th still grants the +1 (first tr of each section)
+    html = (
+        '<table summary="s"><caption>c</caption>'
+        "<tbody><tr><td>1</td><td>2</td></tr><tr><td>3</td><td>4</td></tr></tbody>"
+        "<tbody><tr><th>h1</th><th>h2</th></tr></tbody></table>"
+    )
+    pages = spark.createDataFrame([("u", html)], "url string, html string")
+    rows = extract_tables(pages, table_score_threshold=10).collect()
+    # score: tbody+1, th+2, section-first-th+1, variance+2, caption+2,
+    # summary+1, rows>=2&cols>=2 +2 = 11 ≥ 10 — without the per-section
+    # fix it lands at 10 and drops
+    assert len(rows) == 1
