@@ -103,7 +103,11 @@ def confidence(
     text_col: str = "text", id_col: str = "doc_id",
 ) -> dict:
     """0.4·coverage + 0.3·consistency + 0.3·saturation
-    (adaptive_crawler.py:311-328)."""
+    (adaptive_crawler.py:311-328); an EMPTY knowledge base is 0.0
+    outright (:313-315) — consistency's <2-docs fallback of 1.0 must not
+    leak a 0.3 floor into a zero-document crawl."""
+    if docs.limit(1).count() == 0:
+        return {"coverage": 0.0, "consistency": 0.0, "saturation": 0.0, "confidence": 0.0}
     cov = coverage(docs, query, text_col, id_col)
     con = consistency(docs, text_col, id_col)
     sat = saturation(new_terms_history)
@@ -167,7 +171,9 @@ def rank_links(
     else:
         relevance = F.lit(0.0)
     if "contextual_score" in links.columns:
-        relevance = F.when(
+        # the contextual shortcut applies only when the link HAS text —
+        # an empty link_text returns 0.0 before the shortcut (:455-461)
+        relevance = F.when(F.trim(link_text) == "", F.lit(0.0)).when(
             F.col("contextual_score").isNotNull() & (F.col("contextual_score") > 0),
             F.col("contextual_score"),
         ).otherwise(relevance)
@@ -205,8 +211,12 @@ def rank_links(
         + F.lit(novelty_weight) * F.col("novelty")
         + F.lit(authority_weight) * F.lit(1.0)
     )
+    # the reference sorts with Python's STABLE sort (:438) — ties keep
+    # discovery/insertion order, which a ``_order`` column carries; href
+    # is only the fallback when the caller provides no order
+    tie = F.col("_order").asc() if "_order" in links.columns else F.col("href").asc()
     return scored.withColumn("score", score).drop("_lt").orderBy(
-        F.col("score").desc(), F.col("href").asc()
+        F.col("score").desc(), tie
     )
 
 
@@ -249,16 +259,23 @@ def digest(
                     pending[ln["href"]] = (ln["href"], ln["text"], ln["title"])
 
     crawl_batch([start_url])
+    m = None
     while len(crawled) < max_pages:
         kb = spark.createDataFrame(kb_rows, "url string, text string")
         m = confidence(kb, query, new_terms_history, id_col="url")
         history.append(dict(m, pages=len(crawled)))
         if m["confidence"] >= confidence_threshold:
             break
-        cand = [v for k, v in pending.items() if k not in set(crawled)]
+        cand = [
+            (i, *v)
+            for i, (k, v) in enumerate(pending.items())
+            if k not in set(crawled)
+        ]
         if not cand:
             break
-        links_df = spark.createDataFrame(cand, "href string, text string, title string")
+        links_df = spark.createDataFrame(
+            cand, "_order int, href string, text string, title string"
+        )
         vocab_df = spark.createDataFrame([(t,) for t in sorted(vocab)], "term string")
         ranked = rank_links(links_df, query, vocab_df)
         batch = [r["href"] for r in ranked.limit(top_k_links).collect()]
@@ -267,10 +284,14 @@ def digest(
         for h in batch:
             pending.pop(h, None)
         crawl_batch(batch)
+        m = None  # metrics for this batch not yet computed
 
     kb = spark.createDataFrame(kb_rows, "url string, text string")
-    m = confidence(kb, query, new_terms_history, id_col="url")
-    history.append(dict(m, pages=len(crawled)))
+    if m is None:
+        # only the max_pages / post-crawl exits still owe a final metrics
+        # row; threshold/no-candidate breaks already appended theirs
+        m = confidence(kb, query, new_terms_history, id_col="url")
+        history.append(dict(m, pages=len(crawled)))
     return {"kb": kb, "crawl_order": crawled, "metrics": history, "confidence": m}
 
 

@@ -148,7 +148,6 @@ def bloom_version_ok(blooms: DataFrame | None) -> bool:
 
 def bloom_maybe_seen(
     candidates: DataFrame, blooms: DataFrame, url_col: str = "url", n_partitions: int = 32,
-    m_bits: int | None = None,
 ) -> DataFrame:
     """Tag candidates with ``maybe_seen`` by testing each row against its
     shard's bit array (cogrouped shard-local test — no broadcast)."""

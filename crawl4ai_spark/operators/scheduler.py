@@ -284,9 +284,19 @@ def update_host_state(
             for host, evs, delay0, fails0 in zip(
                 pdf["host"], pdf["evs"], pdf["current_delay"], pdf["fail_count"]
             ):
-                delay = float(base_delay[0] if pd.isna(delay0) or delay0 == 0 else delay0)
                 fails = int(0 if pd.isna(fails0) else fails0)
-                rng = np.random.default_rng((seed, zlib.crc32(host.encode())))
+                # jitter stream advances per WAVE (wave_start in the seed)
+                # so draws don't repeat wave after wave; with jitter off
+                # the rng is never consulted and the fold is bit-stable
+                rng = np.random.default_rng(
+                    (seed, zlib.crc32(host.encode()), int(wave_start * 1000) & 0x7FFFFFFF)
+                )
+                if pd.isna(delay0) or delay0 == 0:
+                    # reference: a NEW host's first delay is drawn from
+                    # U(base) (RateLimiter.wait_if_needed init)
+                    delay = float(rng.uniform(*base_delay) if jitter else base_delay[0])
+                else:
+                    delay = float(delay0)
                 last = wave_start + max(float(e["off"]) for e in evs)
                 for e in evs:
                     if e["sc"] in (429, 503):

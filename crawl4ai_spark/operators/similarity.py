@@ -20,6 +20,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+
+def _infer_dim(vectors, vec_col: str):
+    """Embedding width from the first NON-NULL vector; None when the
+    input is empty or all-null (callers return an empty result instead
+    of crashing on len(None))."""
+    row = vectors.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    return len(row[0]) if row is not None else None
+
 def dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -107,7 +115,11 @@ def lsh_topk(
     more planes → smaller buckets, more tables/probes → higher recall.
     """
     if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
+        dim = _infer_dim(vectors, vec_col)
+        if dim is None:  # empty input / null first vector → empty result
+            return vectors.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, cosine double, rank int"
+            )
     v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
 
@@ -149,7 +161,11 @@ def embedding_near_dup_pairs(
     signature) verified exactly.  High thresholds → colliding signatures
     with high probability; recall grows with fewer planes."""
     if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
+        dim = _infer_dim(vectors, vec_col)
+        if dim is None:
+            return vectors.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
     planes = _planes(dim, n_planes, seed)
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).withColumn(
         "bucket", signature_expr(F.col("vec"), planes)

@@ -167,8 +167,15 @@ class CrawlEngine:
                 break
             t0 = time.time()
             if stream_visited:
-                # stream mode: visited.update(urls) before the crawl
-                seen = seen.unionByName(wave.select("url").distinct()).distinct()
+                # stream mode: visited.update(urls) before the crawl.
+                # Plain union — no global distinct per wave (a distinct
+                # over the whole accumulated set every wave stacks
+                # shuffles quadratically; the anti-join consumers
+                # tolerate duplicate seen rows, and the checkpointed
+                # per-wave delta keeps lineage flat)
+                seen = self._checkpoint(
+                    seen.unionByName(wave.select("url")), f"bfs_stream_seen_{wave_id}"
+                )
             fetched = self.fetch_fn(wave)
             fetched = self._checkpoint(fetched, f"bfs_fetched_{wave_id}")
 
@@ -199,6 +206,8 @@ class CrawlEngine:
             if all_results
             else spark.createDataFrame([], self._result_schema())
         )
+        if stream_visited:
+            seen = seen.dropDuplicates(["url"])  # one dedup at the end, not per wave
         return CrawlRun(results=results, seen=seen, pages_crawled=pages_crawled, waves=wave_id, wave_metrics=metrics)
 
     def _bfs_discover(
@@ -340,7 +349,11 @@ class CrawlEngine:
                 continue
             pages_crawled += 1
             if pages_crawled >= cfg.max_pages:
-                break
+                # reference DFS (dfs_strategy.py:80-84): the limit break
+                # exits only the per-result loop — the OUTER stack loop
+                # keeps draining, crawling and emitting already-pushed
+                # URLs with no further discovery (overshoot pinned)
+                continue
             if depth + 1 > cfg.max_depth:
                 continue
             remaining = cfg.max_pages - pages_crawled
@@ -382,6 +395,7 @@ class CrawlEngine:
             [(u, None, 0, i) for i, u in enumerate(todo)], WAVE_SCHEMA
         )
         fetched = self.fetch_fn(wave).select("url", "success", "status_code", "html")
+        fetched = fetched.localCheckpoint(eager=False)  # one fetch eval for both uses
         links = scrape.extract_links(fetched.filter("success"), "url", "html", with_canon=True)
         if not cfg.include_external:
             links = links.filter(~F.col("is_external"))
@@ -395,7 +409,9 @@ class CrawlEngine:
         links = links.withColumn("score", score)
         for u in todo:
             link_cache[u] = []
-        for r in fetched.collect():
+        # never ship the html payloads driver-side — only the tiny status
+        # triple is needed here
+        for r in fetched.select("url", "success", "status_code").collect():
             fetch_ok[r["url"]] = (bool(r["success"]), int(r["status_code"] or 0))
         for r in links.orderBy("src_url", "link_seq").collect():
             link_cache[r["src_url"]].append(

@@ -205,7 +205,9 @@ def dfs_rows(
             continue
         pages_crawled += 1
         if pages_crawled >= max_pages:
-            break
+            # reference: limit only stops DISCOVERY; the stack drains
+            # fully (dfs_strategy.py:80-84)
+            continue
         next_depth = depth + 1
         if next_depth > max_depth:
             continue
@@ -589,6 +591,8 @@ def adaptive_digest_order(
         return max(0.0, min(1.0 - recent / initial, 1.0))
 
     def confidence_py() -> float:
+        if not kb:
+            return 0.0  # empty knowledge base (adaptive_crawler.py:313-315)
         return 0.4 * coverage_py() + 0.3 * consistency_py() + 0.3 * saturation_py()
 
     def rank_py(cand: list[tuple]) -> list[str]:
@@ -605,7 +609,8 @@ def adaptive_digest_order(
             else:
                 nov = sum(1 for t in lterms if t not in vocab) / max(len(lterms), 1)
             out.append((0.5 * rel + 0.3 * nov + 0.2 * 1.0, href))
-        out.sort(key=lambda x: (-x[0], x[1]))
+        # STABLE sort (reference :438): ties keep insertion/discovery order
+        out.sort(key=lambda x: -x[0])
         return [h for _s, h in out]
 
     crawl_batch([start_url])

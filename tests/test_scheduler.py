@@ -153,7 +153,7 @@ def test_bloom_no_false_negatives_and_prefilter(spark):
     seen = spark.createDataFrame(seen_urls, "url string")
     blooms = dedup.build_bloom(seen, n_partitions=8, m_bits=1 << 16)
     cands = spark.createDataFrame(seen_urls + new_urls, "url string")
-    tagged = dedup.bloom_maybe_seen(cands, blooms, n_partitions=8, m_bits=1 << 16)
+    tagged = dedup.bloom_maybe_seen(cands, blooms, n_partitions=8)
     rows = tagged.collect()
     fn = [r for r in rows if "seen" in r["url"] and not r["maybe_seen"]]
     assert not fn  # bloom never misses a seen URL
@@ -178,7 +178,7 @@ def test_bloom_merge(spark):
         )
     )
     both = a.unionByName(b)
-    tagged = dedup.bloom_maybe_seen(both, blooms, n_partitions=4, m_bits=1 << 14)
+    tagged = dedup.bloom_maybe_seen(both, blooms, n_partitions=4)
     assert tagged.filter(~F.col("maybe_seen")).count() == 0
     assert blooms.count() <= 4
 
