@@ -262,8 +262,9 @@ toks AS (
 ), sim AS (
   SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM votes
 ), banded AS (
-  SELECT doc_id, simhash, bb.b AS band_idx, (simhash >> (bb.b * 15)) & 32767 AS band_val
-  FROM sim, (SELECT 0 AS b UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3) bb
+  -- 7x8-bit bands over the 60-bit hash (collision guarantee for h<=6)
+  SELECT doc_id, simhash, bb.b AS band_idx, (simhash >> (bb.b * 8)) & 255 AS band_val
+  FROM sim, (SELECT unnest(range(7)) AS b) bb
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          a.simhash AS sh_a, b.simhash AS sh_b
@@ -2449,8 +2450,9 @@ def _image_near_dup_fixture_sql() -> str:
     mask = (1 << 64) - 1
 
     def bands(ph: int) -> set[tuple[int, int]]:
+        # 10x6-bit bands (collision guarantee for hamming <= 9)
         u = ph & mask
-        return {(b, (u >> (16 * b)) & 0xFFFF) for b in range(4)}
+        return {(b, (u >> (6 * b)) & 0x3F) for b in range(10)}
 
     pairs = []
     for ai in range(len(items)):

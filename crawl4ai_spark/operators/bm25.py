@@ -42,22 +42,44 @@ def bm25_scores(
     With ``normalize=True`` adds the seeder's min-max normalization to
     [0,1] (all-equal scores → 0.5, async_url_seeder.py:1717-1721).
     """
-    terms = sorted({t.lower() for t in query_terms})
+    # rank_bm25.get_scores sums a contribution PER QUERY-TOKEN OCCURRENCE
+    # — a repeated query token weights its term that many times; count
+    # multiplicities instead of dedup'ing
+    qcount: dict[str, int] = {}
+    for t in query_terms:
+        t = t.lower()
+        qcount[t] = qcount.get(t, 0) + 1
+    terms = sorted(qcount)
     # null text ⇒ empty doc (dl=0), as the reference treats missing head
     # text — without the coalesce, null toks poison dl and avgdl
     text = F.coalesce(F.col(text_col), F.lit(""))
     base = docs.select(F.col(id_col).alias("doc_id"), tokens_expr(F.lower(text)).alias("toks"))
-    dl = base.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    # pin once: dl feeds the count/avg scalar, the tf explode AND the
+    # final left join — without the pin the whole upstream plan (unions,
+    # filters, dedups at seed_urls scale) re-executes per action
+    dl = base.select("doc_id", F.size("toks").cast("double").alias("dl")).localCheckpoint(
+        eager=False
+    )
+
+    srow = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).first()
+    n_docs = int(srow["n"])
+    if n_docs == 0:
+        return dl.select("doc_id", F.lit(0.0).alias("bm25"))
+    avgdl = float(srow["avgdl"] or 1.0)
 
     toks = base.select("doc_id", F.explode("toks").alias("term")).filter(F.col("term").isin(terms))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
 
-    n_docs = dl.count()
-    avgdl = dl.agg(F.avg("dl")).first()[0] or 1.0
-
     df_stats = tf.groupBy("term").agg(F.countDistinct("doc_id").cast("double").alias("df"))
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    df_stats = df_stats.withColumn("idf", idf)
+    qweight = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(t) for t in terms]),
+            F.array(*[F.lit(float(qcount[t])) for t in terms]),
+        ),
+        F.col("term"),
+    )
+    df_stats = df_stats.withColumn("idf", idf * qweight)
 
     scored = (
         tf.join(F.broadcast(df_stats), "term")
@@ -76,6 +98,8 @@ def bm25_scores(
     )
     if normalize:
         stats = out.agg(F.min("bm25").alias("mn"), F.max("bm25").alias("mx")).first()
+        if stats["mn"] is None:
+            return out  # empty input: nothing to normalize
         mn, mx = float(stats["mn"]), float(stats["mx"])
         if mx - mn < 1e-12:
             out = out.withColumn("bm25", F.lit(0.5))
@@ -87,8 +111,22 @@ def bm25_scores(
 def bm25_sql(query_terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
     """DuckDB twin of :func:`bm25_scores` over the ``documents`` view —
     used by the driver oracle (same formula, same token definition)."""
-    terms = sorted({t.lower() for t in query_terms})
-    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    qcount: dict[str, int] = {}
+    for t in query_terms:
+        t = t.lower()
+        qcount[t] = qcount.get(t, 0) + 1
+    terms = sorted(qcount)
+    if not terms:
+        return """
+SELECT doc_id, 0.0 AS bm25 FROM documents
+"""
+
+    def lit(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    terms_sql = ", ".join(lit(t) for t in terms)
+    qw_cases = " ".join(f"WHEN {lit(t)} THEN {float(c)}" for t, c in qcount.items())
+    qw = f"(CASE term {qw_cases} ELSE 1.0 END)"
     return f"""
 WITH base AS (
   SELECT doc_id,
@@ -107,7 +145,7 @@ WITH base AS (
   SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term
 ), scored AS (
   SELECT tf.doc_id,
-         SUM(ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         SUM(ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) * {qw}
              * (tf.tf * ({k1} + 1.0))
              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / stats.avgdl))) AS bm25
   FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats

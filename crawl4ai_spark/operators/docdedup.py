@@ -165,8 +165,15 @@ def minhash_lsh_pairs(
     )
     # the band self-join carries ONLY (doc_id, band) — shingle arrays are
     # attached after candidate dedup, so the shuffle stays narrow even
-    # when documents (and their shingle sets) are large
-    banded = sig.select("doc_id", F.explode(band_keys).alias("band"))
+    # when documents (and their shingle sets) are large.
+    # ZERO-shingle docs are excluded from banding: their per-perm minhash
+    # is NULL, concat_ws skips NULLs, and every band key degenerates to
+    # md5(str(band)) — f empty docs would emit f²·bands candidate rows
+    # (the same quadratic blowup the simhash empty-band guard kills);
+    # their Jaccard is undefined (0/0) so they can never be output pairs.
+    banded = sig.filter(F.col("n_shingles") > 0).select(
+        "doc_id", F.explode(band_keys).alias("band")
+    )
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), "band")
@@ -194,6 +201,68 @@ def minhash_lsh_pairs(
     jac = inter / (F.col("na") + F.col("nb") - inter)
     return cand.withColumn("jaccard", jac).filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# banded Hamming LSH (shared by SimHash variants + pHash image near-dup)
+# ---------------------------------------------------------------------------
+
+
+def banded_hamming_pairs(
+    df: DataFrame,
+    max_hamming: int,
+    band_bits: int,
+    total_bits: int = 64,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over a banded bit-hash.
+
+    Collision GUARANTEE: a pair within ``max_hamming`` differing bits
+    must share at least one band, which requires
+    ``total_bits // band_bits`` bands > max_hamming (pigeonhole over the
+    banded region; bits beyond bands*band_bits never break a collision).
+    Violations raise — a silently lossy geometry was this module's worst
+    historical bug.
+    """
+    n_bands = total_bits // band_bits
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"banding guarantee violated: {n_bands} bands of {band_bits} bits "
+            f"cannot guarantee recall at hamming {max_hamming} (need > {max_hamming} bands)"
+        )
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col(hash_col), i * band_bits).bitwiseAND(
+                F.lit((1 << band_bits) - 1)
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = df.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"),
+        F.posexplode(bands).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
     )
 
 
@@ -302,49 +371,26 @@ def simhash_table_md5(
 
 def simhash_pairs_md5(
     docs: DataFrame, max_hamming: int = 6, text_col: str = "text", id_col: str = "doc_id",
-    band_bits: int = 15,
+    band_bits: int = 8,
 ) -> DataFrame:
-    """Portable near-dup pairs: 4×15-bit banded LSH over the 60-bit md5
-    SimHash, exact-Hamming verify — the oracle twin of simhash_pairs."""
+    """Portable near-dup pairs: banded LSH over the 60-bit md5 SimHash,
+    exact-Hamming verify — the oracle twin of simhash_pairs.  Default
+    7×8-bit bands satisfy the collision guarantee for hamming ≤ 6."""
     sh = simhash_table_md5(docs, text_col=text_col, id_col=id_col)
-    n_bands = 60 // band_bits
-    bands = F.array(
-        *[
-            F.shiftrightunsigned(F.col("simhash"), i * band_bits).bitwiseAND(
-                F.lit((1 << band_bits) - 1)
-            )
-            for i in range(n_bands)
-        ]
-    )
-    banded = sh.select("doc_id", "simhash", F.posexplode(bands).alias("band_idx", "band_val"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    return banded_hamming_pairs(
+        sh, max_hamming=max_hamming, band_bits=band_bits, total_bits=60,
+        id_col="doc_id", hash_col="simhash",
     )
 
 
 def simhash_pairs(
     docs: DataFrame, max_hamming: int = 6, text_col: str = "text", id_col: str = "doc_id",
-    band_bits: int = 16,
+    band_bits: int = 8,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance; banded like pHash LSH
-    so no O(n²) cross join.
+    so no O(n²) cross join.  Default 8×8-bit bands satisfy the collision
+    guarantee for hamming ≤ 7 (the old 4×16 default silently missed
+    pairs with 4-6 flips spread across all four bands).
 
     Zero-token docs are EXCLUDED from banding: every empty/boilerplate-
     blank doc gets simhash 0 and would collide in all bands, turning the
@@ -352,31 +398,7 @@ def simhash_pairs(
     docs).  Empty docs are exact duplicates of each other by definition —
     route them through exact_dedup instead."""
     sh = simhash_table(docs, text_col=text_col, id_col=id_col, include_empty=False)
-    n_bands = 64 // band_bits
-    bands = F.array(
-        *[
-            F.shiftrightunsigned(F.col("simhash"), i * band_bits).bitwiseAND(F.lit((1 << band_bits) - 1))
-            for i in range(n_bands)
-        ]
-    )
-    banded = sh.select("doc_id", "simhash", F.posexplode(bands).alias("band_idx", "band_val"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    return banded_hamming_pairs(
+        sh, max_hamming=max_hamming, band_bits=band_bits, total_bits=64,
+        id_col="doc_id", hash_col="simhash",
     )

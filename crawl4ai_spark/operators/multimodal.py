@@ -151,40 +151,15 @@ def phash_hamming_expr(a, b):
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
 
 
-def near_duplicate_images(images: DataFrame, max_hamming: int = 8, band_bits: int = 16) -> DataFrame:
-    """Near-duplicate image pairs by pHash banding: split the 64-bit hash
-    into 64/band_bits bands; candidate pairs share at least one exact band
-    (LSH — any pair within max_hamming ≤ bands-1 bit flips must collide on
-    some band); verify with exact Hamming distance.  All JVM-side."""
-    n_bands = 64 // band_bits
-    bands = F.array(
-        *[
-            F.shiftrightunsigned(F.col("phash"), i * band_bits).bitwiseAND(
-                F.lit((1 << band_bits) - 1)
-            )
-            for i in range(n_bands)
-        ]
+def near_duplicate_images(images: DataFrame, max_hamming: int = 8, band_bits: int = 6) -> DataFrame:
+    """Near-duplicate image pairs by pHash banding (shared banded-Hamming
+    LSH): candidate pairs share at least one exact band, verified with
+    exact Hamming distance, all JVM-side.  Default 10×6-bit bands satisfy
+    the collision guarantee for hamming ≤ 9 (the old 4×16 default
+    silently missed pairs with 4-8 flips spread across all four bands)."""
+    from .docdedup import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        images, max_hamming=max_hamming, band_bits=band_bits, total_bits=64,
+        id_col="image_id", hash_col="phash",
     )
-    with_bands = images.select(
-        "image_id", "phash", F.posexplode(bands).alias("band_idx", "band_val")
-    )
-    a = with_bands.alias("a")
-    b = with_bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.image_id") < F.col("b.image_id")),
-        )
-        .select(
-            F.col("a.image_id").alias("id_a"),
-            F.col("b.image_id").alias("id_b"),
-            F.col("a.phash").alias("ph_a"),
-            F.col("b.phash").alias("ph_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return cand.withColumn("hamming", phash_hamming_expr("ph_a", "ph_b")).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")

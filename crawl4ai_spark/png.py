@@ -108,18 +108,20 @@ def decode_png(data: bytes) -> np.ndarray:
 # perceptual hash + quality metric
 # ---------------------------------------------------------------------------
 
-_DCT32 = None
+_DCT_CACHE: dict = {}
 
 
 def _dct_matrix(n: int = 32) -> np.ndarray:
-    global _DCT32
-    if _DCT32 is None:
+    # cache keyed by n — a single global would hand an n=8 caller the
+    # previously-built 32x32 matrix
+    m = _DCT_CACHE.get(n)
+    if m is None:
         k = np.arange(n)[:, None]
         i = np.arange(n)[None, :]
         m = np.sqrt(2.0 / n) * np.cos((2 * i + 1) * k * np.pi / (2 * n))
         m[0] /= np.sqrt(2.0)
-        _DCT32 = m
-    return _DCT32
+        _DCT_CACHE[n] = m
+    return m
 
 
 def _resize_gray(gray: np.ndarray, n: int = 32) -> np.ndarray:

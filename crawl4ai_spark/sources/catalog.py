@@ -176,7 +176,7 @@ def lineage_from_wave(
         .agg(
             F.count("*").alias("urls_in"),
             F.sum(F.when(F.col("status") == "FAILED", 1).otherwise(0)).alias("failed"),
-            F.count("*").alias("fetched"),
+            F.sum(F.when(F.col("status") != "FAILED", 1).otherwise(0)).alias("fetched"),
         )
     )
     if expanded_df is not None:

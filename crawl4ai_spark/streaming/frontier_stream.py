@@ -129,19 +129,25 @@ def stateful_host_politeness(
             last, delay, fails = state.get
         else:
             last, delay, fails = 0.0, base_delay, 0
+        # gather ALL chunks first: a large group arrives as several Arrow
+        # batches, and the fold is order-dependent — sorting per chunk
+        # would interleave events out of global time order
+        events: list[tuple[float, int]] = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
             for ts, status in zip(pdf[ts_col], pdf["status_code"]):
                 ts = ts.timestamp() if hasattr(ts, "timestamp") else float(ts)
-                last = max(last, ts)
-                if status in (429, 503):
-                    fails += 1
-                    if fails > max_retries:
-                        continue  # give-up: delay frozen (RateLimiter :71-73)
-                    delay = min(delay * 2, max_delay)
-                else:
-                    delay = max(base_delay, delay * 0.75)
-                    fails = 0
+                events.append((ts, int(status)))
+        events.sort(key=lambda e: e[0])
+        for ts, status in events:
+            last = max(last, ts)
+            if status in (429, 503):
+                fails += 1
+                if fails > max_retries:
+                    continue  # give-up: delay frozen (RateLimiter :71-73)
+                delay = min(delay * 2, max_delay)
+            else:
+                delay = max(base_delay, delay * 0.75)
+                fails = 0
         state.update((last, delay, fails))
         yield pd.DataFrame(
             {"host": [host], "last_request_time": [last],

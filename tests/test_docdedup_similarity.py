@@ -145,7 +145,7 @@ def test_simhash_md5_portable_twin(spark):
     rows = [(1, base), (2, base), (3, base + " extraword"), (4, ""), (5, "")]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
-             for r in docdedup.simhash_pairs_md5(docs, max_hamming=10).collect()}
+             for r in docdedup.simhash_pairs_md5(docs, max_hamming=10, band_bits=5).collect()}
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and pairs[(1, 3)] <= 10
     assert not any(4 in p or 5 in p for p in pairs)
@@ -180,3 +180,33 @@ def test_ngram_posting_cap_equal_when_uncapped(spark):
     for k, v in lo.items():
         assert base[k] == pytest.approx(v)
     assert (1, 2) in lo
+
+
+def test_banding_guarantee_enforced(spark):
+    """A geometry that cannot guarantee recall at max_hamming raises
+    instead of silently missing pairs; a compliant geometry FINDS a pair
+    whose flips are spread across what the old 4x16 banding missed."""
+    from crawl4ai_spark.operators.docdedup import banded_hamming_pairs
+
+    # hashes differing in exactly 4 bits, one per 16-bit quarter — the
+    # old 4-band default had NO shared band for this pair
+    a = 0
+    b = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, simhash long")
+    got = banded_hamming_pairs(df, max_hamming=6, band_bits=8).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 4)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        banded_hamming_pairs(df, max_hamming=6, band_bits=16)  # 4 bands ≤ 6
+
+
+def test_minhash_lsh_empty_docs_not_banded(spark):
+    """Zero-shingle docs must not enter the band join (their degenerate
+    band keys would collide pairwise) and never appear in output."""
+    rows = [(i, "") for i in range(300)] + [(i, "ab") for i in range(300, 600)]
+    rows += [(9001, "alpha beta gamma delta epsilon"), (9002, "alpha beta gamma delta epsilon")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = docdedup.minhash_lsh_pairs(docs, threshold=0.5, n_perm=16, bands=4, n=3)
+    got = pairs.collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(9001, 9002)}

@@ -67,6 +67,6 @@ def test_near_duplicate_images(spark):
         ("c", bytearray(encode_png(far)), 48, 48, "png", "c", phash64(far)),
     ]
     df = spark.createDataFrame(rows, multimodal.IMAGE_SCHEMA)
-    pairs = {(r["id_a"], r["id_b"]) for r in multimodal.near_duplicate_images(df, max_hamming=10).collect()}
+    pairs = {(r["id_a"], r["id_b"]) for r in multimodal.near_duplicate_images(df, max_hamming=10, band_bits=5).collect()}
     assert ("a", "b") in pairs
     assert ("a", "c") not in pairs and ("b", "c") not in pairs
