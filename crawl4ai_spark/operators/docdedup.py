@@ -225,6 +225,13 @@ def banded_hamming_pairs(
     banded region; bits beyond bands*band_bits never break a collision).
     Violations raise — a silently lossy geometry was this module's worst
     historical bug.
+
+    Scale tradeoff the guarantee makes explicit: wider max_hamming forces
+    narrower bands, and an m-bit band key collides randomly at ~2^-m —
+    spurious candidates grow as n²·bands/2^m.  At 10^10-doc scale use the
+    classic Manku web-dedup setting (max_hamming=3, band_bits=16: 4 bands
+    of 16-bit keys, ~n²/16k spurious pairs) rather than a loose radius;
+    the default here (6, 8) favors recall at test/corpus scale.
     """
     n_bands = total_bits // band_bits
     if n_bands <= max_hamming:
