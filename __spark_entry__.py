@@ -234,6 +234,15 @@ def q_simhash_pairs(spark, sf_dir):
     return docdedup.simhash_pairs(aug, max_hamming=6)
 
 
+def q_simhash_pairs_scale(spark, sf_dir):
+    """SimHash at the classic Manku web-dedup operating point
+    (hamming ≤ 3, 4×16-bit bands): the 10^10-scale geometry — wide band
+    keys keep spurious candidates ~n²/2^16 instead of the recall
+    geometry's ~n²/2^8."""
+    aug = _docs_aug(_t(spark, sf_dir, "documents"))
+    return docdedup.simhash_pairs(aug, max_hamming=3, band_bits=16)
+
+
 def q_simhash_pairs_portable(spark, sf_dir):
     """60-bit md5 SimHash twin of simhash_pairs — same banded-LSH shape,
     hash portable to the DuckDB oracle (the xxhash64 variant stays the
@@ -1207,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_pairs_scale": q_simhash_pairs_scale,
         "simhash_pairs_portable": q_simhash_pairs_portable,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,

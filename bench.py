@@ -171,7 +171,8 @@ ENTRY_QUERIES = [
     # is O(sum posting²) and the synthetic corpus's 30-word vocab makes
     # every shingle a stop-shingle; minhash_lsh_pairs IS its scale path
     "minhash_lsh_pairs",
-    "simhash_pairs",
+    "simhash_pairs",  # recall geometry (h<=6, 8x8 bands)
+    "simhash_pairs_scale",  # Manku 10^10 geometry (h<=3, 4x16 bands)
     "ann_topk",
     "embedding_near_dup",
     "quality_scores",
