@@ -1250,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_extraction": q_table_extraction,
         "structured_regex": q_structured_regex,
         "json_css_items": q_json_css_items,
+        "json_xpath_items": q_json_xpath_items,
         "markdown_citations": q_markdown_citations,
         "content_filter_bm25": q_content_filter_bm25,
         "pruning_scores": q_pruning_scores,
@@ -1793,6 +1794,34 @@ def q_json_css_items(spark, sf_dir):
     part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
     pages = part.select(F.col("p_partkey").cast("string").alias("url"), _card_html().alias("html"))
     out = json_css_extract(pages, _JSON_CSS_SCHEMA)
+    return out.select(
+        "src_url", F.col("item_idx").cast("long").alias("item_idx"), "item_json"
+    )
+
+
+_JSON_XPATH_SCHEMA = {
+    "name": "cards",
+    # raw XPath base selector (JsonXPathExtractionStrategy passes it
+    # straight to .xpath(), extraction_strategy.py:1882-1883)
+    "baseSelector": "//div[@class='product']",
+    "baseFields": [{"name": "sku", "type": "attribute", "attribute": "data-sku"}],
+    "fields": [
+        {"name": "title", "type": "text", "selector": ".//h2[@class='name']"},
+        {"name": "price", "type": "regex", "selector": ".//span[@class='price']", "pattern": r"\$([\d.]+)"},
+        {"name": "link", "type": "attribute", "selector": ".//a", "attribute": "href"},
+    ],
+}
+
+
+def q_json_xpath_items(spark, sf_dir):
+    """JsonXPathExtractionStrategy (extraction_strategy.py:1851) over the
+    same synthesized product-card pages as json_css_items — the XPath
+    dialect must extract identical items."""
+    from crawl4ai_spark.operators.extraction import json_xpath_extract
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    pages = part.select(F.col("p_partkey").cast("string").alias("url"), _card_html().alias("html"))
+    out = json_xpath_extract(pages, _JSON_XPATH_SCHEMA)
     return out.select(
         "src_url", F.col("item_idx").cast("long").alias("item_idx"), "item_json"
     )
@@ -2670,6 +2699,10 @@ FROM first GROUP BY wave_id
         # corpus replay costs ~100 ms once)
         "structured_regex": _structured_regex_sql(),
         "json_css_items": _json_css_sql(),
+        # identical items: the two dialects extract the same values on
+        # this card corpus (title/price text nodes have no nesting, so
+        # lxml-join and BS4-strip text semantics coincide here)
+        "json_xpath_items": _json_css_sql(),
         "markdown_citations": _markdown_citations_sql(),
         "content_filter_bm25": _content_filter_bm25_sql(),
         "pruning_scores": _pruning_scores_sql(),

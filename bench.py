@@ -32,8 +32,13 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_frontier_wave(spark, n_urls: int, n_parts: int):
-    """One production scheduling wave over a synthetic frontier."""
+def setup_frontier_wave(spark, n_urls: int, n_parts: int):
+    """Build the cached frontier/seen/bloom state once, return a
+    run_once() closure for the timed wave (and a teardown).  Splitting
+    setup from the timed section lets main() run the wave 3× interleaved
+    with the discovery wave and report the MEDIAN — the r1→r2 driver
+    record whipsawed ±20% on this hypervisor-shared box from single-shot
+    timing."""
     from pyspark.sql import functions as F
 
     from crawl4ai_spark.functions.urls import normalize_deep_udf
@@ -60,38 +65,41 @@ def bench_frontier_wave(spark, n_urls: int, n_parts: int):
     # enough to join wholesale, so the headline wave uses the plain path.
     # The shard bloom is the 10^10 path (seen >> memory, joined only by
     # its dup-fraction); its timing is reported separately below.
-    t0 = time.time()
-    canon = fr.withColumn("canon", normalize_deep_udf(F.col("url"), F.col("url")))
-    t_bloom0 = time.time()
-    anti_join_seen(
-        canon, seen, url_col="canon", blooms=blooms, n_partitions=32
-    ).write.format("noop").mode("overwrite").save()
-    bloom_path_sec = time.time() - t_bloom0
+    def run_once():
+        canon = fr.withColumn("canon", normalize_deep_udf(F.col("url"), F.col("url")))
+        t_bloom0 = time.time()
+        anti_join_seen(
+            canon, seen, url_col="canon", blooms=blooms, n_partitions=32
+        ).write.format("noop").mode("overwrite").save()
+        bloom_path_sec = time.time() - t_bloom0
 
-    t0 = time.time()
-    fresh = anti_join_seen(canon, seen, url_col="canon", blooms=None)
-    sched_in = fresh.select(
-        F.col("canon").alias("url"),
-        "host",
-        "score",
-        "depth",
-        priority_bucket_expr(F.col("retry_count"), F.lit(0), fairness_waves=10).alias(
-            "priority_bucket"
-        ),
-    )
-    sched = schedule_wave(sched_in, None, wave_start=0.0, wave_budget=120.0, default_delay=0.05)
-    # frontier-table write layout (applied to the carried output, exactly
-    # as CrawlJob writes its next frontier)
-    sched = salted_range_partition(sched, n_parts)
-    n_admitted = sched.filter("admitted").count()
-    dt = time.time() - t0
-    fr.unpersist()
-    seen.unpersist()
-    blooms.unpersist()
-    return dt, n_admitted, bloom_path_sec
+        t0 = time.time()
+        fresh = anti_join_seen(canon, seen, url_col="canon", blooms=None)
+        sched_in = fresh.select(
+            F.col("canon").alias("url"),
+            "host",
+            "score",
+            "depth",
+            priority_bucket_expr(F.col("retry_count"), F.lit(0), fairness_waves=10).alias(
+                "priority_bucket"
+            ),
+        )
+        sched = schedule_wave(sched_in, None, wave_start=0.0, wave_budget=120.0, default_delay=0.05)
+        # frontier-table write layout (applied to the carried output,
+        # exactly as CrawlJob writes its next frontier)
+        sched = salted_range_partition(sched, n_parts)
+        n_admitted = sched.filter("admitted").count()
+        return time.time() - t0, n_admitted, bloom_path_sec
+
+    def teardown():
+        fr.unpersist()
+        seen.unpersist()
+        blooms.unpersist()
+
+    return run_once, teardown
 
 
-def bench_discovery_wave(spark, n_pages: int):
+def setup_discovery_wave(spark, n_pages: int):
     """Fetch+scrape+canonicalize discovery wave — the compute-bound half
     of the crawl (HTML parsing in Arrow-batched UDFs).  This is where a
     real crawl spends its cycles at 100 TB, and it parallelizes linearly:
@@ -139,11 +147,13 @@ def bench_discovery_wave(spark, n_pages: int):
     # imported, and JIT-warm before the timed pass (limit() would only
     # scan one partition and leave the rest cold)
     run(pages.filter(F.xxhash64("url") % 100 == 0))
-    t0 = time.time()
-    run(pages)
-    dt = time.time() - t0
-    pages.unpersist()
-    return dt, n
+
+    def run_once():
+        t0 = time.time()
+        run(pages)
+        return time.time() - t0, n
+
+    return run_once, pages.unpersist
 
 
 def bench_images(spark, sf_dir: str, n_images: int):
@@ -180,6 +190,7 @@ ENTRY_QUERIES = [
     # round-2 operator families
     "structured_regex",
     "json_css_items",
+    "json_xpath_items",
     "markdown_citations",
     "content_filter_bm25",
     "pruning_scores",
@@ -214,19 +225,34 @@ def main() -> None:
     queries: dict[str, float] = {}
     t_all = time.time()
 
-    log(f"frontier wave: {n_frontier} URLs on local[{cpus}]")
-    dt, n_admitted, bloom_sec = bench_frontier_wave(spark, n_frontier, n_parts=max(cpus, 8))
-    queries["frontier_wave"] = round(dt, 3)
-    queries["seen_dedup_bloom_path"] = round(bloom_sec, 3)
-    urls_per_sec = n_frontier / dt
-    log(f"  {dt:.1f}s → {urls_per_sec:,.0f} urls/sec ({n_admitted} admitted); bloom path {bloom_sec:.1f}s")
-
+    # median-of-N interleaved headline waves: single-shot driver records
+    # whipsawed ±20% run-to-run on this box (BENCH r1 vs r2); interleaving
+    # decorrelates any transient hypervisor contention from one wave type
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     n_pages = int(os.environ.get("BENCH_PAGES_N", int(6_000_000 * sf)))
-    log(f"discovery wave: {n_pages} pages")
-    dt, n_pages_done = bench_discovery_wave(spark, n_pages)
-    queries["discovery_wave"] = round(dt, 3)
-    pages_per_sec = n_pages_done / dt
-    log(f"  {dt:.1f}s → {pages_per_sec:,.0f} pages/sec scraped+canonicalized")
+    log(f"frontier wave: {n_frontier} URLs on local[{cpus}]; discovery wave: {n_pages} pages; {repeats}x interleaved")
+    frontier_setup = setup_frontier_wave(spark, n_frontier, n_parts=max(cpus, 8))
+    discovery_setup = setup_discovery_wave(spark, n_pages)
+    runs_frontier, runs_bloom, runs_disc = [], [], []
+    n_admitted = n_pages_done = 0
+    for i in range(repeats):
+        dt, n_admitted, bloom_sec = frontier_setup[0]()
+        runs_frontier.append(round(dt, 3))
+        runs_bloom.append(round(bloom_sec, 3))
+        log(f"  run {i+1}: frontier {dt:.1f}s (bloom path {bloom_sec:.1f}s)")
+        dt, n_pages_done = discovery_setup[0]()
+        runs_disc.append(round(dt, 3))
+        log(f"  run {i+1}: discovery {dt:.1f}s")
+    frontier_setup[1]()
+    discovery_setup[1]()
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    queries["frontier_wave"] = med(runs_frontier)
+    queries["seen_dedup_bloom_path"] = med(runs_bloom)
+    queries["discovery_wave"] = med(runs_disc)
+    urls_per_sec = n_frontier / queries["frontier_wave"]
+    pages_per_sec = n_pages_done / queries["discovery_wave"]
+    log(f"  median frontier {queries['frontier_wave']:.1f}s → {urls_per_sec:,.0f} urls/sec ({n_admitted} admitted)")
+    log(f"  median discovery {queries['discovery_wave']:.1f}s → {pages_per_sec:,.0f} pages/sec scraped+canonicalized")
 
     log(f"image payload: {n_images} rows")
     dt, n_img, n_ok = bench_images(spark, sf_dir, n_images)
@@ -259,6 +285,11 @@ def main() -> None:
                 "frontier_urls_per_sec": round(urls_per_sec, 1),
                 "scrape_pages_per_sec": round(pages_per_sec, 1),
                 "image_rows_per_sec": round(img_rows_per_sec, 1),
+                "headline_runs": {
+                    "frontier_wave": runs_frontier,
+                    "seen_dedup_bloom_path": runs_bloom,
+                    "discovery_wave": runs_disc,
+                },
                 "queries": queries,
             }
         ),

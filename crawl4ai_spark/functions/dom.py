@@ -215,6 +215,11 @@ class _Simple:
                 inner = part[1:-1]
                 if "=" in inner:
                     k, v = inner.split("=", 1)
+                    # [attr^=v] / *= / $= / ~= / |= are NOT supported —
+                    # raise like other unsupported syntax instead of
+                    # silently parsing a literal attr named 'href^'
+                    if k and k[-1] in "^*$~|":
+                        raise ValueError(f"unsupported selector: {src!r}")
                     v = v.strip("\"'")
                     self.attrs.append((k.strip(), v))
                 else:
@@ -304,3 +309,162 @@ def _matches_chain(node: DomNode, units: list[tuple[str, _Simple]], scope: DomNo
             return True
         p = p.parent
     return False
+
+
+# ---------------------------------------------------------------------------
+# XPath subset (JsonXPathExtractionStrategy substrate,
+# extraction_strategy.py:1851-1914 — lxml absent from this container, so
+# the slice of XPath the reference's schemas exercise is evaluated over
+# the same stdlib DOM the CSS strategy uses)
+# ---------------------------------------------------------------------------
+#
+# Supported: ``/`` (child) and ``//`` (descendant) steps from the scope
+# node, optional leading ``.`` (relative — the reference prefixes nested
+# field selectors with ``.``), node tests ``tag`` | ``*`` | ``text()``,
+# and predicates ``[@attr]``, ``[@attr='v']``, ``[n]`` (1-based position,
+# applied per parent context exactly like the formal
+# ``/descendant-or-self::node()/child::t[n]`` expansion), and
+# ``[contains(@attr,'v')]``.  Predicates apply sequentially
+# (``[@a][2]`` = 2nd among the @a-matches).  Anything outside the subset
+# — explicit axes, functions other than contains, ``|`` unions, a CSS
+# selector that only LOOKS like XPath (``//span.price``) — raises
+# ValueError, which the extraction layer's per-field try maps to the
+# field default: the same observable behavior as lxml's XPathEvalError
+# in the reference.
+
+# no '.' in names: a CSS class selector leaking in ('span.price') must
+# fail at parse like lxml's XPathEvalError does in the reference
+_XP_NAME = r"[A-Za-z_][A-Za-z0-9_-]*"
+_XP_STEP_RE = re.compile(r"(//|/)([^/\[]+?)((?:\[[^\]]*\])*)(?=/|$)")
+_XP_TEST_RE = re.compile(rf"^(\*|{_XP_NAME}|text\(\))$")
+_XP_PRED_ATTR_EQ = re.compile(rf"^@({_XP_NAME})\s*=\s*(\"([^\"]*)\"|'([^']*)')$")
+_XP_PRED_ATTR = re.compile(rf"^@({_XP_NAME})$")
+_XP_PRED_CONTAINS = re.compile(
+    rf"^contains\(\s*@({_XP_NAME})\s*,\s*(\"([^\"]*)\"|'([^']*)')\s*\)$"
+)
+
+
+def _xp_pred(src: str):
+    """Compile one predicate → callable(node, pos1) -> bool."""
+    p = src.strip()
+    if p.isdigit():
+        want = int(p)
+        return lambda node, pos: pos == want
+    m = _XP_PRED_ATTR_EQ.match(p)
+    if m:
+        k, v = m.group(1), m.group(3) if m.group(3) is not None else m.group(4)
+        return lambda node, pos: isinstance(node, DomNode) and node.attrs.get(k) == v
+    m = _XP_PRED_ATTR.match(p)
+    if m:
+        k = m.group(1)
+        return lambda node, pos: isinstance(node, DomNode) and k in node.attrs
+    m = _XP_PRED_CONTAINS.match(p)
+    if m:
+        k, v = m.group(1), m.group(3) if m.group(3) is not None else m.group(4)
+        return lambda node, pos: (
+            isinstance(node, DomNode) and v in (node.attrs.get(k) or "")
+        )
+    raise ValueError(f"unsupported xpath predicate: {src!r}")
+
+
+def _xp_parse(expr: str) -> list[tuple[str, str, list]]:
+    """Parse the expression into [(axis, nodetest, [predicates])]."""
+    e = (expr or "").strip()
+    if e.startswith("."):
+        e = e[1:]
+    if not e:
+        raise ValueError(f"unsupported xpath: {expr!r}")
+    if not e.startswith("/"):
+        e = "/" + e  # bare 'div/span' = relative child steps
+    steps, pos = [], 0
+    for m in _XP_STEP_RE.finditer(e):
+        if m.start() != pos:
+            raise ValueError(f"unsupported xpath: {expr!r}")
+        pos = m.end()
+        test = m.group(2).strip()
+        if not _XP_TEST_RE.match(test):
+            raise ValueError(f"unsupported xpath node test: {test!r} in {expr!r}")
+        preds = [_xp_pred(p) for p in re.findall(r"\[([^\]]*)\]", m.group(3))]
+        if test == "text()" and preds:
+            raise ValueError(f"unsupported xpath: predicates on text() in {expr!r}")
+        steps.append(("desc" if m.group(1) == "//" else "child", test, preds))
+    if pos != len(e):
+        raise ValueError(f"unsupported xpath: {expr!r}")
+    return steps
+
+
+def xpath_select(scope: DomNode, expr: str) -> list:
+    """Nodes matching the XPath-subset expression with ``scope`` as the
+    context node.  Returns DomNodes, or raw strings for a final
+    ``text()`` step.  Results are deduplicated in first-reached order
+    (document order for the subset's non-overlapping step shapes)."""
+    steps = _xp_parse(expr)
+    current: list = [scope]
+    for si, (axis, test, preds) in enumerate(steps):
+        if test == "text()":
+            if si != len(steps) - 1:
+                raise ValueError(f"unsupported xpath: text() mid-path in {expr!r}")
+            out: list[str] = []
+            for ctx in current:
+                if not isinstance(ctx, DomNode):
+                    continue
+                if axis == "desc":
+                    _collect_text(ctx, out)
+                else:
+                    out.extend(c for c in ctx.children if isinstance(c, str))
+            return out
+        nxt: list[DomNode] = []
+        seen: set[int] = set()
+        for ctx in current:
+            if not isinstance(ctx, DomNode):
+                continue
+            # //t == /descendant-or-self::node()/child::t — positional
+            # predicates therefore bind per intermediate parent
+            inters = [ctx, *ctx.iter_desc()] if axis == "desc" else [ctx]
+            for inter in inters:
+                cands = [
+                    c for c in inter.element_children()
+                    if test == "*" or c.tag == test
+                ]
+                for pred in preds:
+                    cands = [c for i, c in enumerate(cands, 1) if pred(c, i)]
+                for c in cands:
+                    if id(c) not in seen:
+                        seen.add(id(c))
+                        nxt.append(c)
+        current = nxt
+    return current
+
+
+def _collect_text(node: DomNode, out: list[str]) -> None:
+    for c in node.children:
+        if isinstance(c, str):
+            out.append(c)
+        else:
+            _collect_text(c, out)
+
+
+def xpath_text(node: DomNode) -> str:
+    """lxml ``"".join(element.xpath(".//text()")).strip()`` semantics
+    (extraction_strategy.py:1906-1907): raw text nodes joined unstripped,
+    then end-stripped once — NOT BS4's per-node get_text(strip=True)."""
+    parts: list[str] = []
+    _collect_text(node, parts)
+    return "".join(parts).strip()
+
+
+def css_to_xpath(css_selector: str) -> str:
+    """JsonXPathExtractionStrategy._css_to_xpath transcription
+    (extraction_strategy.py:1885-1901): a selector containing ``/`` is
+    already XPath; otherwise the BASIC conversion — ``a > b`` →
+    ``//a/b``, ``a b`` → ``//a//b``, else ``//sel``.  Deliberately lossy
+    exactly like the reference: ``span.price`` becomes the invalid XPath
+    ``//span.price``, which fails loudly at evaluation and collapses the
+    field to its default."""
+    if "/" in css_selector:
+        return css_selector
+    if " > " in css_selector:
+        return "//" + "/".join(css_selector.split(" > "))
+    if " " in css_selector:
+        return "//" + "//".join(css_selector.split(" "))
+    return "//" + css_selector

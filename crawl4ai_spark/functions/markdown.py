@@ -258,27 +258,54 @@ def generate_markdown(
     content_filter: Callable[[str], list[str]] | None = None,
     citations: bool = True,
 ) -> dict:
-    """DefaultMarkdownGenerator.generate_markdown composition (:148-249):
+    """DefaultMarkdownGenerator.generate_markdown composition (:148-260):
     raw markdown → citations → optional fit_html/fit_markdown via a
-    filter_content callable returning HTML block strings."""
-    raw_markdown = html_to_markdown(html or "", base_url)
-    markdown_with_citations, references_markdown = raw_markdown, ""
-    if citations:
-        markdown_with_citations, references_markdown = convert_links_to_citations(
-            raw_markdown, base_url
-        )
-    fit_markdown, fit_html = "", ""
-    if content_filter is not None:
-        blocks = content_filter(html or "")
-        fit_html = "\n".join("<div>{}</div>".format(s) for s in blocks)
-        fit_markdown = html_to_markdown(fit_html, base_url)
-    return {
-        "raw_markdown": raw_markdown,
-        "markdown_with_citations": markdown_with_citations,
-        "references_markdown": references_markdown,
-        "fit_markdown": fit_markdown,
-        "fit_html": fit_html,
-    }
+    filter_content callable returning HTML block strings.
+
+    Error isolation mirrors the reference's per-stage try/excepts
+    (markdown_generation_strategy.py:208-253): a raw-conversion error
+    error-strings raw_markdown; a citations error keeps raw and
+    error-strings references; a content-filter error keeps raw+citations
+    and error-strings only fit_markdown (fit_html blanked)."""
+    try:
+        try:
+            raw_markdown = html_to_markdown(html or "", base_url)
+        except Exception as e:
+            raw_markdown = f"Error converting HTML to markdown: {str(e)}"
+        markdown_with_citations, references_markdown = raw_markdown, ""
+        if citations:
+            try:
+                markdown_with_citations, references_markdown = convert_links_to_citations(
+                    raw_markdown, base_url
+                )
+            except Exception as e:
+                markdown_with_citations = raw_markdown
+                references_markdown = f"Error generating citations: {str(e)}"
+        fit_markdown, fit_html = "", ""
+        if content_filter is not None:
+            try:
+                blocks = content_filter(html or "")
+                fit_html = "\n".join("<div>{}</div>".format(s) for s in blocks)
+                fit_markdown = html_to_markdown(fit_html, base_url)
+            except Exception as e:
+                fit_markdown = f"Error generating fit markdown: {str(e)}"
+                fit_html = ""
+        return {
+            "raw_markdown": raw_markdown,
+            "markdown_with_citations": markdown_with_citations,
+            "references_markdown": references_markdown,
+            "fit_markdown": fit_markdown,
+            "fit_html": fit_html,
+        }
+    except Exception as e:  # outer catch (:251-260)
+        error_msg = f"Error in markdown generation: {str(e)}"
+        return {
+            "raw_markdown": error_msg,
+            "markdown_with_citations": error_msg,
+            "references_markdown": "",
+            "fit_markdown": "",
+            "fit_html": "",
+        }
 
 
 MARKDOWN_SCHEMA = T.StructType(
@@ -306,10 +333,9 @@ def markdown_for_pages(
         for pdf in batches:
             rows = []
             for url, html in zip(pdf[url_col], pdf[html_col]):
-                try:
-                    r = generate_markdown(html, base_url=url, content_filter=content_filter, citations=citations)
-                except Exception:
-                    r = dict.fromkeys(MARKDOWN_SCHEMA.fieldNames()[1:], "")
+                # generate_markdown never raises (reference-parity
+                # per-stage error strings inside)
+                r = generate_markdown(html, base_url=url, content_filter=content_filter, citations=citations)
                 rows.append(
                     (url, r["raw_markdown"], r["markdown_with_citations"],
                      r["references_markdown"], r["fit_markdown"], r["fit_html"])

@@ -98,7 +98,9 @@ def extract_page_query(root: DomNode, body: DomNode, user_query: str | None) -> 
     query_parts: list[str] = []
     title_el = root.find("title")
     if title_el is not None:
-        t = title_el.get_text()
+        # BS4 parity: soup.title.string is None when <title> has element
+        # children (the reference's try/except then skips it, :134-138)
+        t = title_el.string
         if t:
             query_parts.append(t)
     h1 = root.find("h1")
@@ -106,8 +108,10 @@ def extract_page_query(root: DomNode, body: DomNode, user_query: str | None) -> 
         query_parts.append(h1.get_text())
     temp = ""
     for meta_name in ["keywords", "description"]:
+        # BS4 attrs={"name": ...} matches the attribute value EXACTLY
+        # (case-sensitive), :146 — no .lower() here
         for m in root.find_all("meta"):
-            if (m.get("name") or "").lower() == meta_name and m.get("content"):
+            if m.get("name") == meta_name and m.get("content"):
                 query_parts.append(m.get("content"))
                 temp += m.get("content")
                 break

@@ -50,6 +50,13 @@ BLOOM_SCHEMA = T.StructType(
         T.StructField("bits", T.BinaryType()),
         T.StructField("n_items", T.LongType()),
         T.StructField("fmt_version", T.IntegerType()),
+        # geometry stamp: shards built with a different shard count (or
+        # bit-array size) route candidates to the WRONG shard on resume —
+        # silent false negatives that bypass the exact anti-join.  Readers
+        # must verify geometry via ``bloom_version_ok`` and rebuild on
+        # mismatch, exactly like the hash-scheme fmt_version.
+        T.StructField("n_partitions", T.IntegerType()),
+        T.StructField("m_bits", T.LongType()),
     ]
 )
 
@@ -98,11 +105,21 @@ def build_bloom(
                 "bits": [bits.tobytes()],
                 "n_items": [len(pdf)],
                 "fmt_version": [BLOOM_FORMAT_VERSION],
+                "n_partitions": [n_partitions],
+                "m_bits": [m_bits],
             }
         )
 
     with_part = _with_bloom_keys(df, url_col, n_partitions)
     return with_part.groupBy("bloom_part").applyInPandas(build, BLOOM_SCHEMA)
+
+
+def _merged_geom(col: pd.Series) -> int:
+    """Single agreed geometry value, or -1 for NULL/mixed (reject)."""
+    vals = col.dropna().unique()
+    if len(vals) != 1 or col.isna().any():
+        return -1
+    return int(vals[0])
 
 
 def merge_blooms(blooms: DataFrame) -> DataFrame:
@@ -119,31 +136,59 @@ def merge_blooms(blooms: DataFrame) -> DataFrame:
                 "bits": [acc.tobytes()],
                 "n_items": [int(pdf["n_items"].sum())],
                 "fmt_version": [int(pdf["fmt_version"].min())],
+                # a NULL or mixed geometry collapses to -1 so the version
+                # check rejects it (pandas min would skip NaN and hide it)
+                "n_partitions": [_merged_geom(pdf["n_partitions"])],
+                "m_bits": [_merged_geom(pdf["m_bits"])],
             }
         )
 
     return blooms.groupBy("bloom_part").applyInPandas(merge, BLOOM_SCHEMA)
 
 
-def bloom_version_ok(blooms: DataFrame | None) -> bool:
+def bloom_version_ok(
+    blooms: DataFrame | None,
+    n_partitions: int | None = None,
+    m_bits: int | None = None,
+) -> bool:
     """True iff every persisted shard was built by the CURRENT hash
-    scheme.  A missing/older version means the shard's bit positions no
-    longer correspond to today's hashes — using it would produce silent
-    false negatives — so callers must rebuild from the seen table."""
+    scheme AND (when expected values are given) the CURRENT geometry.
+
+    A missing/older fmt_version means the shard's bit positions no
+    longer correspond to today's hashes; a differing ``n_partitions``
+    routes candidates to the WRONG shard (pmod with a different modulus);
+    a differing ``m_bits`` probes the wrong bit offsets (and unequal
+    shard byte-sizes crash the OR-merge).  All three produce silent
+    false negatives that bypass the exact anti-join — callers must
+    rebuild from the seen table on any mismatch."""
     if blooms is None:
         return True
-    if "fmt_version" not in blooms.columns:
+    cols = blooms.columns
+    if "fmt_version" not in cols:
         return False
+    if (n_partitions is not None or m_bits is not None) and (
+        "n_partitions" not in cols or "m_bits" not in cols
+    ):
+        return False  # pre-geometry-stamp shards: geometry unverifiable
     # NULL-safe: a MIXED shard set (new deltas + column-less/pre-version
     # files read as NULL) must fail — min/max skip NULLs, which is
     # exactly the false-negative case this guard exists to catch
-    v = F.coalesce(F.col("fmt_version"), F.lit(-1))
-    row = blooms.agg(
-        F.min(v).alias("lo"), F.max(v).alias("hi"), F.count("*").alias("n")
-    ).first()
+    checks = [(F.col("fmt_version"), BLOOM_FORMAT_VERSION)]  # (column, expected)
+    if n_partitions is not None:
+        checks.append((F.col("n_partitions"), int(n_partitions)))
+    if m_bits is not None:
+        checks.append((F.col("m_bits").cast("long"), int(m_bits)))
+    aggs = [F.count("*").alias("n")]
+    for i, (c, _) in enumerate(checks):
+        v = F.coalesce(c, F.lit(-1))
+        aggs += [F.min(v).alias(f"lo{i}"), F.max(v).alias(f"hi{i}")]
+    row = blooms.agg(*aggs).first()
     if int(row["n"]) == 0:
         return True  # empty bloom table
-    return int(row["lo"]) == int(row["hi"]) == BLOOM_FORMAT_VERSION
+    return all(
+        int(row[f"lo{i}"]) == int(row[f"hi{i}"]) == exp
+        for i, (_, exp) in enumerate(checks)
+    )
 
 
 def bloom_maybe_seen(

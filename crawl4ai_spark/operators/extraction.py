@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.dom import css_select, parse_dom
+from ..functions.dom import css_select, css_to_xpath, parse_dom, xpath_select, xpath_text
 
 # Built-in pattern catalog — transcribed from
 # extraction_strategy.py:2022-2052 (DEFAULT_PATTERNS).
@@ -150,10 +150,48 @@ def _element_text(node) -> str:
     return node.get_text(separator="", strip=True)
 
 
-def _extract_single_field(element, field: dict):
+class _CssEngine:
+    """JsonCssExtractionStrategy hooks (extraction_strategy.py:1436-1482):
+    soupsieve selection, BS4 get_text(strip=True) text."""
+
+    @staticmethod
+    def base_elements(root, selector: str) -> list:
+        return css_select(root, selector)
+
+    @staticmethod
+    def select(element, selector: str) -> list:
+        return css_select(element, selector)
+
+    text = staticmethod(_element_text)
+
+
+class _XPathEngine:
+    """JsonXPathExtractionStrategy hooks (extraction_strategy.py:1851-1914):
+    raw XPath base selection; nested field selectors go through
+    _css_to_xpath (already-XPath selectors pass through) and are made
+    relative with a '.' prefix; text is the lxml ``.//text()`` join.
+    ``html``-type fields serialize via the stdlib DOM serializer where
+    the reference uses lxml etree.tostring — attribute order and
+    void-element forms may differ (documented divergence; lxml absent)."""
+
+    @staticmethod
+    def base_elements(root, selector: str) -> list:
+        return [n for n in xpath_select(root, selector) if not isinstance(n, str)]
+
+    @staticmethod
+    def select(element, selector: str) -> list:
+        xp = css_to_xpath(selector)
+        if not xp.startswith("."):
+            xp = "." + xp
+        return [n for n in xpath_select(element, xp) if not isinstance(n, str)]
+
+    text = staticmethod(xpath_text)
+
+
+def _extract_single_field(element, field: dict, engine=_CssEngine):
     """extraction_strategy.py:1126-1165 semantics."""
     if "selector" in field:
-        selected = css_select(element, field["selector"])
+        selected = engine.select(element, field["selector"])
         if not selected:
             return field.get("default")
         selected = selected[0]
@@ -162,13 +200,13 @@ def _extract_single_field(element, field: dict):
     value = None
     ftype = field["type"]
     if ftype == "text":
-        value = _element_text(selected)
+        value = engine.text(selected)
     elif ftype == "attribute":
         value = selected.get(field["attribute"])
     elif ftype == "html":
         value = selected.outer_html()
     elif ftype == "regex":
-        m = re.search(field["pattern"], _element_text(selected))
+        m = re.search(field["pattern"], engine.text(selected))
         value = m.group(1) if m else None
     if "transform" in field:
         # UNCONDITIONAL like the reference (:1163): transforming a None
@@ -184,33 +222,33 @@ def _extract_single_field(element, field: dict):
     return value if value is not None else field.get("default")
 
 
-def _extract_field(element, field: dict):
+def _extract_field(element, field: dict, engine=_CssEngine):
     try:
         ftype = field["type"]
         if ftype == "nested":
-            nested = css_select(element, field["selector"])
-            return _extract_item(nested[0], field["fields"]) if nested else {}
+            nested = engine.select(element, field["selector"])
+            return _extract_item(nested[0], field["fields"], engine) if nested else {}
         if ftype == "list":
-            els = css_select(element, field["selector"])
-            return [_extract_list_item(el, field["fields"]) for el in els]
+            els = engine.select(element, field["selector"])
+            return [_extract_list_item(el, field["fields"], engine) for el in els]
         if ftype == "nested_list":
-            els = css_select(element, field["selector"])
-            return [_extract_item(el, field["fields"]) for el in els]
-        return _extract_single_field(element, field)
+            els = engine.select(element, field["selector"])
+            return [_extract_item(el, field["fields"], engine) for el in els]
+        return _extract_single_field(element, field, engine)
     except Exception:
         return field.get("default")
 
 
-def _extract_list_item(element, fields: list[dict]) -> dict:
+def _extract_list_item(element, fields: list[dict], engine=_CssEngine) -> dict:
     item = {}
     for field in fields:
-        v = _extract_single_field(element, field)
+        v = _extract_single_field(element, field, engine)
         if v is not None:
             item[field["name"]] = v
     return item
 
 
-def _extract_item(element, fields: list[dict]) -> dict:
+def _extract_item(element, fields: list[dict], engine=_CssEngine) -> dict:
     item = {}
     for field in fields:
         if field["type"] == "computed":
@@ -220,27 +258,38 @@ def _extract_item(element, fields: list[dict]) -> dict:
             except Exception:
                 v = field.get("default")
         else:
-            v = _extract_field(element, field)
+            v = _extract_field(element, field, engine)
         if v is not None:
             item[field["name"]] = v
     return item
 
 
-def extract_json_css(html: str, schema: dict) -> list[dict]:
-    """Single-page JsonCSS extraction (pure Python — also the test/oracle
-    entry point)."""
+def _extract_json_schema(html: str, schema: dict, engine) -> list[dict]:
     root = parse_dom(html)
     out = []
-    for element in css_select(root, schema["baseSelector"]):
+    for element in engine.base_elements(root, schema["baseSelector"]):
         item = {}
         for field in schema.get("baseFields", []):
-            v = _extract_single_field(element, field)
+            v = _extract_single_field(element, field, engine)
             if v is not None:
                 item[field["name"]] = v
-        item.update(_extract_item(element, schema["fields"]))
+        item.update(_extract_item(element, schema["fields"], engine))
         if item:
             out.append(item)
     return out
+
+
+def extract_json_css(html: str, schema: dict) -> list[dict]:
+    """Single-page JsonCSS extraction (pure Python — also the test/oracle
+    entry point)."""
+    return _extract_json_schema(html, schema, _CssEngine)
+
+
+def extract_json_xpath(html: str, schema: dict) -> list[dict]:
+    """Single-page JsonXPath extraction: the same schema-driven field
+    core as CSS, with the XPath dialect hooks
+    (extraction_strategy.py:1851-1914)."""
+    return _extract_json_schema(html, schema, _XPathEngine)
 
 
 JSON_CSS_SCHEMA = T.StructType(
@@ -252,18 +301,15 @@ JSON_CSS_SCHEMA = T.StructType(
 )
 
 
-def json_css_extract(
-    pages: DataFrame, schema: dict, url_col: str = "url", html_col: str = "html"
+def _json_schema_extract(
+    pages: DataFrame, schema: dict, extract_fn, url_col: str, html_col: str
 ) -> DataFrame:
-    """Schema extraction over a pages table → one row per extracted item,
-    the item serialized as a canonical (sorted-key) JSON string."""
-
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for url, html in zip(pdf[url_col], pdf[html_col]):
                 try:
-                    items = extract_json_css(html or "", schema)
+                    items = extract_fn(html or "", schema)
                 except Exception:
                     continue
                 for i, item in enumerate(items):
@@ -271,3 +317,19 @@ def json_css_extract(
             yield pd.DataFrame(rows, columns=[f.name for f in JSON_CSS_SCHEMA.fields])
 
     return pages.select(url_col, html_col).mapInPandas(gen, JSON_CSS_SCHEMA)
+
+
+def json_css_extract(
+    pages: DataFrame, schema: dict, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Schema extraction over a pages table → one row per extracted item,
+    the item serialized as a canonical (sorted-key) JSON string."""
+    return _json_schema_extract(pages, schema, extract_json_css, url_col, html_col)
+
+
+def json_xpath_extract(
+    pages: DataFrame, schema: dict, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """XPath-dialect schema extraction over a pages table — same long-form
+    output contract as :func:`json_css_extract`."""
+    return _json_schema_extract(pages, schema, extract_json_xpath, url_col, html_col)

@@ -48,6 +48,27 @@ HOST_STATE_SCHEMA = T.StructType(
     ]
 )
 
+# host_state rows are ~60 bytes; 2M rows ≈ 120 MB — past that a forced
+# broadcast per wave risks driver OOM at the SURVEY's 10^7-host scale.
+BROADCAST_HOST_STATE_MAX_ROWS = 2_000_000
+
+
+def _join_host_state(
+    df: DataFrame, host_state: DataFrame, host_state_rows: int | None
+) -> DataFrame:
+    """Left-join per-host backoff state WITHOUT a forced broadcast.
+
+    The reference's DomainState dict is unbounded (async_dispatcher.py:
+    46-50), so host_state is O(distinct hosts) — small for a site crawl,
+    multi-GB at 10^7 hosts.  A known-small row count (callers track it in
+    lineage) keeps the explicit broadcast hint; otherwise the hint is
+    omitted and AQE elects broadcast-vs-shuffle from the RUNTIME size —
+    the join is a plain equi-join on ``host`` either way."""
+    hs = host_state
+    if host_state_rows is not None and host_state_rows <= BROADCAST_HOST_STATE_MAX_ROWS:
+        hs = F.broadcast(hs)
+    return df.join(hs, "host", "left")
+
 
 # ---------------------------------------------------------------------------
 # robots gate
@@ -188,15 +209,18 @@ def schedule_wave(
     wave_budget: float,
     default_delay: float = 1.0,
     salt_buckets: int = 16,
+    host_state_rows: int | None = None,
 ) -> DataFrame:
     """Assign ``scheduled_offset`` per row and ``admitted`` flag.
 
     The i-th request to a host in this wave fires at
     ``max(last_request_time + current_delay - wave_start, 0) + (i-1)*delay``;
     rows beyond the wave budget are carried (admitted = false).
+    ``host_state_rows``: pass a known row count to size-gate the
+    host-state broadcast (see ``_join_host_state``); None lets AQE pick.
     """
     if host_state is not None:
-        frontier = frontier.join(F.broadcast(host_state), "host", "left")
+        frontier = _join_host_state(frontier, host_state, host_state_rows)
     else:
         frontier = (
             frontier.withColumn("last_request_time", F.lit(None).cast("double"))
@@ -232,6 +256,7 @@ def update_host_state(
     max_retries: int = 3,
     jitter: bool = False,
     seed: int = 42,
+    host_state_rows: int | None = None,
 ) -> DataFrame:
     """Fold the RateLimiter update rule over each host's wave results in
     scheduled order (async_dispatcher.py:65-85):
@@ -249,7 +274,7 @@ def update_host_state(
     cols = ["host", "status_code", "scheduled_offset"]
     src = wave_results.select(*cols)
     if host_state is not None:
-        src = src.join(F.broadcast(host_state), "host", "left")
+        src = _join_host_state(src, host_state, host_state_rows)
     else:
         src = (
             src.withColumn("last_request_time", F.lit(None).cast("double"))

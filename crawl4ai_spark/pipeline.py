@@ -202,6 +202,11 @@ class CrawlJob:
 
         wave_id = int(snap["wave_id"]) + 1
         host_state = self.catalog.read("host_state", snap)
+        # size-gate the host-state broadcast (scheduler._join_host_state):
+        # count() on the parquet snapshot is footer-metadata-only — cheap
+        # — and keeps the explicit broadcast for small states while a
+        # 10^7-host state falls back to an AQE-planned equi-join
+        host_state_rows = None if host_state is None else host_state.count()
         wave_start = (wave_id - 1) * cfg.wave_budget
 
         frontier = frontier.withColumn(
@@ -237,7 +242,7 @@ class CrawlJob:
         # politeness schedule; carried rows age up
         sched = schedule_wave(
             allowed, host_state, wave_start=wave_start, wave_budget=cfg.wave_budget,
-            default_delay=cfg.default_delay,
+            default_delay=cfg.default_delay, host_state_rows=host_state_rows,
         )
         sched = self._ckpt(sched, f"sched_{wave_id}")
         _mark("schedule")
@@ -325,12 +330,16 @@ class CrawlJob:
         seen = self.catalog.read("seen", snap)
         blooms = self.catalog.read("bloom", snap) if cfg.use_bloom else None
         bloom_rebuilt = None
-        if blooms is not None and not bloom_version_ok(blooms):
-            # persisted shards predate the current hash scheme (resume
-            # across an engine upgrade): stale bit positions would yield
-            # false NEGATIVES that bypass the exact anti-join — rebuild
-            # the whole bloom from the seen table and commit it as a
-            # reset baseline so later waves don't rebuild again.
+        if blooms is not None and not bloom_version_ok(
+            blooms, n_partitions=cfg.bloom_partitions, m_bits=cfg.bloom_bits
+        ):
+            # persisted shards predate the current hash scheme OR were
+            # built with a different geometry (resume across an engine
+            # upgrade / JobConfig change): stale bit positions or
+            # wrong-shard routing would yield false NEGATIVES that bypass
+            # the exact anti-join — rebuild the whole bloom from the seen
+            # table and commit it as a reset baseline so later waves
+            # don't rebuild again.
             bloom_rebuilt = self._ckpt(
                 build_bloom(seen, n_partitions=cfg.bloom_partitions, m_bits=cfg.bloom_bits),
                 f"bloom_rebuild_{wave_id}",
@@ -346,6 +355,7 @@ class CrawlJob:
             wave_start=wave_start,
             base_delay=(cfg.default_delay, cfg.default_delay),
             max_retries=cfg.max_retries,  # freeze threshold = give-up threshold
+            host_state_rows=host_state_rows,
         )
         _mark("host_state_def")
 

@@ -178,3 +178,129 @@ def test_transform_on_missing_attribute_collapses_list():
     }
     items = extract_json_css(html, schema)
     assert items == [{"vals": []}]  # second item's missing attr kills the list
+
+
+# ---------------------------------------------------------------------------
+# JsonXPath dialect (extraction_strategy.py:1851-1914)
+# ---------------------------------------------------------------------------
+
+XPATH_SCHEMA = {
+    "name": "products",
+    "baseSelector": "//div[@class='product']",
+    "baseFields": [
+        {"name": "sku", "type": "attribute", "attribute": "data-sku"},
+    ],
+    "fields": [
+        {"name": "title", "type": "text", "selector": ".//h2[@class='name']"},
+        {"name": "price", "type": "regex", "selector": ".//span[@class='price']",
+         "pattern": r"\$([\d.]+)"},
+        {"name": "link", "type": "attribute", "selector": ".//a", "attribute": "href"},
+        {"name": "tags", "type": "list", "selector": ".//ul[@class='tags']/li",
+         "fields": [{"name": "tag", "type": "text"}]},
+        {"name": "missing", "type": "text", "selector": ".//nope", "default": "none"},
+    ],
+}
+
+
+def test_json_xpath_pure_python():
+    from crawl4ai_spark.operators.extraction import extract_json_xpath
+
+    items = extract_json_xpath(HTML, XPATH_SCHEMA)
+    assert len(items) == 2
+    assert items[0]["sku"] == "sku1"
+    # lxml text semantics: "".join(.//text()).strip() keeps interior
+    # whitespace — "Widget " + "One" → "Widget One", NOT BS4's "WidgetOne"
+    assert items[0]["title"] == "Widget One"
+    assert items[0]["price"] == "9.99"
+    assert items[0]["link"] == "/p/1"
+    assert items[0]["tags"] == [{"tag": "a"}, {"tag": "b"}]
+    assert items[0]["missing"] == "none"
+    assert items[1]["sku"] == "sku2" and items[1]["tags"] == [{"tag": "c"}]
+
+
+def test_json_xpath_css_fallback_conversion():
+    """Field selectors without '/' go through _basic_css_to_xpath
+    (extraction_strategy.py:1893-1901): bare tags work, 'a > b' and
+    'a b' chains work, and a CSS class selector ('span.price') becomes
+    invalid XPath → field default (the reference's XPathEvalError path)."""
+    from crawl4ai_spark.operators.extraction import extract_json_xpath
+
+    schema = {
+        "name": "x",
+        "baseSelector": "//div[@class='product']",
+        "fields": [
+            {"name": "link", "type": "attribute", "selector": "a", "attribute": "href"},
+            {"name": "tag1", "type": "text", "selector": "ul > li"},
+            {"name": "tagd", "type": "text", "selector": "ul li"},
+            {"name": "lossy", "type": "text", "selector": "span.price", "default": "D"},
+        ],
+    }
+    items = extract_json_xpath(HTML, schema)
+    assert items[0]["link"] == "/p/1"
+    assert items[0]["tag1"] == "a" and items[0]["tagd"] == "a"
+    assert items[0]["lossy"] == "D"
+
+
+def test_xpath_positional_predicate_per_parent():
+    from crawl4ai_spark.functions.dom import parse_dom, xpath_select, xpath_text
+
+    root = parse_dom(
+        "<div><ul><li>one</li><li>two</li></ul><ul><li>three</li></ul></div>"
+    )
+    # //li[1] = first li-child of EACH parent (formal descendant-or-self
+    # expansion), not the first of the flattened result set
+    assert [xpath_text(n) for n in xpath_select(root, "//li[1]")] == ["one", "three"]
+    assert [xpath_text(n) for n in xpath_select(root, "//li[2]")] == ["two"]
+    # sequential predicates: position applies AFTER the attr filter
+    root2 = parse_dom(
+        '<ul><li>skip</li><li class="k">x</li><li class="k">y</li></ul>'
+    )
+    got = [xpath_text(n) for n in xpath_select(root2, "//li[@class='k'][2]")]
+    assert got == ["y"]
+
+
+def test_xpath_unsupported_raises():
+    from crawl4ai_spark.functions.dom import parse_dom, xpath_select
+
+    root = parse_dom("<div><a href='x'>t</a></div>")
+    for bad in ["//a|//b", "//ancestor::a", "//a[last()]", "//span.price",
+                "//a[@href^='x']", "//a[position()=1]"]:
+        with pytest.raises(ValueError):
+            xpath_select(root, bad)
+
+
+def test_json_xpath_spark_operator_matches_css(spark):
+    """Both dialects over the entry's card corpus extract identical
+    items (the oracle-parity claim behind json_xpath_items)."""
+    from crawl4ai_spark.operators.extraction import json_xpath_extract
+
+    html = (
+        '<html><body><div class="product" data-sku="sku1">'
+        '<h2 class="name">N1</h2><span class="price">$9.99</span>'
+        '<a href="/p/1">view</a></div></body></html>'
+    )
+    pages = spark.createDataFrame([("u1", html)], "url string, html string")
+    xp_schema = {
+        "name": "cards",
+        "baseSelector": "//div[@class='product']",
+        "baseFields": [{"name": "sku", "type": "attribute", "attribute": "data-sku"}],
+        "fields": [
+            {"name": "title", "type": "text", "selector": ".//h2[@class='name']"},
+            {"name": "price", "type": "regex", "selector": ".//span[@class='price']",
+             "pattern": r"\$([\d.]+)"},
+            {"name": "link", "type": "attribute", "selector": ".//a", "attribute": "href"},
+        ],
+    }
+    css_schema = {
+        "name": "cards",
+        "baseSelector": "div.product",
+        "baseFields": [{"name": "sku", "type": "attribute", "attribute": "data-sku"}],
+        "fields": [
+            {"name": "title", "type": "text", "selector": "h2.name"},
+            {"name": "price", "type": "regex", "selector": "span.price", "pattern": r"\$([\d.]+)"},
+            {"name": "link", "type": "attribute", "selector": "a", "attribute": "href"},
+        ],
+    }
+    xp = json_xpath_extract(pages, xp_schema).orderBy("item_idx").collect()
+    cs = json_css_extract(pages, css_schema).orderBy("item_idx").collect()
+    assert [r["item_json"] for r in xp] == [r["item_json"] for r in cs]
