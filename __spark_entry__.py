@@ -1203,6 +1203,100 @@ def q_image_psnr_invariant(spark, sf_dir):
     )
 
 
+def _jpeg_rgb(k: int):
+    """Deterministic smooth RGB image for the JPEG payload corpus (pure
+    function of the part key; smooth content is also what the 40 dB
+    payload contract is defined over — see tests/test_jpeg.py)."""
+    import numpy as np
+
+    h = 16 + (k % 2) * 8
+    w = 24 + (k % 3) * 8
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            128 + 90 * np.sin(xx / (5 + k % 7)) * np.cos(yy / (7 + k % 5)),
+            128 + 70 * np.cos(xx / 9 + k),
+            128 + 60 * np.sin((xx + yy) / (11 + k % 3)),
+        ],
+        axis=-1,
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _gen_jpeg_images(spark, sf_dir, n: int = 200, png_twin: bool = False) -> DataFrame:
+    """Baseline-JPEG payload per part row (REAL encode via the pure-Python
+    T.81 codec, jpeg.py; every 5th row carries restart markers).  The
+    stored phash is the phash of the DECODED pixels — JPEG is lossy, so
+    the validate contract is on what a reader can actually reconstruct.
+    ``png_twin`` instead emits the lossless PNG encode of the SAME source
+    pixels (the reference side of the PSNR invariant)."""
+    import pandas as pd
+
+    from crawl4ai_spark.operators.multimodal import IMAGE_SCHEMA
+
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < n)
+        .select("p_partkey", "p_name")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        from crawl4ai_spark.jpeg import decode_jpeg, encode_jpeg
+        from crawl4ai_spark.png import encode_png, phash64
+
+        for pdf in batches:
+            rows = []
+            for k, name in zip(pdf["p_partkey"], pdf["p_name"]):
+                k = int(k)
+                rgb = _jpeg_rgb(k)
+                if png_twin:
+                    rows.append(
+                        (str(k), encode_png(rgb), rgb.shape[1], rgb.shape[0],
+                         "png", f"part {name}", phash64(rgb))
+                    )
+                    continue
+                data = encode_jpeg(
+                    rgb, quality=92, restart_interval=2 if k % 5 == 0 else 0
+                )
+                rows.append(
+                    (str(k), data, rgb.shape[1], rgb.shape[0], "jpeg",
+                     f"part {name}", phash64(decode_jpeg(data)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    return parts.mapInPandas(gen, IMAGE_SCHEMA)
+
+
+def q_jpeg_pipeline(spark, sf_dir):
+    """Baseline-JPEG decode/validate (real pure-Python T.81 decode —
+    multimodal.py:56 was an honest stub until round 3)."""
+    from crawl4ai_spark.operators.multimodal import decode_and_validate
+
+    images = _gen_jpeg_images(spark, sf_dir)
+    checks = decode_and_validate(images)
+    return checks.select("image_id", "ok", "dims_match", "phash_matches", "phash_recomputed")
+
+
+def q_jpeg_psnr_invariant(spark, sf_dir):
+    """input_hint invariant on the lossy format: decoded JPEG vs the
+    lossless PNG twin of the same source pixels — PSNR ≥ 40 dB at q92
+    4:4:4, captions equal; exact dB exported e2 for the oracle."""
+    from crawl4ai_spark.operators.multimodal import psnr_against
+
+    jpegs = _gen_jpeg_images(spark, sf_dir)
+    twins = _gen_jpeg_images(spark, sf_dir, png_twin=True)
+    out = psnr_against(jpegs, twins)
+    return out.select(
+        "image_id",
+        (F.col("psnr_db") >= 40.0).alias("psnr_ge_40"),
+        F.round(F.col("psnr_db") * 100).cast("long").alias("psnr_db_e2"),
+        "caption_equal",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": q_text_stats,
@@ -1246,6 +1340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_job_e2e": q_crawl_job_e2e,
         "crawl_job_retries": q_crawl_job_retries,
         "image_psnr_invariant": q_image_psnr_invariant,
+        "jpeg_pipeline": q_jpeg_pipeline,
+        "jpeg_psnr_invariant": q_jpeg_psnr_invariant,
         "adaptive_digest": q_adaptive_digest,
         "table_extraction": q_table_extraction,
         "structured_regex": q_structured_regex,
@@ -2447,6 +2543,58 @@ def _gen_image_phashes(n: int = 200) -> list[tuple[str, int]]:
     return out
 
 
+def _gen_jpeg_expected(n: int = 200) -> list[tuple[str, int, int]]:
+    """(image_id, decoded-phash, psnr_db_e2) per JPEG payload — pure
+    function of the part key, memoized (encode+decode per image)."""
+    global _JPEG_EXPECTED_CACHE
+    try:
+        return _JPEG_EXPECTED_CACHE
+    except NameError:
+        pass
+    from crawl4ai_spark.jpeg import decode_jpeg, encode_jpeg
+    from crawl4ai_spark.png import phash64, psnr
+
+    out = []
+    for k in range(n):
+        rgb = _jpeg_rgb(k)
+        data = encode_jpeg(rgb, quality=92, restart_interval=2 if k % 5 == 0 else 0)
+        dec = decode_jpeg(data)
+        out.append((str(k), phash64(dec), int(round(psnr(dec, rgb) * 100))))
+    _JPEG_EXPECTED_CACHE = out
+    return out
+
+
+def _jpeg_pipeline_fixture_sql() -> str:
+    """Expected decode/validate outcome per JPEG payload: the stored
+    phash is the decoded-pixel phash, so every check passes and the
+    recomputed phash equals it."""
+    vals = ",\n".join(f"('{i}', {ph})" for i, ph, _ in _gen_jpeg_expected())
+    return f"""
+WITH fx(image_id, phash) AS (VALUES
+{vals}
+)
+SELECT f.image_id, TRUE AS ok, TRUE AS dims_match, TRUE AS phash_matches,
+       CAST(f.phash AS BIGINT) AS phash_recomputed
+FROM fx f JOIN part p ON CAST(p.p_partkey AS VARCHAR) = f.image_id
+WHERE p.p_partkey < 200
+"""
+
+
+def _jpeg_psnr_fixture_sql() -> str:
+    """Exact PSNR (e2) of each decoded JPEG vs its source pixels, from
+    the same pure codec functions the executors run."""
+    vals = ",\n".join(f"('{i}', {p})" for i, _, p in _gen_jpeg_expected())
+    return f"""
+WITH fx(image_id, psnr_db_e2) AS (VALUES
+{vals}
+)
+SELECT f.image_id, f.psnr_db_e2 >= 4000 AS psnr_ge_40,
+       CAST(f.psnr_db_e2 AS BIGINT) AS psnr_db_e2, TRUE AS caption_equal
+FROM fx f JOIN part p ON CAST(p.p_partkey AS VARCHAR) = f.image_id
+WHERE p.p_partkey < 200
+"""
+
+
 def _adaptive_digest_fixture_sql() -> str:
     """Crawl order of the progressive digest loop, replayed by the
     sequential oracle transcription (crawl4ai_spark.oracles) on the same
@@ -2724,6 +2872,8 @@ FROM first GROUP BY wave_id
 SELECT CAST(p_partkey AS VARCHAR) AS image_id, TRUE AS psnr_ge_40, TRUE AS caption_equal
 FROM part WHERE p_partkey < 200
 """,
+        "jpeg_pipeline": _cached_fixture("jpeg_pipeline", _jpeg_pipeline_fixture_sql),
+        "jpeg_psnr_invariant": _cached_fixture("jpeg_psnr_invariant", _jpeg_psnr_fixture_sql),
         "adaptive_digest": _cached_fixture("adaptive_digest", _adaptive_digest_fixture_sql),
         "simhash_pairs_portable": _simhash_portable_sql(),
         # simhash_pairs: xxhash64-based (the scale default) — hash not

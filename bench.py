@@ -185,6 +185,7 @@ ENTRY_QUERIES = [
     "simhash_pairs_scale",  # Manku 10^10 geometry (h<=3, 4x16 bands)
     "ann_topk",
     "embedding_near_dup",
+    "jpeg_pipeline",
     "quality_scores",
     "lang_id",
     # round-2 operator families

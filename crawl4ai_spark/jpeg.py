@@ -245,10 +245,18 @@ def _quantized_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     return q.astype(np.int64)
 
 
-def encode_jpeg(rgb: np.ndarray, quality: int = 90, subsample: bool = False) -> bytes:
+def encode_jpeg(
+    rgb: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
     """Encode an (h, w, 3) uint8 array as baseline JFIF.
 
     ``subsample=False`` → 4:4:4; ``True`` → 4:2:0 (2×2 chroma average).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs (real
+    encoders use these for error resilience; exercised by the decoder's
+    restart path).
     """
     if rgb.dtype != np.uint8 or rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError("expected (h, w, 3) uint8")
@@ -314,13 +322,19 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90, subsample: bool = False) -> 
     yzz = yq.reshape(-1, 64)[:, ZIGZAG]
     cbzz = cbq.reshape(-1, 64)[:, ZIGZAG]
     crzz = crq.reshape(-1, 64)[:, ZIGZAG]
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for by in range(V):
-                for bx in range(H):
-                    put_block(yzz[(my * V + by) * yw + mx * H + bx], 0, dc_y, ac_y)
-            put_block(cbzz[my * cw + mx], 1, dc_c, ac_c)
-            put_block(crzz[my * cw + mx], 2, dc_c, ac_c)
+    rst = 0
+    for mcu in range(mcus_y * mcus_x):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            pred[0] = pred[1] = pred[2] = 0
+        my, mx = divmod(mcu, mcus_x)
+        for by in range(V):
+            for bx in range(H):
+                put_block(yzz[(my * V + by) * yw + mx * H + bx], 0, dc_y, ac_y)
+        put_block(cbzz[my * cw + mx], 1, dc_c, ac_c)
+        put_block(crzz[my * cw + mx], 2, dc_c, ac_c)
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -342,8 +356,9 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90, subsample: bool = False) -> 
     )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
-        b"\xff\xd8" + app0 + dqt(0, qy) + dqt(1, qc)
+        b"\xff\xd8" + app0 + dqt(0, qy) + dqt(1, qc) + dri
         + sof
         + dht(0, 0, DC_LUMA_SPEC) + dht(1, 0, AC_LUMA_SPEC)
         + dht(0, 1, DC_CHROMA_SPEC) + dht(1, 1, AC_CHROMA_SPEC)
@@ -571,7 +586,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raster = np.zeros((len(c["coef"]), 64), np.int64)
         raster[:, ZIGZAG] = c["coef"]
         blocks = raster.reshape(-1, 8, 8) * qtabs[c["tq"]]
-        pix = np.einsum("xu,nuv,yv->nxy", _A.T, blocks.astype(np.float64), _A.T.T)
+        # f = A.T @ F @ A (orthonormal inverse)
+        pix = np.einsum("xu,nuv,vy->nxy", _A.T, blocks.astype(np.float64), _A)
         pix = pix + 128.0
         bh, bw_ = c["bh"], c["bw"]
         plane = (

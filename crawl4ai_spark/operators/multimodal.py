@@ -3,12 +3,14 @@ phash) table — the BASELINE.json input_hint shape.
 
 Everything crosses into Python only through Arrow-batched pandas UDFs
 (mapInPandas): decode → validate dims → recompute pHash → PSNR against a
-reference decode.  PNG decode is real (pure-Python codec, png.py);
-JPEG/WebP decoding needs codec libraries absent from this container, so
-those formats route through a clearly-marked stub that raises
-NotImplementedError unless ``allow_stub`` substitutes a deterministic
-fake decode — the Spark plumbing (schema, batch shape, partitioning) is
-identical for every format and fully exercised by the PNG path.
+reference decode.  PNG decode is real (pure-Python codec, png.py), and
+baseline JPEG decode is real too (pure-Python T.81 codec, jpeg.py —
+the dominant format of any real web image corpus).  Progressive JPEG
+and WebP need codec libraries absent from this container, so they route
+through a clearly-marked stub that raises NotImplementedError unless
+``allow_stub`` substitutes a deterministic fake decode — the Spark
+plumbing (schema, batch shape, partitioning) is identical for every
+format.
 
 Mirrors the reference's media pipeline: images emitted per page into the
 payload table (content_scraping_strategy.py:333-339), validated and
@@ -56,13 +58,23 @@ DECODE_RESULT_SCHEMA = T.StructType(
 def decode_rgb(data: bytes, fmt: str, allow_stub: bool = False) -> np.ndarray:
     """Decode image bytes to (h, w, 3) uint8.
 
-    PNG: real decode.  JPEG/WebP: STUB — no codec libs in this container.
-    With allow_stub a deterministic fake decode (seeded from the bytes)
-    stands in so the distributed plumbing can be exercised end-to-end.
+    PNG and baseline JPEG: real decodes (pure-Python codecs png.py /
+    jpeg.py).  Progressive JPEG and WebP: STUB — no codec libs in this
+    container.  With allow_stub a deterministic fake decode (seeded from
+    the bytes) stands in so the distributed plumbing can be exercised
+    end-to-end for the stubbed formats too.
     """
     fmt = (fmt or "").lower()
     if fmt == "png":
         return decode_png(data)
+    if fmt in ("jpeg", "jpg"):
+        from ..jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(data)
+        except ValueError:
+            if not allow_stub:
+                raise  # progressive/arithmetic/corrupt → honest failure
     if fmt in ("jpeg", "jpg", "webp"):
         if not allow_stub:
             raise NotImplementedError(
