@@ -1189,6 +1189,70 @@ def q_adaptive_digest(spark, sf_dir):
     return order.withColumn("seq", F.col("seq").cast("long"))
 
 
+def _embedding_site() -> tuple[dict, str, list[str]]:
+    """Deterministic two-cluster site + query space for the embedding
+    digest (adaptive_crawler.py:617 EmbeddingStrategy)."""
+    hub_links = []
+    pages = {}
+    topics = {
+        "joins": "spark joins broadcast hash merge strategies",
+        "windows": "spark windows ranking frames functions",
+        "shuffle": "spark shuffle partitions exchange tuning",
+        "aggregation": "spark aggregation groupby partial combine",
+        "flour": "bread flour gluten protein milling",
+        "yeast": "bread yeast fermentation rise starter",
+        "ovens": "bread ovens stone steam baking",
+    }
+    for topic, words in topics.items():
+        url = f"https://site.test/{topic}"
+        pages[url] = (words + " article content", [])
+        hub_links.append((url, words, topic))
+    pages["https://site.test/"] = ("guide to spark and bread topics", hub_links)
+    query = "spark joins windows shuffle"
+    variations = [
+        "spark joins strategies",
+        "spark windows functions",
+        "spark shuffle partitions",
+        "spark aggregation performance",
+        "spark dataframe joins",
+    ]
+    return pages, query, variations
+
+
+def q_adaptive_embedding(spark, sf_dir):
+    """Embedding-strategy adaptive crawl (adaptive_crawler.py:617-1269):
+    coverage-gap link selection over a deterministic embedding space,
+    convergence + held-out validation stopping.  Output: fetch order,
+    KB membership after the 0.95 dedup, and the final quality-mapped
+    confidence (e6)."""
+    from crawl4ai_spark.operators.adaptive_embedding import embedding_digest
+
+    pages, query, variations = _embedding_site()
+
+    def fetch_text_fn(urls):
+        rows = [
+            (u, pages[u][0], [{"href": h, "text": t, "title": ti} for h, t, ti in pages[u][1]])
+            for u in urls if u in pages
+        ]
+        return spark.createDataFrame(
+            rows,
+            "url string, text string, links array<struct<href string, text string, title string>>",
+        )
+
+    out = embedding_digest(
+        spark, fetch_text_fn, "https://site.test/", query, variations,
+        max_depth=4, max_pages=6, top_k_links=2, min_gain_threshold=0.01,
+    )
+    kb = set(out["kb_urls"])
+    conf_e6 = int(round(out["confidence"] * 1_000_000))
+    rows = [
+        (i, u, u in kb, conf_e6) for i, u in enumerate(out["crawl_order"])
+    ]
+    return spark.createDataFrame(
+        rows, "seq long, url string, in_kb boolean, final_confidence_e6 long"
+    )
+
+
 def q_image_psnr_invariant(spark, sf_dir):
     """input_hint invariant: decoded-pixel PSNR (≥40dB; ∞ for lossless
     PNG) + caption equality of the emitted payload vs the stored truth."""
@@ -1343,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_pipeline": q_jpeg_pipeline,
         "jpeg_psnr_invariant": q_jpeg_psnr_invariant,
         "adaptive_digest": q_adaptive_digest,
+        "adaptive_embedding": q_adaptive_embedding,
         "table_extraction": q_table_extraction,
         "structured_regex": q_structured_regex,
         "json_css_items": q_json_css_items,
@@ -2595,6 +2660,28 @@ WHERE p.p_partkey < 200
 """
 
 
+def _adaptive_embedding_fixture_sql() -> str:
+    """Expected fetch order / KB membership / final confidence from the
+    sequential oracle transcription (oracles.embedding_digest_replay —
+    identical float fold order as the Spark kernels)."""
+    from crawl4ai_spark.operators.adaptive_embedding import hash_embed
+    from crawl4ai_spark.oracles import embedding_digest_replay, rows_values_sql
+
+    pages, query, variations = _embedding_site()
+    out = embedding_digest_replay(
+        pages, "https://site.test/", query, variations, hash_embed,
+        max_depth=4, max_pages=6, top_k_links=2, min_gain_threshold=0.01,
+    )
+    kb = set(out["kb_urls"])
+    conf_e6 = int(round(out["confidence"] * 1_000_000))
+    rows = [(i, u, u in kb, conf_e6) for i, u in enumerate(out["crawl_order"])]
+    return rows_values_sql(
+        rows,
+        [("seq", "BIGINT"), ("url", "VARCHAR"), ("in_kb", "BOOLEAN"),
+         ("final_confidence_e6", "BIGINT")],
+    )
+
+
 def _adaptive_digest_fixture_sql() -> str:
     """Crawl order of the progressive digest loop, replayed by the
     sequential oracle transcription (crawl4ai_spark.oracles) on the same
@@ -2875,6 +2962,7 @@ FROM part WHERE p_partkey < 200
         "jpeg_pipeline": _cached_fixture("jpeg_pipeline", _jpeg_pipeline_fixture_sql),
         "jpeg_psnr_invariant": _cached_fixture("jpeg_psnr_invariant", _jpeg_psnr_fixture_sql),
         "adaptive_digest": _cached_fixture("adaptive_digest", _adaptive_digest_fixture_sql),
+        "adaptive_embedding": _cached_fixture("adaptive_embedding", _adaptive_embedding_fixture_sql),
         "simhash_pairs_portable": _simhash_portable_sql(),
         # simhash_pairs: xxhash64-based (the scale default) — hash not
         # portable to DuckDB, rows-only; its md5 twin above carries the

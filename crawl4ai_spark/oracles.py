@@ -678,3 +678,204 @@ def rows_values_sql(rows: list[tuple], columns: list[tuple[str, str]]) -> str:
     names = ", ".join(name for name, _ in columns)
     vals = ",\n".join("(" + ", ".join(_sql_lit(v) for v in r) + ")" for r in rows)
     return f"SELECT {col_sql} FROM (VALUES\n{vals}\n) AS t({names})"
+
+
+# ---------------------------------------------------------------------------
+# EmbeddingStrategy adaptive digest oracle (adaptive_crawler.py:617-1453)
+# ---------------------------------------------------------------------------
+#
+# Sequential replay of operators/adaptive_embedding.embedding_digest with
+# float operations in the IDENTICAL order as the Spark kernels (cosine =
+# zip_with-multiply left-fold / sqrt(norm)*sqrt(norm); gap sums folded in
+# query_id order; means accumulated over sorted ids) so driver-vs-oracle
+# comparisons are bit-exact.
+
+
+def _emb_cos(a: list[float], b: list[float]) -> float:
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    na = 0.0
+    for x in a:
+        na += x * x
+    nb = 0.0
+    for y in b:
+        nb += y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def embedding_digest_replay(
+    pages: dict,
+    start_url: str,
+    query: str,
+    query_variations: list[str],
+    embed_fn: Callable[[str], list[float]],
+    max_depth: int = 5,
+    max_pages: int = 20,
+    top_k_links: int = 3,
+    min_gain_threshold: float = 0.1,
+    coverage_radius: float = 0.2,
+    overlap_threshold: float = 0.85,
+    min_confidence: float = 0.1,
+    min_relative_improvement: float = 0.1,
+    validation_min_score: float = 0.3,
+    kb_sim_threshold: float = 0.95,
+    coverage_tau: float | None = None,
+) -> dict:
+    """``pages``: url -> (text, [(href, text, title), ...])."""
+    n_val = max(2, int(len(query_variations) * 0.2)) if query_variations else 0
+    val_q = query_variations[len(query_variations) - n_val:]
+    train_q = [query] + query_variations[: len(query_variations) - n_val]
+    train_emb = [embed_fn(q) for q in train_q]
+    val_emb = [embed_fn(q) for q in val_q]
+
+    crawled: list[str] = []
+    kb: list[tuple[str, list[float]]] = []
+    pending: dict[str, tuple] = {}
+    history: list[float] = []
+    metrics: dict = {}
+    validation_passed = False
+    order_counter = [0]
+
+    def crawl_batch(urls: list[str]) -> None:
+        texts = []
+        for u in urls:
+            if u not in pages:
+                continue
+            crawled.append(u)
+            text, links = pages[u]
+            content = (text or "")[:5000]
+            if content:
+                texts.append((u, content))
+            for href, lt, lti in links:
+                if href not in set(crawled) and href not in pending:
+                    pending[href] = (lt, lti, order_counter[0])
+                    order_counter[0] += 1
+        kb_before = list(kb)
+        for u, t in texts:
+            emb = embed_fn(t)
+            if kb_before:
+                max_sim = max(_emb_cos(emb, d) for _, d in kb_before)
+                if max_sim >= kb_sim_threshold:
+                    continue
+            kb.append((u, emb))
+
+    def confidence_now() -> float:
+        if not kb:
+            return 0.0
+        best = [max(_emb_cos(q, d) for _, d in kb) for q in train_emb]
+        if coverage_tau is not None:
+            return sum(1.0 for b in best if b >= coverage_tau) / len(best)
+        acc = 0.0
+        for b in best:
+            acc += b
+        return acc / len(best)
+
+    def validation_now() -> float:
+        if not kb or not val_emb:
+            return 0.0
+        acc = 0.0
+        for q in val_emb:
+            acc += max(_emb_cos(q, d) for _, d in kb)
+        return acc / len(val_emb)
+
+    crawl_batch([start_url])
+    depth = 0
+    while depth < max_depth:
+        conf = confidence_now()
+        metrics["confidence"] = conf
+        if conf < min_confidence and crawled:
+            metrics["stopped_reason"] = "below_minimum_relevance_threshold"
+            break
+        if len(crawled) >= max_pages or not pending:
+            break
+        history.append(conf)
+        if len(history) >= 2:
+            diffs = list(zip(history[:-1], history[1:]))
+            avg_improvement = sum(abs(b - a) for a, b in diffs) / len(diffs)
+            if avg_improvement < min_relative_improvement * conf:
+                val_score = validation_now()
+                metrics["validation_confidence"] = val_score
+                if val_score > validation_min_score:
+                    metrics["stopped_reason"] = "converged_validated"
+                    validation_passed = True
+                    break
+        uncrawled = [
+            (href, t, ti, o)
+            for href, (t, ti, o) in pending.items()
+            if href not in set(crawled)
+        ]
+        if not uncrawled:
+            break
+        link_rows = []
+        for href, t, ti, o in uncrawled:
+            link_text = " ".join(filter(None, [t, ti]))
+            if link_text.strip():
+                link_rows.append((href, o, embed_fn(link_text)))
+        if not link_rows:
+            break
+        # gaps over train queries
+        if kb:
+            gaps = [
+                (qi, q, 1.0 - max(_emb_cos(q, d) for _, d in kb))
+                for qi, q in enumerate(train_emb)
+            ]
+        else:
+            gaps = [(qi, q, 1.0) for qi, q in enumerate(train_emb)]
+        helped = [(qi, q, g) for qi, q, g in gaps if g > coverage_radius]
+        gnh = len(helped)
+        scored = []
+        for href, o, emb in link_rows:
+            if not gaps:
+                score = 0.0
+            else:
+                if gnh == 0:
+                    gr = 0.0
+                else:
+                    total = 0.0
+                    for qi, q, gd in sorted(helped):  # query_id fold order
+                        new_d = 1.0 - _emb_cos(emb, q)
+                        total += (gd - new_d) * 2.0 if new_d < gd else 0.0
+                    gr = total / float(gnh)
+                if kb:
+                    ms = max(_emb_cos(emb, d) for _, d in kb)
+                    pen = (ms - overlap_threshold) * 2.0 if ms > overlap_threshold else 0.0
+                else:
+                    pen = 0.0
+                score = gr * (1.0 - pen)
+            scored.append((href, o, score))
+        scored.sort(key=lambda x: (-x[2], x[1]))
+        top = scored[:top_k_links]
+        if not top:
+            break
+        if top[0][2] < min_gain_threshold:
+            break
+        to_crawl = [href for href, _o, _s in top if href not in set(crawled)]
+        if not to_crawl:
+            break
+        for h in to_crawl:
+            pending.pop(h, None)
+        crawl_batch(to_crawl)
+        depth += 1
+
+    learning = confidence_now()
+    metrics["learning_score"] = learning
+    val_sc = metrics.get("validation_confidence", 0.0)
+    if validation_passed and val_sc > validation_min_score:
+        if learning < 0.4:
+            final = 0.7
+        elif learning > 0.7:
+            final = 0.95
+        else:
+            final = 0.7 + (learning - 0.4) * 0.833
+    else:
+        final = learning * 0.8
+    metrics["confidence"] = final
+    return {
+        "crawl_order": crawled,
+        "kb_urls": [u for u, _ in kb],
+        "confidence_history": history,
+        "metrics": metrics,
+        "confidence": final,
+        "depth_reached": depth,
+    }
