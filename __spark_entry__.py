@@ -229,6 +229,27 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return pairs.select("id_a", "id_b", _e6(F.col("jaccard")).alias("jaccard_e6"))
 
 
+def q_minhash_incremental(spark, sf_dir):
+    """Persisted dedup state (operators/dedup_state.py): wave 1 commits
+    signatures for ~2/3 of the corpus, wave 2 appends ONLY the remaining
+    docs' signatures (no text rescan of history), then the incremental
+    pair query returns near-dup pairs touching the new docs.  Oracle =
+    the full LSH pair set filtered to pairs with a wave-2 member."""
+    import tempfile
+
+    from crawl4ai_spark.operators.dedup_state import DedupState
+    from crawl4ai_spark.sources.catalog import SnapshotCatalog
+
+    aug = _docs_aug(_t(spark, sf_dir, "documents"))
+    root = tempfile.mkdtemp(prefix="dedup_state_")
+    st = DedupState(SnapshotCatalog(root, spark), n_perm=16, bands=4, shingle_n=3)
+    st.update_wave(aug.filter(F.col("doc_id") % 3 != 0), wave_id=1)
+    st.update_wave(aug, wave_id=2)
+    new_ids = aug.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    pairs = st.minhash_pairs(threshold=0.5, new_ids=new_ids)
+    return pairs.select("id_a", "id_b", _e6(F.col("jaccard")).alias("jaccard_e6"))
+
+
 def q_simhash_pairs(spark, sf_dir):
     aug = _docs_aug(_t(spark, sf_dir, "documents"))
     return docdedup.simhash_pairs(aug, max_hamming=6)
@@ -1373,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_incremental": q_minhash_incremental,
         "simhash_pairs": q_simhash_pairs,
         "simhash_pairs_scale": q_simhash_pairs_scale,
         "simhash_pairs_portable": q_simhash_pairs_portable,
@@ -1493,6 +1515,17 @@ cand AS (
 SELECT id_a, id_b, CAST(round(jaccard * 1000000) AS BIGINT) AS jaccard_e6
 FROM verified WHERE jaccard >= 0.5
 """
+
+
+def _minhash_incremental_sql() -> str:
+    # full LSH pair set restricted to pairs touching a wave-2 doc
+    # (doc_id % 3 = 0 — the split q_minhash_incremental commits)
+    return (
+        _minhash_lsh_sql().replace(
+            "FROM verified WHERE jaccard >= 0.5",
+            "FROM verified WHERE jaccard >= 0.5 AND (id_a % 3 = 0 OR id_b % 3 = 0)",
+        )
+    )
 
 
 def _ngram_jaccard_sql() -> str:
@@ -2777,6 +2810,7 @@ FROM docs_aug GROUP BY md5(text) HAVING COUNT(*) > 1
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),
         "minhash_signatures": _minhash_signatures_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(),
+        "minhash_incremental": _minhash_incremental_sql(),
         "ann_topk": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),

@@ -155,8 +155,28 @@ def minhash_lsh_pairs(
     """Candidate pairs share ≥1 LSH band of the minhash signature; each
     candidate verified with exact shingle Jaccard (so the output has no
     false positives; banding only bounds recall)."""
-    rows_per_band = n_perm // bands
     sig = minhash_signature(docs, n_perm, n, text_col, id_col)
+    return minhash_pairs_from_signatures(sig, threshold, n_perm, bands)
+
+
+def minhash_pairs_from_signatures(
+    sig: DataFrame,
+    threshold: float = 0.5,
+    n_perm: int = 16,
+    bands: int = 4,
+    new_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Pair generation over a PRE-COMPUTED signature table (the persisted
+    dedup-state path — signatures/shingles computed once per doc per
+    wave, stored append-only, never re-derived from raw text; see
+    operators/dedup_state.py).  ``sig`` = minhash_signature output
+    (doc_id, n_shingles, shingles, sig).
+
+    ``new_ids`` (doc_id) restricts output to pairs touching at least one
+    new doc — the incremental wave pattern: wave N+1 checks only its new
+    docs against all history instead of recomputing every historic pair.
+    """
+    rows_per_band = n_perm // bands
     band_keys = F.array(
         *[
             F.md5(F.concat_ws("|", F.lit(bi), *[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]))
@@ -181,6 +201,15 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    if new_ids is not None:
+        # incremental: keep pairs with ≥1 new member (history×history
+        # pairs were emitted by earlier waves).  Two EQUI semi-joins + a
+        # pair-key dedup — an OR-predicate semi-join would plan as a
+        # nested-loop over every candidate
+        newk = new_ids.select(F.col(new_ids.columns[0])).distinct()
+        ka = cand.join(newk.withColumnRenamed(newk.columns[0], "id_a"), "id_a", "left_semi")
+        kb = cand.join(newk.withColumnRenamed(newk.columns[0], "id_b"), "id_b", "left_semi")
+        cand = ka.unionByName(kb).dropDuplicates(["id_a", "id_b"])
     sh = sig.select("doc_id", "shingles", "n_shingles")
     cand = cand.join(
         sh.select(
