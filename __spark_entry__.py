@@ -1274,6 +1274,52 @@ def q_adaptive_embedding(spark, sf_dir):
     )
 
 
+def _topic_text(k: int) -> str:
+    """Deterministic multi-topic document: 2-3 topic blocks whose sizes
+    vary with the key, so segment boundaries differ per doc."""
+    a = "spark shuffle partitions exchange tuning aggregation "
+    b = "bread yeast fermentation dough starter ovens "
+    c = "violin sonata tempo allegro crescendo strings "
+    na = 2 + k % 3
+    nb = 2 + (k // 3) % 3
+    nc = (k % 2) * 2
+    paras = [(a * 5).strip()] * na + [(b * 5).strip()] * nb + [(c * 5).strip()] * nc
+    return "\n\n".join(paras)
+
+
+def q_topic_chunking(spark, sf_dir):
+    """TopicSegmentationChunking analog (chunking_strategy.py:93-141;
+    TextTiling-lite — nltk absent, divergence documented like the
+    sentence chunker's): segments + per-segment keywords."""
+    from crawl4ai_spark.functions.chunking import topic_chunk_docs
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id")
+        .withColumn("doc_id", F.col("doc_id").cast("long"))
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "text": [_topic_text(int(k)) for k in pdf["doc_id"]]}
+            )
+
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    texts = docs.mapInPandas(
+        gen, T.StructType([T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())])
+    )
+    out = topic_chunk_docs(texts, w=10, k=4)
+    return out.select(
+        "doc_id", F.col("seg_idx").cast("long").alias("seg_idx"), "segment", "keywords"
+    )
+
+
 def q_image_psnr_invariant(spark, sf_dir):
     """input_hint invariant: decoded-pixel PSNR (≥40dB; ∞ for lossless
     PNG) + caption equality of the emitted payload vs the stored truth."""
@@ -1441,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_modes": q_cache_modes,
         "head_parse": q_head_parse,
         "sentence_chunking": q_sentence_chunking,
+        "topic_chunking": q_topic_chunking,
         "sitemap_expand": q_sitemap_expand,
         "url_relevance": q_url_relevance,
         "link_preview": q_link_preview,
@@ -2693,6 +2740,29 @@ WHERE p.p_partkey < 200
 """
 
 
+def _topic_chunking_fixture_sql() -> str:
+    """Pure-Python replay of the TextTiling-lite chunker over the same
+    deterministic per-key texts; JOIN documents so the row set tracks
+    the driver's sf."""
+    from crawl4ai_spark.functions.chunking import chunk_with_topics
+    from crawl4ai_spark.oracles import rows_values_sql
+
+    rows = []
+    for k in range(60):
+        for i, (seg, kws) in enumerate(chunk_with_topics(_topic_text(k), 3, 10, 4)):
+            rows.append((k, i, seg, " ".join(kws)))
+    inner = rows_values_sql(
+        rows,
+        [("doc_id", "BIGINT"), ("seg_idx", "BIGINT"), ("segment", "VARCHAR"),
+         ("keywords", "VARCHAR")],
+    )
+    return f"""
+SELECT f.doc_id, f.seg_idx, f.segment, f.keywords
+FROM ({inner}) f JOIN documents d ON d.doc_id = f.doc_id
+WHERE d.doc_id < 60
+"""
+
+
 def _adaptive_embedding_fixture_sql() -> str:
     """Expected fetch order / KB membership / final confidence from the
     sequential oracle transcription (oracles.embedding_digest_replay —
@@ -2979,6 +3049,7 @@ FROM first GROUP BY wave_id
         "cache_modes": _cache_modes_sql(),
         "head_parse": _head_parse_sql(),
         "sentence_chunking": _sentence_chunking_sql(),
+        "topic_chunking": _cached_fixture("topic_chunking", _topic_chunking_fixture_sql),
         "sitemap_expand": _sitemap_expand_sql(),
         "url_relevance": _cached_fixture("url_relevance", _url_relevance_fixture_sql),
         "link_preview": _link_preview_sql(),

@@ -236,3 +236,51 @@ def test_extract_page_query_bs4_semantics():
     q2 = extract_page_query(root2, root2.find("body"), None)
     assert "Real" not in q2
     assert "Header" in q2
+
+
+# ---------------------------------------------------------------------------
+# TopicSegmentationChunking analog (chunking_strategy.py:93-141)
+# ---------------------------------------------------------------------------
+
+
+def test_topic_segments_two_topics():
+    from crawl4ai_spark.functions.chunking import chunk_with_topics, topic_segments
+
+    text = "\n\n".join(
+        ["spark shuffle partitions exchange tuning " * 6] * 3
+        + ["bread yeast fermentation dough starter " * 6] * 3
+    )
+    segs = topic_segments(text, w=10, k=4)
+    assert len(segs) == 2
+    assert "spark" in segs[0] and "bread" not in segs[0]
+    assert "bread" in segs[1] and "spark" not in segs[1]
+    pairs = chunk_with_topics(text, num_keywords=3, w=10, k=4)
+    assert pairs[0][1][0] == "spark" and pairs[1][1][0] == "bread"
+
+
+def test_topic_segments_edges():
+    from crawl4ai_spark.functions.chunking import topic_keywords, topic_segments
+
+    assert topic_segments("") == []
+    assert topic_segments("   ") == []
+    assert topic_segments("single short paragraph") == ["single short paragraph"]
+    # single topic: no boundary found, text returned whole
+    one = "\n\n".join(["alpha beta gamma delta " * 8] * 4)
+    assert len(topic_segments(one, w=10, k=4)) == 1
+    # keywords: stopwords dropped, frequency order, tie = first occurrence
+    assert topic_keywords("the the the spark spark bread", 2) == ["spark", "bread"]
+
+
+def test_topic_chunk_docs_spark(spark):
+    from crawl4ai_spark.functions.chunking import chunk_with_topics, topic_chunk_docs
+
+    text = "\n\n".join(
+        ["spark shuffle partitions exchange tuning " * 6] * 2
+        + ["bread yeast fermentation dough starter " * 6] * 2
+    )
+    docs = spark.createDataFrame([(1, text), (2, "")], "doc_id long, text string")
+    rows = topic_chunk_docs(docs, w=10, k=4).orderBy("doc_id", "seg_idx").collect()
+    exp = chunk_with_topics(text, 3, 10, 4)
+    assert len(rows) == len(exp)  # empty doc contributes no rows
+    assert [r["segment"] for r in rows] == [s for s, _ in exp]
+    assert [r["keywords"] for r in rows] == [" ".join(k) for _, k in exp]
