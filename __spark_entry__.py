@@ -1274,6 +1274,39 @@ def q_adaptive_embedding(spark, sf_dir):
     )
 
 
+def _cc_fixture():
+    """Deterministic synthetic CC index: two crawls (latest first), one
+    record set; one page of the example.com glob 503s twice."""
+    from crawl4ai_spark.operators.cc_index import SyntheticCCIndex, cc_glob
+
+    urls = (
+        [f"https://www.example.com/p{i}" + (".html" if i % 2 == 0 else "") for i in range(37)]
+        + [f"https://docs.example.com/d{i}.html" for i in range(13)]
+        + [f"https://other.net/x{i}" + (".html" if i % 3 else ".php") for i in range(11)]
+    )
+    collinfo = [{"id": "CC-MAIN-2026-30"}, {"id": "CC-MAIN-2026-26"}]
+    fail = {("CC-MAIN-2026-30", cc_glob("example.com"), 1): 2}
+    server = SyntheticCCIndex(
+        collinfo, {"CC-MAIN-2026-30": urls}, page_size=7, fail503=fail
+    )
+    return server, ["example.com", "other.net"], "*.html"
+
+
+def q_cc_seed(spark, sf_dir):
+    """Common Crawl seeder with the paginated index-shard fetch shape
+    (async_url_seeder.py:810-864, 1744-1760): latest-index discovery,
+    per-page parallel fetch, (1,3,7) 503 retry ladder, reference
+    pattern filter on the streamed records."""
+    from crawl4ai_spark.operators.cc_index import cc_seed
+
+    server, domains, pattern = _cc_fixture()
+    out = cc_seed(spark, server, domains, pattern=pattern)
+    return out.select(
+        "domain", F.col("page").cast("long").alias("page"), "url",
+        F.col("attempts").cast("long").alias("attempts"),
+    )
+
+
 def _topic_text(k: int) -> str:
     """Deterministic multi-topic document: 2-3 topic blocks whose sizes
     vary with the key, so segment boundaries differ per doc."""
@@ -1458,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_bfs": q_crawl_bfs,
         "link_scores": q_link_scores,
         "seeder_filter": q_seeder_filter,
+        "cc_seed": q_cc_seed,
         "chunking": q_chunking,
         "cache_join": q_cache_join,
         "adaptive_term_stats": q_adaptive_term_stats,
@@ -2740,6 +2774,43 @@ WHERE p.p_partkey < 200
 """
 
 
+def _cc_seed_fixture_sql() -> str:
+    """Sequential replay of the paginated CC fetch over the same
+    synthetic index (pure driver-side Python — same cc_glob /
+    server.page / match_url code the executors run)."""
+    from crawl4ai_spark.operators.cc_index import (
+        CC_RETRY_DELAYS,
+        cc_glob,
+        latest_index,
+        match_url,
+    )
+    from crawl4ai_spark.oracles import rows_values_sql
+
+    server, domains, pattern = _cc_fixture()
+    idx = latest_index(server)
+    rows = []
+    for d in domains:
+        glob = cc_glob(d)
+        for p in range(server.num_pages(idx, glob)):
+            attempt = 0
+            while True:
+                try:
+                    urls = server.page(idx, glob, p, attempt)
+                    break
+                except Exception:
+                    if attempt >= len(CC_RETRY_DELAYS):
+                        raise
+                    attempt += 1
+            for u in urls:
+                if match_url(u, pattern):
+                    rows.append((d, p, u, attempt + 1))
+    return rows_values_sql(
+        rows,
+        [("domain", "VARCHAR"), ("page", "BIGINT"), ("url", "VARCHAR"),
+         ("attempts", "BIGINT")],
+    )
+
+
 def _topic_chunking_fixture_sql() -> str:
     """Pure-Python replay of the TextTiling-lite chunker over the same
     deterministic per-key texts; JOIN documents so the row set tracks
@@ -3050,6 +3121,7 @@ FROM first GROUP BY wave_id
         "head_parse": _head_parse_sql(),
         "sentence_chunking": _sentence_chunking_sql(),
         "topic_chunking": _cached_fixture("topic_chunking", _topic_chunking_fixture_sql),
+        "cc_seed": _cached_fixture("cc_seed", _cc_seed_fixture_sql),
         "sitemap_expand": _sitemap_expand_sql(),
         "url_relevance": _cached_fixture("url_relevance", _url_relevance_fixture_sql),
         "link_preview": _link_preview_sql(),
