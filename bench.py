@@ -181,6 +181,7 @@ ENTRY_QUERIES = [
     # is O(sum posting²) and the synthetic corpus's 30-word vocab makes
     # every shingle a stop-shingle; minhash_lsh_pairs IS its scale path
     "minhash_lsh_pairs",
+    "minhash_incremental",
     "simhash_pairs",  # recall geometry (h<=6, 8x8 bands)
     "simhash_pairs_scale",  # Manku 10^10 geometry (h<=3, 4x16 bands)
     "ann_topk",
@@ -199,6 +200,7 @@ ENTRY_QUERIES = [
     "sitemap_expand",
     "url_relevance",
     "link_preview",
+    "topic_chunking",
 ]
 
 

@@ -44,15 +44,30 @@ def test_corrupted_row_isolated(spark, images_df):
     assert all(v["ok"] for k, v in rows.items() if k != "broken")
 
 
-def test_jpeg_stub_gating(spark):
-    df = spark.createDataFrame(
-        [("j1", bytearray(b"\xff\xd8fakejpeg"), 32, 32, "jpeg", "cap", 0)],
-        multimodal.IMAGE_SCHEMA,
-    )
-    strict = multimodal.decode_and_validate(df, allow_stub=False).collect()[0]
-    assert not strict["ok"] and "NotImplementedError" in str(strict["error"]) or "decode" in str(strict["error"])
-    stubbed = multimodal.decode_and_validate(df, allow_stub=True).collect()[0]
-    assert stubbed["ok"]  # plumbing exercised via deterministic fake decode
+def test_jpeg_real_decode_and_webp_stub_gating(spark):
+    """Round 3: baseline JPEG decodes for REAL (jpeg.py); WebP (and
+    corrupt JPEG under allow_stub) still routes through the honest
+    stub path."""
+    from crawl4ai_spark.jpeg import decode_jpeg, encode_jpeg
+    from crawl4ai_spark.png import phash64
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    data = encode_jpeg(rgb, quality=92)
+    ph = phash64(decode_jpeg(data))  # lossy: stored phash = decoded phash
+    rows = [
+        ("j1", bytearray(data), 32, 32, "jpeg", "cap", ph),
+        ("w1", bytearray(b"RIFF....WEBPfake"), 32, 32, "webp", "cap", 0),
+        ("j2", bytearray(b"\xff\xd8truncated"), 32, 32, "jpeg", "cap", 0),
+    ]
+    df = spark.createDataFrame(rows, multimodal.IMAGE_SCHEMA)
+    strict = {r["image_id"]: r for r in multimodal.decode_and_validate(df, allow_stub=False).collect()}
+    assert strict["j1"]["ok"] and strict["j1"]["dims_match"] and strict["j1"]["phash_matches"]
+    assert not strict["w1"]["ok"] and "NotImplementedError" in str(strict["w1"]["error"]) or "codec" in str(strict["w1"]["error"])
+    assert not strict["j2"]["ok"]  # corrupt jpeg fails loudly, no silent fake
+    stubbed = {r["image_id"]: r for r in multimodal.decode_and_validate(df, allow_stub=True).collect()}
+    assert stubbed["w1"]["ok"]  # plumbing exercised via deterministic fake decode
+    assert stubbed["j1"]["ok"] and stubbed["j1"]["phash_matches"]  # real path unchanged
 
 
 def test_near_duplicate_images(spark):
