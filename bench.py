@@ -266,6 +266,9 @@ def main() -> None:
     import __spark_entry__ as em
 
     qmap = em.queries()
+    if os.environ.get("BENCH_SKIP_QUERIES"):
+        # scaling-pair runs need only the headline waves
+        ENTRY_QUERIES.clear()
     for name in ENTRY_QUERIES:
         t0 = time.time()
         # noop sink: materializes EVERY column (count() would let Catalyst
