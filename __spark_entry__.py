@@ -1353,6 +1353,42 @@ def q_topic_chunking(spark, sf_dir):
     )
 
 
+def q_cosine_clusters(spark, sf_dir):
+    """CosineStrategy (extraction_strategy.py:135-482): semantic block
+    clustering over the deterministic multi-topic pages — agglomerative
+    ward linkage on cosine distances, flat cut at max_dist, word-count
+    cluster filter.  Embedder = the deterministic hashing stand-in
+    (model runtime absent; tags stubbed empty, documented)."""
+    from crawl4ai_spark.operators.cosine_strategy import cosine_extract_pages
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"url": [str(int(k)) for k in pdf["doc_id"]],
+                 "html": [_topic_text(int(k)) for k in pdf["doc_id"]]}
+            )
+
+    from pyspark.sql import types as T
+
+    pages = docs.mapInPandas(
+        gen, T.StructType([T.StructField("url", T.StringType()), T.StructField("html", T.StringType())])
+    )
+    out = cosine_extract_pages(pages, max_dist=0.6, word_count_threshold=10)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("cluster_index").cast("long").alias("cluster_index"),
+        "content",
+    )
+
+
 def q_image_psnr_invariant(spark, sf_dir):
     """input_hint invariant: decoded-pixel PSNR (≥40dB; ∞ for lossless
     PNG) + caption equality of the emitted payload vs the stored truth."""
@@ -1522,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "head_parse": q_head_parse,
         "sentence_chunking": q_sentence_chunking,
         "topic_chunking": q_topic_chunking,
+        "cosine_clusters": q_cosine_clusters,
         "sitemap_expand": q_sitemap_expand,
         "url_relevance": q_url_relevance,
         "link_preview": q_link_preview,
@@ -2834,6 +2871,27 @@ WHERE d.doc_id < 60
 """
 
 
+def _cosine_clusters_fixture_sql() -> str:
+    """Pure-Python replay of the cosine clustering over the same
+    per-key texts; JOIN documents to track the driver's sf."""
+    from crawl4ai_spark.operators.cosine_strategy import cosine_extract
+    from crawl4ai_spark.oracles import rows_values_sql
+
+    rows = []
+    for k in range(60):
+        for c in cosine_extract(_topic_text(k), max_dist=0.6, word_count_threshold=10):
+            rows.append((k, c["index"], c["content"]))
+    inner = rows_values_sql(
+        rows,
+        [("doc_id", "BIGINT"), ("cluster_index", "BIGINT"), ("content", "VARCHAR")],
+    )
+    return f"""
+SELECT f.doc_id, f.cluster_index, f.content
+FROM ({inner}) f JOIN documents d ON d.doc_id = f.doc_id
+WHERE d.doc_id < 60
+"""
+
+
 def _adaptive_embedding_fixture_sql() -> str:
     """Expected fetch order / KB membership / final confidence from the
     sequential oracle transcription (oracles.embedding_digest_replay —
@@ -3122,6 +3180,7 @@ FROM first GROUP BY wave_id
         "sentence_chunking": _sentence_chunking_sql(),
         "topic_chunking": _cached_fixture("topic_chunking", _topic_chunking_fixture_sql),
         "cc_seed": _cached_fixture("cc_seed", _cc_seed_fixture_sql),
+        "cosine_clusters": _cached_fixture("cosine_clusters", _cosine_clusters_fixture_sql),
         "sitemap_expand": _sitemap_expand_sql(),
         "url_relevance": _cached_fixture("url_relevance", _url_relevance_fixture_sql),
         "link_preview": _link_preview_sql(),
