@@ -511,18 +511,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = payload[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            sof_comps = list(comps)  # color-space order (Y, Cb, Cr)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG type (SOF{marker - 0xC0}): baseline only")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS
             ns = payload[0]
+            scan_order = []
             for c in range(ns):
                 cid, tables = payload[1 + 2 * c : 3 + 2 * c]
                 for comp in comps:
                     if comp["id"] == cid:
                         comp["td"] = tables >> 4
                         comp["ta"] = tables & 0x0F
+                        scan_order.append(comp)
+            # interleaved MCU layout follows the SOS component order
+            # (T.81 B.2.3) — usually identical to SOF order, but not
+            # guaranteed by the format
+            if len(scan_order) == len(comps):
+                comps = scan_order
             scan_start = i + 2 + length
             scan, i = _split_entropy(data, scan_start)
             continue
@@ -595,8 +603,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         )
         # upsample to full image grid and crop
         plane = np.repeat(np.repeat(plane, Vmax // c["v"], axis=0), Hmax // c["h"], axis=1)
-        planes.append(plane[:h, :w])
-    y, cb, cr = planes[0], planes[1], planes[2]
+        c["plane"] = plane[:h, :w]
+        planes.append(c["plane"])
+    # color conversion reads the SOF (color-space) order even when the
+    # scan interleave order differed
+    y, cb, cr = (sc["plane"] for sc in sof_comps)
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)

@@ -92,15 +92,17 @@ class DedupState:
                 json.dump(self._geometry(), f)
 
     # -- updates -----------------------------------------------------------
-    def update_wave(
+    def wave_deltas(
         self,
         docs: DataFrame,
-        wave_id: int,
         text_col: str = "text",
         id_col: str = "doc_id",
-    ) -> dict:
-        """Compute + append signatures for docs whose ids are NOT already
-        in the state.  Returns {'new_docs': n} (0 ⇒ nothing written)."""
+    ) -> tuple[dict[str, DataFrame], int]:
+        """Signature deltas for docs whose ids are NOT already in the
+        state — ({table: delta_df}, n_new); ({}, 0) when nothing is new.
+        Callers either commit them via :meth:`update_wave` or merge them
+        into a larger snapshot commit (CrawlJob does the latter so the
+        crawl's manifest rename stays the single atomic commit point)."""
         known = self.known_ids()
         fresh = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
         if known is not None:
@@ -110,12 +112,23 @@ class DedupState:
         fresh = fresh.localCheckpoint(eager=True)
         n_new = fresh.count()
         if n_new == 0:
-            return {"new_docs": 0}
+            return {}, 0
         sigs = minhash_signature(fresh, self.n_perm, self.shingle_n)
         simh = simhash_table(fresh, include_empty=True)
-        self.catalog.commit_wave(
-            wave_id, appends={"minhash_sigs": sigs, "simhash": simh}
-        )
+        return {"minhash_sigs": sigs, "simhash": simh}, n_new
+
+    def update_wave(
+        self,
+        docs: DataFrame,
+        wave_id: int,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> dict:
+        """Compute + append signatures for docs whose ids are NOT already
+        in the state.  Returns {'new_docs': n} (0 ⇒ nothing written)."""
+        deltas, n_new = self.wave_deltas(docs, text_col, id_col)
+        if n_new:
+            self.catalog.commit_wave(wave_id, appends=deltas)
         return {"new_docs": n_new}
 
     def known_ids(self) -> DataFrame | None:

@@ -82,6 +82,10 @@ class JobConfig:
     fairness_waves: int = 10
     emit_images: bool = True
     emit_markdown: bool = False  # markdown/citations/fit_markdown table per wave
+    emit_doc_dedup: bool = False  # per-wave minhash/simhash signature deltas
+    dedup_n_perm: int = 16
+    dedup_bands: int = 4
+    dedup_shingle_n: int = 3
     durable_tmp: bool = False  # parquet (vs executor-local) intra-wave checkpoints
     markdown_fit_mode: str | None = None  # None | "pruning" | "bm25"
     markdown_query: str | None = None  # bm25 fit query
@@ -326,6 +330,16 @@ class CrawlJob:
         if cfg.emit_markdown:
             markdown_delta = self._emit_markdown(ok, wave_id)
 
+        # document-dedup state emit: signatures for THIS wave's pages
+        # only (anti-join inside wave_deltas), landing in the same
+        # snapshot commit — the training-data near-dup path grows
+        # append-only with the crawl (operators/dedup_state.py)
+        dedup_deltas: dict = {}
+        if cfg.emit_doc_dedup:
+            dedup_deltas, _ = self.doc_dedup_state().wave_deltas(
+                ok, text_col="html", id_col="url"
+            )
+
         # frontier expansion
         seen = self.catalog.read("seen", snap)
         blooms = self.catalog.read("bloom", snap) if cfg.use_bloom else None
@@ -388,6 +402,7 @@ class CrawlJob:
             appends["images"] = images_delta
         if markdown_delta is not None:
             appends["markdown"] = markdown_delta
+        appends.update(dedup_deltas)
         self.catalog.commit_wave(
             wave_id,
             state={"frontier": next_frontier, "host_state": new_host_state},
@@ -528,6 +543,25 @@ class CrawlJob:
 
     def markdown(self) -> DataFrame | None:
         return self.catalog.read("markdown")
+
+    def doc_dedup_state(self):
+        """The crawl's persisted document-dedup state (lazy; shares the
+        job's catalog so signature deltas ride the wave commits)."""
+        from .operators.dedup_state import DedupState
+
+        if not hasattr(self, "_doc_dedup_state"):
+            cfg = self.cfg
+            self._doc_dedup_state = DedupState(
+                self.catalog, n_perm=cfg.dedup_n_perm, bands=cfg.dedup_bands,
+                shingle_n=cfg.dedup_shingle_n,
+            )
+        return self._doc_dedup_state
+
+    def doc_dups(self, threshold: float = 0.5, new_ids: DataFrame | None = None) -> DataFrame:
+        """Near-duplicate page pairs from the persisted signatures
+        (requires emit_doc_dedup; pass ``new_ids`` for the incremental
+        latest-wave check)."""
+        return self.doc_dedup_state().minhash_pairs(threshold, new_ids=new_ids)
 
     def lineage(self) -> DataFrame:
         return self.catalog.lineage()

@@ -93,3 +93,36 @@ def test_geometry_guard(spark, tmp_path):
     # different geometry must refuse to mix signatures
     with pytest.raises(ValueError, match="geometry|built with"):
         DedupState(SnapshotCatalog(root, spark), n_perm=32, bands=8)
+
+
+def test_crawljob_emits_dedup_state(spark, tmp_path):
+    """emit_doc_dedup: signature deltas ride the wave commits; the
+    persisted state covers every fetched page (each signed exactly once)
+    and doc_dups() finds the deliberately duplicated page pair."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.traversal import canonical_corpus_fetcher
+    from crawl4ai_spark.pipeline import CrawlJob, JobConfig
+    from crawl4ai_spark.sources.corpus import generate_corpus, page_url
+
+    corpus = generate_corpus(seed=11, n_hosts=2, pages_per_host=8, with_images=False)
+    pages = spark.createDataFrame(corpus["pages"])
+    # make two distinct URLs carry IDENTICAL html (a true content dup)
+    src = pages.filter(F.col("url") == page_url(0, 3)).select("html").first()["html"]
+    pages = pages.withColumn(
+        "html", F.when(F.col("url") == page_url(1, 3), F.lit(src)).otherwise(F.col("html"))
+    )
+    cfg = JobConfig(max_depth=3, wave_budget=100.0, use_bloom=False,
+                    emit_images=False, emit_doc_dedup=True)
+    job = CrawlJob(spark, canonical_corpus_fetcher(pages), catalog_root=str(tmp_path / "cat"), config=cfg)
+    job.seed(spark.createDataFrame([(page_url(0, 0),), (page_url(1, 0),)], "url string"))
+    job.run(max_waves=6)
+
+    fetched = {r["url"] for r in job.results().filter("success").collect()}
+    st = job.doc_dedup_state()
+    signed = [r["doc_id"] for r in st.signatures().select("doc_id").collect()]
+    assert set(signed) == fetched
+    assert len(signed) == len(fetched)  # each page signed exactly once
+    pairs = {(r["id_a"], r["id_b"]) for r in job.doc_dups(threshold=0.9).collect()}
+    a, b = sorted([page_url(0, 3), page_url(1, 3)])
+    assert (a, b) in pairs
