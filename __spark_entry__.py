@@ -235,13 +235,21 @@ def q_minhash_incremental(spark, sf_dir):
     docs' signatures (no text rescan of history), then the incremental
     pair query returns near-dup pairs touching the new docs.  Oracle =
     the full LSH pair set filtered to pairs with a wave-2 member."""
+    import os as _os
+    import shutil
     import tempfile
 
     from crawl4ai_spark.operators.dedup_state import DedupState
     from crawl4ai_spark.sources.catalog import SnapshotCatalog
 
     aug = _docs_aug(_t(spark, sf_dir, "documents"))
-    root = tempfile.mkdtemp(prefix="dedup_state_")
+    _tmp_base = "/dev/shm" if _os.path.isdir("/dev/shm") else None
+    # clean up earlier invocations' state (bench/verify call repeatedly)
+    if _tmp_base:
+        for d in _os.listdir(_tmp_base):
+            if d.startswith("dedup_state_"):
+                shutil.rmtree(_os.path.join(_tmp_base, d), ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="dedup_state_", dir=_tmp_base)
     st = DedupState(SnapshotCatalog(root, spark), n_perm=16, bands=4, shingle_n=3)
     st.update_wave(aug.filter(F.col("doc_id") % 3 != 0), wave_id=1)
     st.update_wave(aug, wave_id=2)

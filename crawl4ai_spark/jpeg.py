@@ -250,13 +250,14 @@ def encode_jpeg(
     quality: int = 90,
     subsample: bool = False,
     restart_interval: int = 0,
+    grayscale: bool = False,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 array as baseline JFIF.
 
     ``subsample=False`` → 4:4:4; ``True`` → 4:2:0 (2×2 chroma average).
     ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs (real
     encoders use these for error resilience; exercised by the decoder's
-    restart path).
+    restart path).  ``grayscale`` emits a 1-component (Y-only) stream.
     """
     if rgb.dtype != np.uint8 or rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError("expected (h, w, 3) uint8")
@@ -264,6 +265,8 @@ def encode_jpeg(
     qy, qc = _quality_tables(quality)
     ycc = _rgb_to_ycbcr(rgb)
     yp, cbp, crp = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+    if grayscale:
+        subsample = False
     if subsample:
         H = V = 2
         yp = _pad_to(yp, 16)
@@ -333,8 +336,9 @@ def encode_jpeg(
         for by in range(V):
             for bx in range(H):
                 put_block(yzz[(my * V + by) * yw + mx * H + bx], 0, dc_y, ac_y)
-        put_block(cbzz[my * cw + mx], 1, dc_c, ac_c)
-        put_block(crzz[my * cw + mx], 2, dc_c, ac_c)
+        if not grayscale:
+            put_block(cbzz[my * cw + mx], 1, dc_c, ac_c)
+            put_block(crzz[my * cw + mx], 2, dc_c, ac_c)
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -347,21 +351,31 @@ def encode_jpeg(
         bits, vals = spec
         return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
 
-    sof = seg(
-        0xFFC0,
-        struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, (H << 4) | V, 0])  # Y
-        + bytes([2, 0x11, 1])          # Cb
-        + bytes([3, 0x11, 1]),         # Cr
-    )
-    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    if grayscale:
+        sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    else:
+        sof = seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + bytes([1, (H << 4) | V, 0])  # Y
+            + bytes([2, 0x11, 1])          # Cb
+            + bytes([3, 0x11, 1]),         # Cr
+        )
+        sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    chroma = b"" if grayscale else (
+        dqt(1, qc) + b""
+    )
+    chroma_dht = b"" if grayscale else (
+        dht(0, 1, DC_CHROMA_SPEC) + dht(1, 1, AC_CHROMA_SPEC)
+    )
     return (
-        b"\xff\xd8" + app0 + dqt(0, qy) + dqt(1, qc) + dri
+        b"\xff\xd8" + app0 + dqt(0, qy) + chroma + dri
         + sof
         + dht(0, 0, DC_LUMA_SPEC) + dht(1, 0, AC_LUMA_SPEC)
-        + dht(0, 1, DC_CHROMA_SPEC) + dht(1, 1, AC_CHROMA_SPEC)
+        + chroma_dht
         + sos + bytes(bw.out) + b"\xff\xd9"
     )
 
@@ -459,7 +473,20 @@ def _split_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline JFIF bytes → (h, w, 3) uint8."""
+    """Decode baseline JFIF bytes (3-component color or 1-component
+    grayscale) → (h, w, 3) uint8.  Every malformed-input failure mode
+    surfaces as ValueError (the decode_rgb stub-gating contract)."""
+    try:
+        return _decode_jpeg(data)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, struct.error) as e:
+        # truncated markers / missing tables / cut segments — normalize
+        # to the single documented error type
+        raise ValueError(f"corrupt JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qtabs: dict[int, np.ndarray] = {}
@@ -473,10 +500,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[i] != 0xFF:
             i += 1
             continue
+        # optional 0xFF fill bytes before a marker (T.81 B.1.1.2)
+        while i + 1 < len(data) and data[i + 1] == 0xFF:
+            i += 1
         marker = data[i + 1]
         if marker == 0xD9:  # EOI
             break
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+        if marker in (0x00, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
         (length,) = struct.unpack(">H", data[i + 2 : i + 4])
@@ -507,11 +537,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported component count: {nc} (CMYK?)")
             comps = []
             for c in range(nc):
                 cid, hv, tq = payload[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            sof_comps = list(comps)  # color-space order (Y, Cb, Cr)
+            sof_comps = list(comps)  # color-space order (Y[, Cb, Cr])
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG type (SOF{marker - 0xC0}): baseline only")
         elif marker == 0xDD:  # DRI
@@ -528,9 +560,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         scan_order.append(comp)
             # interleaved MCU layout follows the SOS component order
             # (T.81 B.2.3) — usually identical to SOF order, but not
-            # guaranteed by the format
-            if len(scan_order) == len(comps):
-                comps = scan_order
+            # guaranteed by the format.  Multi-scan non-interleaved
+            # streams (ns < nc) are outside the baseline subset.
+            if len(scan_order) != len(comps):
+                raise ValueError("non-interleaved multi-scan JPEG unsupported")
+            comps = scan_order
             scan_start = i + 2 + length
             scan, i = _split_entropy(data, scan_start)
             continue
@@ -607,6 +641,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         planes.append(c["plane"])
     # color conversion reads the SOF (color-space) order even when the
     # scan interleave order differed
+    if len(sof_comps) == 1:  # grayscale: Y replicated to RGB
+        y = sof_comps[0]["plane"]
+        return np.clip(np.round(np.stack([y, y, y], axis=-1)), 0, 255).astype(np.uint8)
     y, cb, cr = (sc["plane"] for sc in sof_comps)
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

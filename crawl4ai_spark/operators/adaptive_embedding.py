@@ -52,9 +52,24 @@ import zlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import cosine_expr
+from .similarity import cosine_expr as _raw_cosine_expr
 
 EMBED_DIM = 12
+
+
+def _safe_cos(a: Column, b: Column) -> Column:
+    """Cosine with a zero-norm guard: 0.0 instead of NaN (0.0/0.0).
+    Without it a single all-zero embedding — hash_embed of whitespace-
+    only text — poisons every F.max (NaN sorts above all doubles in
+    Spark), silently rejecting all later KB batches and NaN-ing the
+    confidence.  The oracle's _emb_cos mirrors the same guard."""
+    from pyspark.sql import functions as _F
+
+    return _F.nanvl(_raw_cosine_expr(a, b), _F.lit(0.0))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:  # noqa: F811 — guarded twin
+    return _safe_cos(a, b)
 
 
 def hash_embed(text: str, dim: int = EMBED_DIM) -> list[float]:
@@ -298,33 +313,36 @@ def embedding_digest(
             kb_rows, "url string, embedding array<double>"
         ).coalesce(1)
 
+    crawled_set: set[str] = set()
+
     def crawl_batch(urls: list[str]) -> None:
         batch = fetch_text_fn(urls)
         fetched = {r["url"]: r for r in batch.collect()}
         # preserve request order (the reference crawls sequentially)
-        texts, links = [], []
+        embedded, links = [], []
         for u in urls:
             r = fetched.get(u)
             if r is None:
                 continue
             crawled.append(u)
+            crawled_set.add(u)
             content = (r["text"] or "")[:5000]  # :1222 text cap
             if content:
-                texts.append((u, content))
+                embedded.append((u, embed_fn(content)))
             for ln in r["links"] or []:
-                if ln["href"] not in set(crawled) and ln["href"] not in pending:
+                if ln["href"] not in crawled_set and ln["href"] not in pending:
                     pending[ln["href"]] = (ln["text"], ln["title"], order_counter[0])
                     order_counter[0] += 1
-        if not texts:
+        if not embedded:
             return
         new_df = spark.createDataFrame(
-            [(u, embed_fn(t)) for u, t in texts], "url string, embedding array<double>"
+            embedded, "url string, embedding array<double>"
         ).coalesce(1)
         kept = kb_dedup_batch(kb_df(), new_df, threshold=kb_sim_threshold)
         kept_urls = {r["url"] for r in kept.select("url").collect()}
-        for u, t in texts:  # append in fetch order (driver-deterministic)
+        for u, emb in embedded:  # append in fetch order (driver-deterministic)
             if u in kept_urls:
-                kb_rows.append((u, embed_fn(t)))
+                kb_rows.append((u, emb))
 
     train_emb = [embed_fn(q) for q in train_q]
 
@@ -378,6 +396,7 @@ def embedding_digest(
             break
         if len(crawled) >= max_pages or not pending:
             break
+        crawled_snapshot = crawled_set  # one lookup set per wave
         history.append(conf)
         if len(history) >= 2:
             diffs = list(zip(history[:-1], history[1:]))
@@ -394,7 +413,7 @@ def embedding_digest(
         uncrawled = [
             (href, t, ti, o)
             for href, (t, ti, o) in pending.items()
-            if href not in set(crawled)
+            if href not in crawled_snapshot
         ]
         if not uncrawled:
             break
@@ -429,7 +448,7 @@ def embedding_digest(
             break
         if top[0]["score"] < min_gain_threshold:
             break
-        to_crawl = [r["href"] for r in top if r["href"] not in set(crawled)]
+        to_crawl = [r["href"] for r in top if r["href"] not in crawled_snapshot]
         if not to_crawl:
             break
         for h in to_crawl:

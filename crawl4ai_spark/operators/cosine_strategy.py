@@ -72,7 +72,14 @@ def filter_documents_embeddings(
     at_least_k: int = 20,
 ) -> list[str]:
     """Pre-filter transcription (:243-296): threshold keep in document
-    order, similarity-sorted backfill, hard cap at ``at_least_k``."""
+    order, similarity-sorted backfill, hard cap at ``at_least_k``.
+
+    Pinned reference QUIRK: for fewer than ``at_least_k`` documents the
+    cap becomes ``len(documents) // 2`` — a ONE-chunk page therefore
+    returns [] whenever a semantic_filter is set, no matter how relevant
+    the chunk (the reference's own :252-253 + :294 do exactly this).
+    Callers that need tiny pages clustered should pass
+    ``semantic_filter=None``."""
     if not semantic_filter:
         return documents
     if len(documents) < at_least_k:

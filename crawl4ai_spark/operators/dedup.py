@@ -135,9 +135,13 @@ def merge_blooms(blooms: DataFrame) -> DataFrame:
                 "bloom_part": [key[0]],
                 "bits": [acc.tobytes()],
                 "n_items": [int(pdf["n_items"].sum())],
-                "fmt_version": [int(pdf["fmt_version"].min())],
-                # a NULL or mixed geometry collapses to -1 so the version
-                # check rejects it (pandas min would skip NaN and hide it)
+                # NULL-poisoning everywhere: a shard set mixing
+                # pre-version (NULL) deltas with current ones must NOT
+                # merge into a "current" stamp (pandas min skips NaN) —
+                # -1 fails bloom_version_ok, forcing the rebuild
+                "fmt_version": [
+                    -1 if pdf["fmt_version"].isna().any() else int(pdf["fmt_version"].min())
+                ],
                 "n_partitions": [_merged_geom(pdf["n_partitions"])],
                 "m_bits": [_merged_geom(pdf["m_bits"])],
             }

@@ -77,19 +77,34 @@ class DedupState:
     def _check_geometry(self) -> None:
         """Signatures from a different (n_perm, bands, shingle_n) are NOT
         comparable — mixing them silently loses pairs.  Same failure
-        class as the bloom geometry guard; reject loudly on resume."""
+        class as the bloom geometry guard; reject loudly on resume.
+
+        The stamp is only BINDING while signatures actually exist: a
+        mismatching (or corrupt) geometry file over an empty state is
+        overwritten, so merely constructing a DedupState (CrawlJob does
+        lazily) never locks an empty catalog to its parameters."""
         if os.path.exists(self._geom_path):
-            with open(self._geom_path) as f:
-                stored = json.load(f)
+            try:
+                with open(self._geom_path) as f:
+                    stored = json.load(f)
+            except (ValueError, OSError):
+                stored = None  # torn write — rebindable below
             if stored != self._geometry():
-                raise ValueError(
-                    f"dedup state at {self.catalog.root} was built with "
-                    f"{stored}, requested {self._geometry()}; rebuild the "
-                    "state (delete the catalog) or match the parameters"
-                )
+                if self.catalog.read("minhash_sigs") is not None:
+                    raise ValueError(
+                        f"dedup state at {self.catalog.root} was built with "
+                        f"{stored}, requested {self._geometry()}; rebuild the "
+                        "state (delete the catalog) or match the parameters"
+                    )
+                self._write_geometry()
         else:
-            with open(self._geom_path, "w") as f:
-                json.dump(self._geometry(), f)
+            self._write_geometry()
+
+    def _write_geometry(self) -> None:
+        tmp = self._geom_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._geometry(), f)
+        os.replace(tmp, self._geom_path)  # atomic, like the manifest
 
     # -- updates -----------------------------------------------------------
     def wave_deltas(

@@ -701,6 +701,8 @@ def _emb_cos(a: list[float], b: list[float]) -> float:
     nb = 0.0
     for y in b:
         nb += y * y
+    if na == 0.0 or nb == 0.0:
+        return 0.0  # zero-norm guard — mirrors adaptive_embedding._safe_cos
     return dot / (math.sqrt(na) * math.sqrt(nb))
 
 

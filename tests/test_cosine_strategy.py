@@ -90,3 +90,14 @@ def test_cosine_extract_pages_spark(spark):
     assert [(r["url"], r["cluster_index"], r["content"]) for r in rows] == [
         ("u1", c["index"], c["content"]) for c in exp
     ]
+
+
+def test_filter_single_chunk_quirk_pinned():
+    """Reference :252-253/:294: <at_least_k docs → cap = len//2, so a
+    1-chunk page with a semantic_filter yields [] even on a perfect
+    match (pinned, documented in the docstring)."""
+    assert filter_documents_embeddings(["spark spark"], hash_embed, "spark") == []
+    out = cosine_extract("spark " * 20, semantic_filter="spark", word_count_threshold=5)
+    assert out == []
+    # without a filter the same page clusters normally
+    assert cosine_extract("spark " * 20, word_count_threshold=5)

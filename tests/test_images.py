@@ -63,7 +63,8 @@ def test_jpeg_real_decode_and_webp_stub_gating(spark):
     df = spark.createDataFrame(rows, multimodal.IMAGE_SCHEMA)
     strict = {r["image_id"]: r for r in multimodal.decode_and_validate(df, allow_stub=False).collect()}
     assert strict["j1"]["ok"] and strict["j1"]["dims_match"] and strict["j1"]["phash_matches"]
-    assert not strict["w1"]["ok"] and "NotImplementedError" in str(strict["w1"]["error"]) or "codec" in str(strict["w1"]["error"])
+    assert not strict["w1"]["ok"]
+    assert "NotImplementedError" in str(strict["w1"]["error"]) or "codec" in str(strict["w1"]["error"])
     assert not strict["j2"]["ok"]  # corrupt jpeg fails loudly, no silent fake
     stubbed = {r["image_id"]: r for r in multimodal.decode_and_validate(df, allow_stub=True).collect()}
     assert stubbed["w1"]["ok"]  # plumbing exercised via deterministic fake decode
