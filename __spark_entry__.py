@@ -1420,14 +1420,20 @@ def _jpeg_rgb(k: int):
     h = 16 + (k % 2) * 8
     w = 24 + (k % 3) * 8
     yy, xx = np.mgrid[0:h, 0:w]
-    img = np.stack(
-        [
-            128 + 90 * np.sin(xx / (5 + k % 7)) * np.cos(yy / (7 + k % 5)),
-            128 + 70 * np.cos(xx / 9 + k),
-            128 + 60 * np.sin((xx + yy) / (11 + k % 3)),
-        ],
-        axis=-1,
-    )
+    if k % 7 == 3:
+        # grayscale source rows (encoded 1-component below): equal
+        # channels keep the PSNR-vs-source invariant meaningful
+        g = 128 + 90 * np.sin(xx / (5 + k % 5)) * np.cos(yy / (7 + k % 3))
+        img = np.stack([g, g, g], axis=-1)
+    else:
+        img = np.stack(
+            [
+                128 + 90 * np.sin(xx / (5 + k % 7)) * np.cos(yy / (7 + k % 5)),
+                128 + 70 * np.cos(xx / 9 + k),
+                128 + 60 * np.sin((xx + yy) / (11 + k % 3)),
+            ],
+            axis=-1,
+        )
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
@@ -1465,7 +1471,8 @@ def _gen_jpeg_images(spark, sf_dir, n: int = 200, png_twin: bool = False) -> Dat
                     )
                     continue
                 data = encode_jpeg(
-                    rgb, quality=92, restart_interval=2 if k % 5 == 0 else 0
+                    rgb, quality=92, restart_interval=2 if k % 5 == 0 else 0,
+                    grayscale=(k % 7 == 3),  # some real corpora rows are gray
                 )
                 rows.append(
                     (str(k), data, rgb.shape[1], rgb.shape[0], "jpeg",
@@ -2781,7 +2788,10 @@ def _gen_jpeg_expected(n: int = 200) -> list[tuple[str, int, int]]:
     out = []
     for k in range(n):
         rgb = _jpeg_rgb(k)
-        data = encode_jpeg(rgb, quality=92, restart_interval=2 if k % 5 == 0 else 0)
+        data = encode_jpeg(
+            rgb, quality=92, restart_interval=2 if k % 5 == 0 else 0,
+            grayscale=(k % 7 == 3),
+        )
         dec = decode_jpeg(data)
         out.append((str(k), phash64(dec), int(round(psnr(dec, rgb) * 100))))
     _JPEG_EXPECTED_CACHE = out
