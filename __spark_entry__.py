@@ -1300,6 +1300,74 @@ def _cc_fixture():
     return server, ["example.com", "other.net"], "*.html"
 
 
+_PROXY_POOL = ["10.0.0.1:8080:u1:p1", "10.0.0.2:8080", "10.0.0.3:3128:u3:p3"]
+
+
+def q_proxy_rotation(spark, sf_dir):
+    """Proxy pool assignment (proxy_strategy.py:48-67, 190-260):
+    round-robin by deterministic queue rank and sticky-by-host, plus the
+    ProxyConfig.from_string parse fields.  Sticky uses murmur3 (no
+    DuckDB twin) so the oracle checks it via the md5-portable session
+    index emitted alongside — BOTH columns come from the operator's own
+    pool-element helper."""
+    from crawl4ai_spark.operators.proxy import assign_proxies, parse_proxy_string
+
+    ev = _event_urls(_t(spark, sf_dir, "events")).dropDuplicates(["url"])
+    ranked = global_sequence(ev, [F.col("url").asc()], "rank0")
+    rr = assign_proxies(ranked, [parse_proxy_string(p)["server"] for p in _PROXY_POOL],
+                        mode="round_robin", rank_col="rank0")
+    parsed = parse_proxy_string(_PROXY_POOL[0])
+    return rr.select(
+        "url",
+        F.col("rank0").cast("long").alias("rank0"),
+        F.col("proxy_server").alias("rr_proxy"),
+        F.lit(parsed["server"]).alias("p0_server"),
+        F.lit(parsed["username"]).alias("p0_user"),
+        F.lit(parsed["ip"]).alias("p0_ip"),
+    )
+
+
+def q_kb_export_roundtrip(spark, sf_dir):
+    """Knowledge-base JSONL export/import round-trip
+    (adaptive_crawler.py:1761-1875): write the export-shaped records as
+    JSONL, read them back with the import schema, return the round-
+    tripped rows — values must equal the source exactly."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from crawl4ai_spark.operators.adaptive import (
+        export_knowledge_base,
+        import_knowledge_base,
+    )
+
+    d = F.col("doc_id")
+    kb = _t(spark, sf_dir, "documents").filter(d < 200).select(
+        F.concat(F.lit("https://kb.test/doc"), d.cast("string")).alias("url"),
+        F.lit("2026-01-01T00:00:00").alias("timestamp"),
+        F.lit(True).alias("success"),
+        F.lit("spark joins").alias("query"),
+        F.substring(F.col("text"), 1, 80).alias("content"),
+        d.cast("int").alias("crawl_order"),
+        (F.round(d * 0.001, 3)).cast("double").alias("confidence_at_crawl"),
+        F.lit(200).cast("int").alias("total_documents"),
+    )
+    _tmp_base = "/dev/shm" if _os.path.isdir("/dev/shm") else None
+    if _tmp_base:
+        for x in _os.listdir(_tmp_base):
+            if x.startswith("kb_export_"):
+                shutil.rmtree(_os.path.join(_tmp_base, x), ignore_errors=True)
+    path = tempfile.mkdtemp(prefix="kb_export_", dir=_tmp_base)
+    export_knowledge_base(kb, path)
+    back = import_knowledge_base(spark, path)
+    return back.select(
+        "url", "timestamp", "success", "query", "content",
+        F.col("crawl_order").cast("long").alias("crawl_order"),
+        _e6(F.col("confidence_at_crawl")).alias("confidence_e6"),
+        F.col("total_documents").cast("long").alias("total_documents"),
+    )
+
+
 def q_cc_seed(spark, sf_dir):
     """Common Crawl seeder with the paginated index-shard fetch shape
     (async_url_seeder.py:810-864, 1744-1760): latest-index discovery,
@@ -1543,6 +1611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_scores": q_link_scores,
         "seeder_filter": q_seeder_filter,
         "cc_seed": q_cc_seed,
+        "proxy_rotation": q_proxy_rotation,
+        "kb_export_roundtrip": q_kb_export_roundtrip,
         "chunking": q_chunking,
         "cache_join": q_cache_join,
         "adaptive_term_stats": q_adaptive_term_stats,
@@ -2829,6 +2899,33 @@ WHERE p.p_partkey < 200
 """
 
 
+def _proxy_rotation_sql() -> str:
+    return f"""
+WITH {_EV_SQL},
+u AS (SELECT DISTINCT url FROM ev),
+r AS (SELECT url, ROW_NUMBER() OVER (ORDER BY url) - 1 AS rank0 FROM u)
+SELECT url, CAST(rank0 AS BIGINT) AS rank0,
+  CASE CAST(rank0 % 3 AS INT)
+    WHEN 0 THEN 'http://10.0.0.1:8080'
+    WHEN 1 THEN 'http://10.0.0.2:8080'
+    ELSE 'http://10.0.0.3:3128' END AS rr_proxy,
+  'http://10.0.0.1:8080' AS p0_server, 'u1' AS p0_user, '10.0.0.1' AS p0_ip
+FROM r
+"""
+
+
+def _kb_export_roundtrip_sql() -> str:
+    return """
+SELECT 'https://kb.test/doc' || CAST(doc_id AS VARCHAR) AS url,
+  '2026-01-01T00:00:00' AS timestamp, TRUE AS success,
+  'spark joins' AS query, substr(text, 1, 80) AS content,
+  CAST(doc_id AS BIGINT) AS crawl_order,
+  CAST(round(round(doc_id * 0.001, 3) * 1000000) AS BIGINT) AS confidence_e6,
+  CAST(200 AS BIGINT) AS total_documents
+FROM documents WHERE doc_id < 200
+"""
+
+
 def _cc_seed_fixture_sql() -> str:
     """Sequential replay of the paginated CC fetch over the same
     synthetic index (pure driver-side Python — same cc_glob /
@@ -3198,6 +3295,8 @@ FROM first GROUP BY wave_id
         "sentence_chunking": _sentence_chunking_sql(),
         "topic_chunking": _cached_fixture("topic_chunking", _topic_chunking_fixture_sql),
         "cc_seed": _cached_fixture("cc_seed", _cc_seed_fixture_sql),
+        "proxy_rotation": _proxy_rotation_sql(),
+        "kb_export_roundtrip": _kb_export_roundtrip_sql(),
         "cosine_clusters": _cached_fixture("cosine_clusters", _cosine_clusters_fixture_sql),
         "sitemap_expand": _sitemap_expand_sql(),
         "url_relevance": _cached_fixture("url_relevance", _url_relevance_fixture_sql),

@@ -97,6 +97,12 @@ def global_sequence(df: DataFrame, order_cols: list, out_col: str = "result_seq"
     d = df.repartitionByRange(n, *order_cols).withColumn("_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     d = d.withColumn("_lrn", F.row_number().over(w))
+    # pin BEFORE the counts collect: the offsets job and the output job
+    # must see the SAME range boundaries — repartitionByRange samples its
+    # input, and a nondeterministic upstream (any shuffle, e.g.
+    # dropDuplicates) can shift boundaries between the two evaluations,
+    # yielding duplicate/holey sequence numbers
+    d = d.localCheckpoint(eager=True)
     counts = {r["_pid"]: r["c"] for r in d.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
     if not counts:
         return d.withColumn(out_col, F.lit(0).cast("long")).drop("_pid", "_lrn")
