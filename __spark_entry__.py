@@ -590,6 +590,27 @@ def q_crawl_bfs(spark, sf_dir):
     )
 
 
+def q_crawl_bfs_stream(spark, sf_dir):
+    """BFS STREAM-mode visited timing (bfs_strategy.py:257 — URLs enter
+    the seen set at CRAWL time, not at discovery): same site as
+    crawl_bfs, different dedup timing, different result set."""
+    from crawl4ai_spark.operators.traversal import CrawlConfig, CrawlEngine, corpus_fetcher
+    from crawl4ai_spark.sources.corpus import generate_corpus, page_url
+
+    corpus = generate_corpus(seed=42, n_hosts=3, pages_per_host=14, with_images=False)
+    pages = spark.createDataFrame(corpus["pages"])
+    engine = CrawlEngine(spark, corpus_fetcher(pages), CrawlConfig(max_depth=2))
+    run = engine.crawl_bfs(page_url(0, 0), stream_visited=True)
+    return run.results.select(
+        "url",
+        F.col("depth").cast("long").alias("depth"),
+        "parent_url",
+        F.col("wave_id").cast("long").alias("wave_id"),
+        "result_seq",
+        "success",
+    )
+
+
 def _link_rows(part: DataFrame) -> DataFrame:
     """Synthesized edges table over part: every attribute family the link
     scorer reads, driven by deterministic key arithmetic."""
@@ -1608,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pipeline": q_image_pipeline,
         "image_near_dup": q_image_near_dup,
         "crawl_bfs": q_crawl_bfs,
+        "crawl_bfs_stream": q_crawl_bfs_stream,
         "link_scores": q_link_scores,
         "seeder_filter": q_seeder_filter,
         "cc_seed": q_cc_seed,
@@ -1645,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_chunking": q_topic_chunking,
         "cosine_clusters": q_cosine_clusters,
         "sitemap_expand": q_sitemap_expand,
+        "seed_pipeline": q_seed_pipeline,
         "url_relevance": q_url_relevance,
         "link_preview": q_link_preview,
     }
@@ -2547,13 +2570,9 @@ FROM cu
 """
 
 
-def q_sitemap_expand(spark, sf_dir):
-    """Sitemap-index recursion (async_url_seeder.py:866-1258): per nation
-    host, an index of two sub-sitemaps, each listing five pages (one sub
-    gzipped, relative locs, lastmod) — iterative DataFrame-union
-    expansion against the synthesized store."""
-    from crawl4ai_spark.operators.sitemap import expand_sitemaps
-
+def _sitemap_store(spark, sf_dir):
+    """(store, idx_seeds): the synthesized per-nation sitemap world —
+    index of two sub-sitemaps per host, one gzipped, relative locs."""
     n = _t(spark, sf_dir, "nation")
     host = F.concat(F.lit("h"), F.col("n_nationkey").cast("string"), F.lit(".example.com"))
     idx_url = F.concat(F.lit("https://"), host, F.lit("/sitemap.xml"))
@@ -2586,9 +2605,53 @@ def q_sitemap_expand(spark, sf_dir):
         F.lit(bytearray(gz_payload)).alias("content"),
     )
     store = idx.unionByName(sub0).unionByName(sub1)
-    seeds = idx.select("sitemap_url")
+    return store, idx.select("sitemap_url")
+
+
+def q_sitemap_expand(spark, sf_dir):
+    """Sitemap-index recursion (async_url_seeder.py:866-1258): per nation
+    host, an index of two sub-sitemaps, each listing five pages (one sub
+    gzipped, relative locs, lastmod) — iterative DataFrame-union
+    expansion against the synthesized store."""
+    from crawl4ai_spark.operators.sitemap import expand_sitemaps
+
+    store, seeds = _sitemap_store(spark, sf_dir)
     out = expand_sitemaps(spark, seeds, store)
     return out.select("url", "source_sitemap", "lastmod")
+
+
+def q_seed_pipeline(spark, sf_dir):
+    """The COMPLETE AsyncUrlSeeder.urls() composition
+    (async_url_seeder.py:364-549): robots-driven sitemap discovery →
+    index expansion → pattern/nonsense filters → cross-source dedup →
+    collective min-max-normalized BM25 over head texts → sort + cut.
+    Every stage was already oracled separately; this row oracles the
+    COMPOSITION end-to-end."""
+    from crawl4ai_spark.operators.seeder import seed_pipeline
+
+    store, _ = _sitemap_store(spark, sf_dir)
+    n = _t(spark, sf_dir, "nation")
+    host = F.concat(F.lit("h"), F.col("n_nationkey").cast("string"), F.lit(".example.com"))
+    robots = n.select(host.alias("host"), F.lit("").alias("rules"))
+    # deterministic head text per expanded page: two on-query flavors +
+    # one off-topic, keyed by (nation, sub, j)
+    subs = spark.range(2).select(F.col("id").cast("int").alias("sub"))
+    js = spark.range(5).select(F.col("id").cast("int").alias("j"))
+    pages = n.select("n_nationkey").crossJoin(subs).crossJoin(js)
+    mix = (F.col("n_nationkey") + F.col("sub") + F.col("j")) % 3
+    heads = pages.select(
+        F.concat(F.lit("https://"), F.lit("h"), F.col("n_nationkey").cast("string"),
+                 F.lit(".example.com/p"), F.col("sub").cast("string"),
+                 F.col("j").cast("string")).alias("url"),
+        F.when(mix == 0, F.lit("spark joins guide windows"))
+        .when(mix == 1, F.lit("spark performance tuning notes"))
+        .otherwise(F.lit("bread baking oven dough")).alias("head_text"),
+    )
+    out = seed_pipeline(
+        spark, robots, store, pattern="*", query="spark joins",
+        head_texts=heads, max_urls=120,
+    )
+    return out.select("url", _e6(F.col("relevance_score")).alias("relevance_e6"))
 
 
 def _sitemap_expand_sql() -> str:
@@ -2602,6 +2665,37 @@ SELECT
   'https://' || host || '/sm/' || CAST(sub AS VARCHAR) || CASE WHEN sub = 1 THEN '.xml.gz' ELSE '.xml' END AS source_sitemap,
   NULL AS lastmod
 FROM pages
+"""
+
+
+def _seed_pipeline_sql() -> str:
+    from crawl4ai_spark.operators.bm25 import bm25_sql
+
+    inner = bm25_sql(["spark", "joins"], relation="heads")
+    return f"""
+WITH hosts AS (SELECT n_nationkey AS nk, 'h' || CAST(n_nationkey AS VARCHAR) || '.example.com' AS host FROM nation),
+su AS (SELECT 0 AS sub UNION ALL SELECT 1),
+jj AS (SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4),
+pages AS (SELECT nk, host, sub, j FROM hosts, su, jj),
+heads AS (
+  SELECT 'https://' || host || '/p' || CAST(sub AS VARCHAR) || CAST(j AS VARCHAR) AS doc_id,
+    CASE CAST((nk + sub + j) % 3 AS INT)
+      WHEN 0 THEN 'spark joins guide windows'
+      WHEN 1 THEN 'spark performance tuning notes'
+      ELSE 'bread baking oven dough' END AS text
+  FROM pages
+),
+bm AS (SELECT * FROM ({inner})),
+norm AS (
+  SELECT doc_id AS url,
+    CASE WHEN max(bm25) OVER () - min(bm25) OVER () < 1e-12 THEN 0.5
+         ELSE (bm25 - min(bm25) OVER ()) / (max(bm25) OVER () - min(bm25) OVER ())
+    END AS rel
+  FROM bm
+),
+ranked AS (SELECT url, rel, row_number() OVER (ORDER BY rel DESC, url ASC) AS rn FROM norm)
+SELECT url, CAST(round(rel * 1000000) AS BIGINT) AS relevance_e6
+FROM ranked WHERE rn <= 120
 """
 
 
@@ -2776,6 +2870,21 @@ def _crawl_bfs_fixture_sql() -> str:
 
     corpus = generate_corpus(seed=42, n_hosts=3, pages_per_host=14, with_images=False)
     rows, _ = bfs_rows(page_url(0, 0), corpus_fetch_fn(corpus), max_depth=2)
+    return rows_values_sql(
+        rows,
+        [("url", "VARCHAR"), ("depth", "BIGINT"), ("parent_url", "VARCHAR"),
+         ("wave_id", "BIGINT"), ("result_seq", "BIGINT"), ("success", "BOOLEAN")],
+    )
+
+
+def _crawl_bfs_stream_fixture_sql() -> str:
+    from crawl4ai_spark.oracles import bfs_rows, corpus_fetch_fn, rows_values_sql
+    from crawl4ai_spark.sources.corpus import generate_corpus, page_url
+
+    corpus = generate_corpus(seed=42, n_hosts=3, pages_per_host=14, with_images=False)
+    rows, _ = bfs_rows(
+        page_url(0, 0), corpus_fetch_fn(corpus), max_depth=2, stream_visited=True
+    )
     return rows_values_sql(
         rows,
         [("url", "VARCHAR"), ("depth", "BIGINT"), ("parent_url", "VARCHAR"),
@@ -3299,9 +3408,11 @@ FROM first GROUP BY wave_id
         "kb_export_roundtrip": _kb_export_roundtrip_sql(),
         "cosine_clusters": _cached_fixture("cosine_clusters", _cosine_clusters_fixture_sql),
         "sitemap_expand": _sitemap_expand_sql(),
+        "seed_pipeline": _seed_pipeline_sql(),
         "url_relevance": _cached_fixture("url_relevance", _url_relevance_fixture_sql),
         "link_preview": _link_preview_sql(),
         "crawl_bfs": _cached_fixture("crawl_bfs", _crawl_bfs_fixture_sql),
+        "crawl_bfs_stream": _cached_fixture("crawl_bfs_stream", _crawl_bfs_stream_fixture_sql),
         "crawl_dfs": _cached_fixture("crawl_dfs", _crawl_dfs_fixture_sql),
         "crawl_best_first": _cached_fixture("crawl_best_first", _crawl_bff_fixture_sql),
         "crawl_job_e2e": _cached_fixture("crawl_job_e2e", _crawl_job_fixture_sql),

@@ -108,17 +108,22 @@ def bm25_scores(
     return out
 
 
-def bm25_sql(query_terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
-    """DuckDB twin of :func:`bm25_scores` over the ``documents`` view —
-    used by the driver oracle (same formula, same token definition)."""
+def bm25_sql(
+    query_terms: list[str], k1: float = 1.2, b: float = 0.75,
+    relation: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`bm25_scores` over ``relation`` (a table,
+    view, or outer CTE providing doc_id/text; default the ``documents``
+    view) — used by the driver oracle (same formula, same token
+    definition)."""
     qcount: dict[str, int] = {}
     for t in query_terms:
         t = t.lower()
         qcount[t] = qcount.get(t, 0) + 1
     terms = sorted(qcount)
     if not terms:
-        return """
-SELECT doc_id, 0.0 AS bm25 FROM documents
+        return f"""
+SELECT doc_id, 0.0 AS bm25 FROM {relation}
 """
 
     def lit(t: str) -> str:
@@ -131,7 +136,7 @@ SELECT doc_id, 0.0 AS bm25 FROM documents
 WITH base AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'), x -> x <> '') AS toks
-  FROM documents
+  FROM {relation}
 ), dl AS (
   SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base
 ), stats AS (
