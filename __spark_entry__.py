@@ -103,6 +103,34 @@ sh AS (
 )"""
 
 
+def _shm_scratch(prefix: str, stale_after_s: int = 3600) -> str:
+    """tmpfs scratch dir for queries that persist state mid-run.
+
+    Own dir is removed at interpreter exit; OTHER processes' dirs are
+    swept only when older than ``stale_after_s`` (a live concurrent
+    bench/verify run must never lose its parquet mid-read — only
+    genuinely leaked leftovers go)."""
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+
+    base = "/dev/shm" if _os.path.isdir("/dev/shm") else None
+    if base:
+        cutoff = _time.time() - stale_after_s
+        for d in _os.listdir(base):
+            p = _os.path.join(base, d)
+            try:
+                if d.startswith(prefix) and _os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    path = tempfile.mkdtemp(prefix=prefix, dir=base)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def _event_urls(ev: DataFrame) -> DataFrame:
     """Deterministic messy URL per event: mixed-case host, tracking params,
     blank query values, trailing slashes, fragments — exercising every
@@ -235,21 +263,11 @@ def q_minhash_incremental(spark, sf_dir):
     docs' signatures (no text rescan of history), then the incremental
     pair query returns near-dup pairs touching the new docs.  Oracle =
     the full LSH pair set filtered to pairs with a wave-2 member."""
-    import os as _os
-    import shutil
-    import tempfile
-
     from crawl4ai_spark.operators.dedup_state import DedupState
     from crawl4ai_spark.sources.catalog import SnapshotCatalog
 
     aug = _docs_aug(_t(spark, sf_dir, "documents"))
-    _tmp_base = "/dev/shm" if _os.path.isdir("/dev/shm") else None
-    # clean up earlier invocations' state (bench/verify call repeatedly)
-    if _tmp_base:
-        for d in _os.listdir(_tmp_base):
-            if d.startswith("dedup_state_"):
-                shutil.rmtree(_os.path.join(_tmp_base, d), ignore_errors=True)
-    root = tempfile.mkdtemp(prefix="dedup_state_", dir=_tmp_base)
+    root = _shm_scratch("dedup_state_")
     st = DedupState(SnapshotCatalog(root, spark), n_perm=16, bands=4, shingle_n=3)
     st.update_wave(aug.filter(F.col("doc_id") % 3 != 0), wave_id=1)
     st.update_wave(aug, wave_id=2)

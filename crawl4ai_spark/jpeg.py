@@ -277,8 +277,9 @@ def encode_jpeg(
     else:
         H = V = 1
     yq = _quantized_blocks(yp, qy)
-    cbq = _quantized_blocks(cbp, qc)
-    crq = _quantized_blocks(crp, qc)
+    if not grayscale:
+        cbq = _quantized_blocks(cbp, qc)
+        crq = _quantized_blocks(crp, qc)
 
     yw = _pad_to(yp, 8 * H).shape[1] // 8  # luma blocks per row
     cw = _pad_to(cbp, 8).shape[1] // 8
@@ -323,8 +324,9 @@ def encode_jpeg(
             run = 0
 
     yzz = yq.reshape(-1, 64)[:, ZIGZAG]
-    cbzz = cbq.reshape(-1, 64)[:, ZIGZAG]
-    crzz = crq.reshape(-1, 64)[:, ZIGZAG]
+    if not grayscale:
+        cbzz = cbq.reshape(-1, 64)[:, ZIGZAG]
+        crzz = crq.reshape(-1, 64)[:, ZIGZAG]
     rst = 0
     for mcu in range(mcus_y * mcus_x):
         if restart_interval and mcu and mcu % restart_interval == 0:

@@ -57,19 +57,13 @@ from .similarity import cosine_expr as _raw_cosine_expr
 EMBED_DIM = 12
 
 
-def _safe_cos(a: Column, b: Column) -> Column:
+def cosine_expr(a: Column, b: Column) -> Column:
     """Cosine with a zero-norm guard: 0.0 instead of NaN (0.0/0.0).
     Without it a single all-zero embedding — hash_embed of whitespace-
     only text — poisons every F.max (NaN sorts above all doubles in
     Spark), silently rejecting all later KB batches and NaN-ing the
     confidence.  The oracle's _emb_cos mirrors the same guard."""
-    from pyspark.sql import functions as _F
-
-    return _F.nanvl(_raw_cosine_expr(a, b), _F.lit(0.0))
-
-
-def cosine_expr(a: Column, b: Column) -> Column:  # noqa: F811 — guarded twin
-    return _safe_cos(a, b)
+    return F.nanvl(_raw_cosine_expr(a, b), F.lit(0.0))
 
 
 def hash_embed(text: str, dim: int = EMBED_DIM) -> list[float]:
@@ -396,7 +390,6 @@ def embedding_digest(
             break
         if len(crawled) >= max_pages or not pending:
             break
-        crawled_snapshot = crawled_set  # one lookup set per wave
         history.append(conf)
         if len(history) >= 2:
             diffs = list(zip(history[:-1], history[1:]))
@@ -413,7 +406,7 @@ def embedding_digest(
         uncrawled = [
             (href, t, ti, o)
             for href, (t, ti, o) in pending.items()
-            if href not in crawled_snapshot
+            if href not in crawled_set
         ]
         if not uncrawled:
             break
@@ -448,7 +441,7 @@ def embedding_digest(
             break
         if top[0]["score"] < min_gain_threshold:
             break
-        to_crawl = [r["href"] for r in top if r["href"] not in crawled_snapshot]
+        to_crawl = [r["href"] for r in top if r["href"] not in crawled_set]
         if not to_crawl:
             break
         for h in to_crawl:

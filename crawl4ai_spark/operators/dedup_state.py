@@ -118,6 +118,11 @@ class DedupState:
         Callers either commit them via :meth:`update_wave` or merge them
         into a larger snapshot commit (CrawlJob does the latter so the
         crawl's manifest rename stays the single atomic commit point)."""
+        # re-bind/verify at WRITE time, not only at construction: another
+        # DedupState instance may have re-stamped an empty catalog since
+        # this one was built — committing signatures under a stamp that
+        # doesn't match these parameters is the silent pair-loss case
+        self._check_geometry()
         known = self.known_ids()
         fresh = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
         if known is not None:
