@@ -1619,6 +1619,51 @@ def q_jpeg_psnr_invariant(spark, sf_dir):
     )
 
 
+def q_jpeg_progressive(spark, sf_dir):
+    """Progressive-JPEG (SOF2, spectral selection + successive
+    approximation) decode/validate — the Annex G decoder path added in
+    round 3's tail; before it only baseline streams were ingestible.
+    The corpus is the progressive twin of the baseline JPEG corpus:
+    same source pixels, same quality, so the quantized coefficients are
+    identical and the ORACLE FIXTURE — built from the BASELINE decode —
+    also pins cross-codec decode equality (any Annex G slip shifts the
+    recomputed phash off the fixture)."""
+    import pandas as pd
+
+    from crawl4ai_spark.operators.multimodal import IMAGE_SCHEMA, decode_and_validate
+
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 200)
+        .select("p_partkey", "p_name")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        from crawl4ai_spark.jpeg import decode_jpeg, encode_jpeg_progressive
+        from crawl4ai_spark.png import phash64
+
+        for pdf in batches:
+            rows = []
+            for k, name in zip(pdf["p_partkey"], pdf["p_name"]):
+                k = int(k)
+                rgb = _jpeg_rgb(k)
+                data = encode_jpeg_progressive(
+                    rgb, quality=92, grayscale=(k % 7 == 3)
+                )
+                rows.append(
+                    (str(k), data, rgb.shape[1], rgb.shape[0], "jpeg",
+                     f"part {name}", phash64(decode_jpeg(data)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    images = parts.mapInPandas(gen, IMAGE_SCHEMA)
+    checks = decode_and_validate(images)
+    return checks.select("image_id", "ok", "dims_match", "phash_matches", "phash_recomputed")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": q_text_stats,
@@ -1669,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_psnr_invariant": q_image_psnr_invariant,
         "jpeg_pipeline": q_jpeg_pipeline,
         "jpeg_psnr_invariant": q_jpeg_psnr_invariant,
+        "jpeg_progressive": q_jpeg_progressive,
         "adaptive_digest": q_adaptive_digest,
         "adaptive_embedding": q_adaptive_embedding,
         "table_extraction": q_table_extraction,
@@ -3443,6 +3489,10 @@ FROM part WHERE p_partkey < 200
 """,
         "jpeg_pipeline": _cached_fixture("jpeg_pipeline", _jpeg_pipeline_fixture_sql),
         "jpeg_psnr_invariant": _cached_fixture("jpeg_psnr_invariant", _jpeg_psnr_fixture_sql),
+        # same fixture as jpeg_pipeline ON PURPOSE: the fixture phashes
+        # come from the BASELINE decode, so matching them from the
+        # progressive corpus pins cross-codec decode equality
+        "jpeg_progressive": _cached_fixture("jpeg_progressive", _jpeg_pipeline_fixture_sql),
         "adaptive_digest": _cached_fixture("adaptive_digest", _adaptive_digest_fixture_sql),
         "adaptive_embedding": _cached_fixture("adaptive_embedding", _adaptive_embedding_fixture_sql),
         "simhash_pairs_portable": _simhash_portable_sql(),

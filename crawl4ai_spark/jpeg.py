@@ -18,8 +18,19 @@ numpy/stdlib, built from the public ITU-T T.81 spec:
   IDCT → plane assembly → chroma upsample → YCbCr→RGB) is vectorized
   across all blocks at once.
 
-Progressive JPEG (SOF2) and arithmetic coding are rejected with a clear
-error — they route to the honest stub path in multimodal.decode_rgb.
+* **Progressive (SOF2)** — full Annex G Huffman progressive: spectral
+  selection + successive approximation, DC/AC first and refinement
+  scans, interleaved DC scans, EOBRUN, restart markers.  The encoder
+  (``encode_jpeg_progressive``) emits libjpeg's "simple progression"
+  scan script with per-scan frequency-optimized Huffman tables (the
+  Annex K baseline tables lack the EOBn symbols progressive AC scans
+  need), so the fixtures exercise the same scan shapes real encoders
+  produce.  Web JPEG corpora are roughly half progressive — without
+  this the image plane could only ingest baseline streams.
+
+Arithmetic coding, hierarchical (SOF5-7/13-15) and 12-bit streams are
+rejected with a clear error — they route to the honest stub path in
+multimodal.decode_rgb.
 """
 
 from __future__ import annotations
@@ -383,6 +394,311 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G, Huffman)
+# ---------------------------------------------------------------------------
+#
+# Scan tokens are built first as ("s", symbol) / ("b", value, nbits)
+# tuples, then serialized in a second pass with a Huffman table built
+# from the scan's own symbol frequencies — the same two-pass shape as
+# libjpeg's entropy optimizer, and required in practice: progressive AC
+# scans emit EOBn symbols (0x10..0xE0) that the Annex K baseline tables
+# do not define at all.
+
+
+def _huff_spec_from_freqs(freqs: dict[int, int]):
+    """Frequency-optimal canonical Huffman limited to 16-bit codes,
+    per the T.81 K.2 / libjpeg ``jpeg_gen_optimal_table`` procedure
+    (incl. the reserved dummy symbol that keeps the all-ones code
+    unassigned).  Returns an Annex-K-style (bits[16], vals) spec."""
+    freq = [0] * 257
+    for sym, f in freqs.items():
+        freq[sym] = f
+    freq[256] = 1  # dummy: guarantees no real symbol gets all-1s
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1, v = -1, None
+        for i in range(257):
+            if freq[i] and (v is None or freq[i] <= v):
+                v, c1 = freq[i], i
+        c2, v = -1, None
+        for i in range(257):
+            if freq[i] and i != c1 and (v is None or freq[i] <= v):
+                v, c2 = freq[i], i
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    for i in range(32, 16, -1):  # depth-limit to 16 (K.2 figure K.3)
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the dummy's (longest) code
+    vals = [s for s in sorted(range(256), key=lambda s: (codesize[s], s)) if codesize[s]]
+    return bits[1:17], vals
+
+
+def _tok_dc_first(blocks_list: list[np.ndarray], al: int) -> list:
+    """Interleaved first DC scan: diff-coded DC in the point-transformed
+    domain (arithmetic shift — G.1.2.1)."""
+    toks = []
+    preds = [0] * len(blocks_list)
+    for bi in range(blocks_list[0].shape[0]):
+        for ci, blocks in enumerate(blocks_list):
+            v = int(blocks[bi][0]) >> al
+            diff = v - preds[ci]
+            preds[ci] = v
+            s, bits = _magnitude(diff)
+            toks.append(("s", s))
+            if s:
+                toks.append(("b", bits, s))
+    return toks
+
+
+def _tok_dc_refine(blocks_list: list[np.ndarray], al: int) -> list:
+    """DC refinement: one raw bit per block (no Huffman symbols)."""
+    toks = []
+    for bi in range(blocks_list[0].shape[0]):
+        for blocks in blocks_list:
+            toks.append(("b", (int(blocks[bi][0]) >> al) & 1, 1))
+    return toks
+
+
+def _tok_ac_first(blocks: np.ndarray, ss: int, se: int, al: int) -> list:
+    """First AC scan for one band: run/size coding with EOBn run
+    accumulation across all-zero bands (G.1.2.2)."""
+    toks = []
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun > 0:
+            nb = eobrun.bit_length() - 1
+            toks.append(("s", nb << 4))
+            if nb:
+                toks.append(("b", eobrun & ((1 << nb) - 1), nb))
+            eobrun = 0
+
+    for bi in range(blocks.shape[0]):
+        zz = blocks[bi]
+        r = 0
+        for k in range(ss, se + 1):
+            c = int(zz[k])
+            t = abs(c) >> al
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                flush_eob()
+                toks.append(("s", 0xF0))
+                r -= 16
+            flush_eob()
+            s, bits = _magnitude(t if c > 0 else -t)
+            toks.append(("s", (r << 4) | s))
+            toks.append(("b", bits, s))
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+    return toks
+
+
+def _tok_ac_refine(blocks: np.ndarray, ss: int, se: int, al: int) -> list:
+    """AC refinement scan (G.1.2.3): newly-significant coefficients get
+    run/1 symbols + a sign bit; already-nonzero coefficients contribute
+    correction bits that ride after the next symbol (or after the EOBn
+    symbol when the block joins an EOB run) — libjpeg's
+    ``encode_mcu_AC_refine`` emission order exactly."""
+    toks = []
+    eobrun = 0
+    be: list[int] = []  # correction bits buffered across the EOB run
+
+    def emit_eobrun():
+        nonlocal eobrun, be
+        if eobrun > 0:
+            nb = eobrun.bit_length() - 1
+            toks.append(("s", nb << 4))
+            if nb:
+                toks.append(("b", eobrun & ((1 << nb) - 1), nb))
+            eobrun = 0
+            for b in be:
+                toks.append(("b", b, 1))
+            be = []
+
+    for bi in range(blocks.shape[0]):
+        zz = blocks[bi]
+        absv = [0] * (se + 1)
+        eobpos = ss - 1  # last newly-significant index in this block
+        for k in range(ss, se + 1):
+            t = abs(int(zz[k])) >> al
+            absv[k] = t
+            if t == 1:
+                eobpos = k
+        r = 0
+        br: list[int] = []  # correction bits for the current run
+        for k in range(ss, se + 1):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eobpos:
+                emit_eobrun()
+                toks.append(("s", 0xF0))
+                r -= 16
+                for b in br:
+                    toks.append(("b", b, 1))
+                br = []
+            if t > 1:  # history-nonzero: correction bit, run unbroken
+                br.append(t & 1)
+                continue
+            emit_eobrun()
+            toks.append(("s", (r << 4) | 1))
+            toks.append(("b", 1 if int(zz[k]) > 0 else 0, 1))
+            for b in br:
+                toks.append(("b", b, 1))
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+    return toks
+
+
+def _serialize_scan(toks: list):
+    """Tokens → (huff spec or None, entropy-coded bytes)."""
+    freqs: dict[int, int] = {}
+    for t in toks:
+        if t[0] == "s":
+            freqs[t[1]] = freqs.get(t[1], 0) + 1
+    spec = _huff_spec_from_freqs(freqs) if freqs else None
+    codes = _build_codes(spec) if spec else None
+    bw = _BitWriter()
+    for t in toks:
+        if t[0] == "s":
+            code, ln = codes[t[1]]
+            bw.write(code, ln)
+        else:
+            bw.write(t[1], t[2])
+    bw.flush()
+    return spec, bytes(bw.out)
+
+
+def encode_jpeg_progressive(
+    rgb: np.ndarray, quality: int = 90, grayscale: bool = False
+) -> bytes:
+    """Encode (h, w, 3) uint8 as progressive JFIF (SOF2), 4:4:4.
+
+    Uses libjpeg's "simple progression" script: a point-transformed DC
+    scan, banded AC first scans at successive-approximation shifts, then
+    AC and DC refinement scans — so the stream exercises every Annex G
+    decode path (EOBn runs, ZRL-in-refinement, correction bits, sign
+    bits).  The quantized coefficients are identical to
+    :func:`encode_jpeg` at the same quality, so baseline and progressive
+    encodes of the same pixels decode bit-identically."""
+    if rgb.dtype != np.uint8 or rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) uint8")
+    h, w = rgb.shape[:2]
+    qy, qc = _quality_tables(quality)
+    ycc = _rgb_to_ycbcr(rgb)
+    if grayscale:
+        planes, qts = [ycc[..., 0]], [qy]
+    else:
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        qts = [qy, qc, qc]
+    blocks = [
+        _quantized_blocks(p, qt).reshape(-1, 64)[:, ZIGZAG]
+        for p, qt in zip(planes, qts)
+    ]
+
+    # (kind, comp indices, Ss, Se, Ah, Al) — libjpeg simple progression
+    if grayscale:
+        scans = [
+            ("dc_first", [0], 0, 0, 0, 1),
+            ("ac_first", [0], 1, 63, 0, 1),
+            ("dc_refine", [0], 0, 0, 1, 0),
+            ("ac_refine", [0], 1, 63, 1, 0),
+        ]
+    else:
+        scans = [
+            ("dc_first", [0, 1, 2], 0, 0, 0, 1),
+            ("ac_first", [0], 1, 5, 0, 2),
+            ("ac_first", [1], 1, 63, 0, 1),
+            ("ac_first", [2], 1, 63, 0, 1),
+            ("ac_first", [0], 6, 63, 0, 2),
+            ("ac_refine", [0], 1, 63, 2, 1),
+            ("dc_refine", [0, 1, 2], 0, 0, 1, 0),
+            ("ac_refine", [1], 1, 63, 1, 0),
+            ("ac_refine", [2], 1, 63, 1, 0),
+            ("ac_refine", [0], 1, 63, 1, 0),
+        ]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    nc = 1 if grayscale else 3
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0]) + bytes(int(x) for x in qy.reshape(64)[ZIGZAG]))
+    if not grayscale:
+        out += seg(0xFFDB, bytes([1]) + bytes(int(x) for x in qc.reshape(64)[ZIGZAG]))
+    out += seg(0xFFC2, sof)
+
+    for kind, cidx, ss, se, ah, al in scans:
+        if kind == "dc_first":
+            toks = _tok_dc_first([blocks[i] for i in cidx], al)
+            tclass = 0
+        elif kind == "dc_refine":
+            toks = _tok_dc_refine([blocks[i] for i in cidx], al)
+            tclass = 0
+        elif kind == "ac_first":
+            toks = _tok_ac_first(blocks[cidx[0]], ss, se, al)
+            tclass = 1
+        else:
+            toks = _tok_ac_refine(blocks[cidx[0]], ss, se, al)
+            tclass = 1
+        spec, body = _serialize_scan(toks)
+        if spec is not None:
+            bits, vals = spec
+            out += seg(0xFFC4, bytes([(tclass << 4) | 0]) + bytes(bits) + bytes(vals))
+        sos = bytes([len(cidx)])
+        for i in cidx:
+            sos += bytes([i + 1, 0x00])  # Td=0 / Ta=0 (table 0 per class)
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, sos) + body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
@@ -474,10 +790,160 @@ def _split_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
     return segs, i
 
 
+def _alloc_geometry(comps: list[dict], h: int, w: int):
+    """Shared MCU/block-grid allocation: per-component interleaved grid
+    (bw/bh, padded to MCU multiples) plus the non-interleaved grid
+    (nb_w/nb_h — T.81 A.2.2, used by single-component progressive
+    scans), and zeroed zigzag coefficient arrays."""
+    Hmax = max(c["h"] for c in comps)
+    Vmax = max(c["v"] for c in comps)
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        raise ValueError("sampling factors above 2x2 unsupported")
+    mcus_x = -(-w // (8 * Hmax))
+    mcus_y = -(-h // (8 * Vmax))
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]
+        c["bh"] = mcus_y * c["v"]
+        xi = -(-(w * c["h"]) // Hmax)  # component sample dims (A.1.1)
+        yi = -(-(h * c["v"]) // Vmax)
+        c["nb_w"] = -(-xi // 8)
+        c["nb_h"] = -(-yi // 8)
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
+    return Hmax, Vmax, mcus_x, mcus_y
+
+
+def _decode_prog_scan(
+    segs: list[bytes],
+    scan_comps: list[dict],
+    huff: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+    mcus_x: int,
+    mcus_y: int,
+) -> None:
+    """Decode one progressive scan's entropy segments into the
+    components' zigzag coefficient arrays (T.81 G.2 / the classic
+    jdphuff control flow).  A restart unit is an MCU for interleaved
+    (DC) scans and a single block for non-interleaved scans; each
+    segment resets DC predictors and the EOB run."""
+    interleaved = len(scan_comps) > 1
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+    elif interleaved:
+        raise ValueError("progressive AC scan must be non-interleaved")
+
+    # restart units: list of [(comp, block_index), ...] per unit
+    units: list[list] = []
+    if interleaved:
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            blocks = []
+            for c in scan_comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blocks.append((c, (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx))
+            units.append(blocks)
+    else:
+        c = scan_comps[0]
+        for row in range(c["nb_h"]):
+            for col in range(c["nb_w"]):
+                units.append([(c, row * c["bw"] + col)])
+
+    p1, m1 = 1 << al, -(1 << al)
+    ui = 0
+    for seg_bytes in segs:
+        if ui >= len(units):
+            break
+        br = _BitReader(seg_bytes)
+        preds = {c["id"]: 0 for c in scan_comps}
+        eobrun = 0
+        limit = min(ui + restart_interval, len(units)) if restart_interval else len(units)
+        while ui < limit:
+            for c, bi in units[ui]:
+                zz = c["coef"][bi]
+                if ss == 0 and ah == 0:  # DC first
+                    s = br.decode(huff[(0, c["td"])])
+                    preds[c["id"]] += br.receive_extend(s)
+                    zz[0] = preds[c["id"]] << al
+                elif ss == 0:  # DC refine: one raw bit
+                    if br.read_bit():
+                        zz[0] = int(zz[0]) | p1
+                elif ah == 0:  # AC first
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    act = huff[(1, c["ta"])]
+                    k = ss
+                    while k <= se:
+                        rs = br.decode(act)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break
+                            k += 16  # ZRL
+                        else:
+                            k += r
+                            if k > se:
+                                raise ValueError("AC index out of range")
+                            zz[k] = br.receive_extend(s) << al
+                            k += 1
+                else:  # AC refine
+                    act = huff[(1, c["ta"])]
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = br.decode(act)
+                            r, s = rs >> 4, rs & 0x0F
+                            newval = 0
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += br.read_bits(r)
+                                    break
+                                # r == 15: ZRL — skip 16 zero-history slots
+                            else:
+                                if s != 1:
+                                    raise ValueError("bad AC refinement symbol")
+                                newval = p1 if br.read_bit() else m1
+                            while k <= se:
+                                if zz[k] != 0:
+                                    if br.read_bit() and (int(zz[k]) & p1) == 0:
+                                        zz[k] += p1 if zz[k] >= 0 else m1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval:
+                                if k > se:
+                                    raise ValueError("AC refinement out of range")
+                                zz[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            if zz[k] != 0:
+                                if br.read_bit() and (int(zz[k]) & p1) == 0:
+                                    zz[k] += p1 if zz[k] >= 0 else m1
+                            k += 1
+                        eobrun -= 1
+            ui += 1
+    if ui < len(units):
+        raise ValueError("truncated progressive scan")
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline JFIF bytes (3-component color or 1-component
-    grayscale) → (h, w, 3) uint8.  Every malformed-input failure mode
-    surfaces as ValueError (the decode_rgb stub-gating contract)."""
+    """Decode JFIF bytes — baseline (SOF0/SOF1) or Huffman progressive
+    (SOF2); 3-component color or 1-component grayscale — → (h, w, 3)
+    uint8.  Every malformed-input failure mode surfaces as ValueError
+    (the decode_rgb stub-gating contract)."""
     try:
         return _decode_jpeg(data)
     except ValueError:
@@ -496,6 +962,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
+    progressive = False
+    geom = None  # (Hmax, Vmax, mcus_x, mcus_y) once allocated
     i = 2
     scan = None
     while i < len(data):
@@ -535,7 +1003,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(payload[p + 17 : p + 17 + nv])
                 huff[(cls, tid)] = _HuffTable(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -546,8 +1015,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = payload[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             sof_comps = list(comps)  # color-space order (Y[, Cb, Cr])
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"unsupported JPEG type (SOF{marker - 0xC0}): baseline only")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG type (SOF{marker - 0xC0}): "
+                "sequential/progressive Huffman only"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS
@@ -560,6 +1032,17 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                         comp["td"] = tables >> 4
                         comp["ta"] = tables & 0x0F
                         scan_order.append(comp)
+            if progressive:
+                ss, se, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+                if geom is None:
+                    geom = _alloc_geometry(comps, h, w)
+                segs, i = _split_entropy(data, i + 2 + length)
+                _decode_prog_scan(
+                    segs, scan_order, huff, ss, se, ahal >> 4, ahal & 0x0F,
+                    restart_interval, geom[2], geom[3],
+                )
+                scan = segs  # mark that entropy data was seen
+                continue
             # interleaved MCU layout follows the SOS component order
             # (T.81 B.2.3) — usually identical to SOF order, but not
             # guaranteed by the format.  Multi-scan non-interleaved
@@ -574,18 +1057,14 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     if scan is None or not comps:
         raise ValueError("no scan data")
 
-    Hmax = max(c["h"] for c in comps)
-    Vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * Hmax))
-    mcus_y = -(-h // (8 * Vmax))
+    if geom is None:
+        geom = _alloc_geometry(comps, h, w)
+    Hmax, Vmax, mcus_x, mcus_y = geom
     n_mcus = mcus_x * mcus_y
-    for c in comps:
-        c["bw"] = mcus_x * c["h"]  # blocks per row
-        c["bh"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
 
-    # entropy decode — restart segments reset DC predictors + bit align
-    mcu = 0
+    # baseline entropy decode — restart segments reset DC preds + align
+    # (progressive scans were decoded per-SOS above)
+    mcu = 0 if not progressive else n_mcus
     for seg_bytes in scan:
         if mcu >= n_mcus:
             break

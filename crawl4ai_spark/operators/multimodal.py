@@ -4,13 +4,13 @@ phash) table — the BASELINE.json input_hint shape.
 Everything crosses into Python only through Arrow-batched pandas UDFs
 (mapInPandas): decode → validate dims → recompute pHash → PSNR against a
 reference decode.  PNG decode is real (pure-Python codec, png.py), and
-baseline JPEG decode is real too (pure-Python T.81 codec, jpeg.py —
-the dominant format of any real web image corpus).  Progressive JPEG
-and WebP need codec libraries absent from this container, so they route
-through a clearly-marked stub that raises NotImplementedError unless
-``allow_stub`` substitutes a deterministic fake decode — the Spark
-plumbing (schema, batch shape, partitioning) is identical for every
-format.
+JPEG decode is real for both baseline AND progressive streams (pure-
+Python T.81 codec, jpeg.py — together the dominant formats of any real
+web image corpus).  WebP needs codec libraries absent from this
+container, so it routes through a clearly-marked stub that raises
+NotImplementedError unless ``allow_stub`` substitutes a deterministic
+fake decode — the Spark plumbing (schema, batch shape, partitioning) is
+identical for every format.
 
 Mirrors the reference's media pipeline: images emitted per page into the
 payload table (content_scraping_strategy.py:333-339), validated and
@@ -58,8 +58,8 @@ DECODE_RESULT_SCHEMA = T.StructType(
 def decode_rgb(data: bytes, fmt: str, allow_stub: bool = False) -> np.ndarray:
     """Decode image bytes to (h, w, 3) uint8.
 
-    PNG and baseline JPEG: real decodes (pure-Python codecs png.py /
-    jpeg.py).  Progressive JPEG and WebP: STUB — no codec libs in this
+    PNG and JPEG (baseline + progressive): real decodes (pure-Python
+    codecs png.py / jpeg.py).  WebP: STUB — no codec libs in this
     container.  With allow_stub a deterministic fake decode (seeded from
     the bytes) stands in so the distributed plumbing can be exercised
     end-to-end for the stubbed formats too.
@@ -74,7 +74,7 @@ def decode_rgb(data: bytes, fmt: str, allow_stub: bool = False) -> np.ndarray:
             return decode_jpeg(data)
         except ValueError:
             if not allow_stub:
-                raise  # progressive/arithmetic/corrupt → honest failure
+                raise  # arithmetic/hierarchical/corrupt → honest failure
     if fmt in ("jpeg", "jpg", "webp"):
         if not allow_stub:
             raise NotImplementedError(

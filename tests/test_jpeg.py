@@ -5,7 +5,7 @@ multimodal decode_rgb routing."""
 import numpy as np
 import pytest
 
-from crawl4ai_spark.jpeg import decode_jpeg, encode_jpeg
+from crawl4ai_spark.jpeg import decode_jpeg, encode_jpeg, encode_jpeg_progressive
 from crawl4ai_spark.png import psnr
 
 
@@ -84,7 +84,8 @@ def test_malformed_rejected():
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
     img = smooth_img(16, 16)
     data = bytearray(encode_jpeg(img, quality=90))
-    # flip SOF0 → SOF2 (progressive): must reject loudly, not garble
+    # flip SOF0 → SOF2: the baseline scan header (Ss=0, Se=63) is not a
+    # legal progressive scan — must reject loudly, not garble
     sof = bytes(data).index(b"\xff\xc0")
     data[sof + 1] = 0xC2
     with pytest.raises(ValueError):
@@ -104,12 +105,54 @@ def test_decode_rgb_routes_jpeg():
     # webp still an honest stub
     with pytest.raises(NotImplementedError):
         decode_rgb(b"RIFF....WEBP", "webp")
-    # progressive jpeg → honest failure, not a silent fake
+    # malformed (baseline scan header under an SOF2 marker) → honest
+    # failure, not a silent fake
     bad = bytearray(data)
     sof = bytes(bad).index(b"\xff\xc0")
     bad[sof + 1] = 0xC2
     with pytest.raises(ValueError):
         decode_rgb(bytes(bad), "jpeg")
+    # real progressive stream routes through the real decoder
+    prog = encode_jpeg_progressive(img, quality=95)
+    assert np.array_equal(decode_rgb(prog, "jpeg"), decode_jpeg(prog))
+
+
+@pytest.mark.parametrize("hw", [(16, 24), (33, 47), (8, 8), (17, 9)])
+@pytest.mark.parametrize("grayscale", [False, True])
+def test_progressive_decodes_bit_identical(hw, grayscale):
+    """Progressive and baseline encodes share the same quantized
+    coefficients, so their decodes must be byte-for-byte equal — a far
+    stronger check than a PSNR bound (it catches any Annex G scan-path
+    slip: EOBRUN accounting, correction bits, point-transform shifts)."""
+    h, w = hw
+    img = smooth_img(h, w, seed=h * w)
+    for q in (40, 75, 95):
+        base = decode_jpeg(encode_jpeg(img, quality=q, grayscale=grayscale))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=q, grayscale=grayscale))
+        assert np.array_equal(base, prog), (hw, grayscale, q)
+
+
+def test_progressive_noise_and_flat_content():
+    """Noise maximizes nonzero AC symbols (ZRL + refinement correction
+    churn); flat blocks maximize EOB runs — the two entropy extremes."""
+    rng = np.random.default_rng(42)
+    noise = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    flat = np.full((40, 56, 3), 137, np.uint8)
+    for img in (noise, flat):
+        for q in (10, 92):
+            b = decode_jpeg(encode_jpeg(img, quality=q))
+            p = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+            assert np.array_equal(b, p)
+
+
+def test_progressive_structure_and_truncation():
+    data = encode_jpeg_progressive(smooth_img(24, 32, seed=1), quality=90)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"\xff\xc2" in data  # SOF2
+    assert data.count(b"\xff\xda") == 10  # libjpeg simple-progression scans
+    # truncating mid-scan must fail loudly (never return partial pixels)
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: len(data) // 2])
 
 
 def test_jpeg_pipeline_spark(spark):
