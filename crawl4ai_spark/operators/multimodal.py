@@ -3,14 +3,16 @@ phash) table — the BASELINE.json input_hint shape.
 
 Everything crosses into Python only through Arrow-batched pandas UDFs
 (mapInPandas): decode → validate dims → recompute pHash → PSNR against a
-reference decode.  PNG decode is real (pure-Python codec, png.py), and
-JPEG decode is real for both baseline AND progressive streams (pure-
-Python T.81 codec, jpeg.py — together the dominant formats of any real
-web image corpus).  WebP needs codec libraries absent from this
-container, so it routes through a clearly-marked stub that raises
-NotImplementedError unless ``allow_stub`` substitutes a deterministic
-fake decode — the Spark plumbing (schema, batch shape, partitioning) is
-identical for every format.
+reference decode.  PNG decode is real (pure-Python codec, png.py), JPEG
+decode is real for both baseline AND progressive streams (pure-Python
+T.81 codec, jpeg.py), and lossless WebP (VP8L, RFC 9649) decode is real
+(pure-Python codec, webp.py) — together covering the dominant formats of
+a real web image corpus.  Only lossy-WebP (VP8 — a different codec
+family: boolean arithmetic coding + intra prediction) remains a
+clearly-marked stub that raises NotImplementedError unless
+``allow_stub`` substitutes a deterministic fake decode — the Spark
+plumbing (schema, batch shape, partitioning) is identical for every
+format.
 
 Mirrors the reference's media pipeline: images emitted per page into the
 payload table (content_scraping_strategy.py:333-339), validated and
@@ -58,11 +60,12 @@ DECODE_RESULT_SCHEMA = T.StructType(
 def decode_rgb(data: bytes, fmt: str, allow_stub: bool = False) -> np.ndarray:
     """Decode image bytes to (h, w, 3) uint8.
 
-    PNG and JPEG (baseline + progressive): real decodes (pure-Python
-    codecs png.py / jpeg.py).  WebP: STUB — no codec libs in this
+    PNG, JPEG (baseline + progressive) and lossless WebP (VP8L): real
+    decodes (pure-Python codecs png.py / jpeg.py / webp.py).  Lossy WebP
+    (VP8): STUB — a separate codec family with no codec libs in this
     container.  With allow_stub a deterministic fake decode (seeded from
     the bytes) stands in so the distributed plumbing can be exercised
-    end-to-end for the stubbed formats too.
+    end-to-end for the stubbed format too.
     """
     fmt = (fmt or "").lower()
     if fmt == "png":
@@ -75,13 +78,16 @@ def decode_rgb(data: bytes, fmt: str, allow_stub: bool = False) -> np.ndarray:
         except ValueError:
             if not allow_stub:
                 raise  # arithmetic/hierarchical/corrupt → honest failure
+    if fmt == "webp":
+        from ..webp import decode_webp
+
+        try:
+            return decode_webp(data)
+        except NotImplementedError:
+            if not allow_stub:
+                raise  # lossy VP8 → honest failure
     if fmt in ("jpeg", "jpg", "webp"):
-        if not allow_stub:
-            raise NotImplementedError(
-                f"{fmt} decode requires an image codec library not present in "
-                "this environment; run with allow_stub=True for the "
-                "deterministic fake-decode path, or install a codec."
-            )
+        # only reachable with allow_stub=True (honest failures re-raised above)
         import zlib
 
         rng = np.random.default_rng(zlib.crc32(data))

@@ -44,30 +44,41 @@ def test_corrupted_row_isolated(spark, images_df):
     assert all(v["ok"] for k, v in rows.items() if k != "broken")
 
 
-def test_jpeg_real_decode_and_webp_stub_gating(spark):
-    """Round 3: baseline JPEG decodes for REAL (jpeg.py); WebP (and
-    corrupt JPEG under allow_stub) still routes through the honest
-    stub path."""
+def test_jpeg_webp_real_decode_and_stub_gating(spark):
+    """Round 3: baseline JPEG and lossless WebP (VP8L) decode for REAL
+    (jpeg.py / webp.py); lossy-VP8 WebP (and corrupt JPEG) still routes
+    through the honest stub path."""
+    import struct
+
     from crawl4ai_spark.jpeg import decode_jpeg, encode_jpeg
     from crawl4ai_spark.png import phash64
+    from crawl4ai_spark.webp import encode_webp_lossless
 
     rng = np.random.default_rng(11)
     rgb = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
     data = encode_jpeg(rgb, quality=92)
     ph = phash64(decode_jpeg(data))  # lossy: stored phash = decoded phash
+    wrgb = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    wdata = encode_webp_lossless(wrgb, transforms=("subtract_green",), lz77=True)
+    # minimal lossy container: RIFF + a VP8 (boolean-coded) chunk
+    vp8 = b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    lossy = b"RIFF" + struct.pack("<I", len(vp8)) + vp8
     rows = [
         ("j1", bytearray(data), 32, 32, "jpeg", "cap", ph),
-        ("w1", bytearray(b"RIFF....WEBPfake"), 32, 32, "webp", "cap", 0),
+        ("w1", bytearray(lossy), 32, 32, "webp", "cap", 0),
+        ("w2", bytearray(wdata), 32, 32, "webp", "cap", phash64(wrgb)),
         ("j2", bytearray(b"\xff\xd8truncated"), 32, 32, "jpeg", "cap", 0),
     ]
     df = spark.createDataFrame(rows, multimodal.IMAGE_SCHEMA)
     strict = {r["image_id"]: r for r in multimodal.decode_and_validate(df, allow_stub=False).collect()}
     assert strict["j1"]["ok"] and strict["j1"]["dims_match"] and strict["j1"]["phash_matches"]
+    assert strict["w2"]["ok"] and strict["w2"]["dims_match"] and strict["w2"]["phash_matches"]
     assert not strict["w1"]["ok"]
-    assert "NotImplementedError" in str(strict["w1"]["error"]) or "codec" in str(strict["w1"]["error"])
+    assert "lossy" in str(strict["w1"]["error"]) or "VP8L" in str(strict["w1"]["error"])
     assert not strict["j2"]["ok"]  # corrupt jpeg fails loudly, no silent fake
     stubbed = {r["image_id"]: r for r in multimodal.decode_and_validate(df, allow_stub=True).collect()}
-    assert stubbed["w1"]["ok"]  # plumbing exercised via deterministic fake decode
+    assert stubbed["w1"]["ok"]  # lossy plumbing exercised via deterministic fake decode
+    assert stubbed["w2"]["ok"] and stubbed["w2"]["phash_matches"]  # real path unchanged
     assert stubbed["j1"]["ok"] and stubbed["j1"]["phash_matches"]  # real path unchanged
 
 

@@ -102,8 +102,10 @@ def test_decode_rgb_routes_jpeg():
     out = decode_rgb(data, "jpeg")
     assert out.shape == img.shape and psnr(out, img) >= 40
     assert decode_rgb(data, "jpg").shape == img.shape
-    # webp still an honest stub
-    with pytest.raises(NotImplementedError):
+    # malformed webp container → loud ValueError (lossless decode is
+    # real as of round 3; only lossy VP8 raises NotImplementedError —
+    # see tests/test_webp.py)
+    with pytest.raises(ValueError):
         decode_rgb(b"RIFF....WEBP", "webp")
     # malformed (baseline scan header under an SOF2 marker) → honest
     # failure, not a silent fake
