@@ -187,6 +187,7 @@ ENTRY_QUERIES = [
     "ann_topk",
     "embedding_near_dup",
     "jpeg_pipeline",
+    "webp_pipeline",
     "quality_scores",
     "lang_id",
     # round-2 operator families
