@@ -1743,6 +1743,83 @@ def q_webp_pipeline(spark, sf_dir):
     return checks.select("image_id", "ok", "dims_match", "phash_matches", "phash_recomputed")
 
 
+def _gen_webp_lossy_images(spark, sf_dir, png_twin: bool = False) -> DataFrame:
+    """Lossy-WebP (VP8 keyframe) payload per part row, REAL encode via
+    the pure-Python RFC 6386 codec (vp8.py); every 3rd row uses B_PRED
+    4x4 modes so the distributed decode path covers both luma mode
+    families.  Stored phash = phash of the DECODED pixels (lossy
+    contract, same as the JPEG corpus).  ``png_twin`` emits the
+    lossless PNG encode of the same source pixels (PSNR reference)."""
+    import pandas as pd
+
+    from crawl4ai_spark.operators.multimodal import IMAGE_SCHEMA
+
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 200)
+        .select("p_partkey", "p_name")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        from crawl4ai_spark.png import encode_png, phash64
+        from crawl4ai_spark.vp8 import encode_webp_lossy
+        from crawl4ai_spark.webp import decode_webp
+
+        for pdf in batches:
+            rows = []
+            for k, name in zip(pdf["p_partkey"], pdf["p_name"]):
+                k = int(k)
+                rgb = _jpeg_rgb(k)
+                if png_twin:
+                    rows.append(
+                        (str(k), encode_png(rgb), rgb.shape[1], rgb.shape[0],
+                         "png", f"part {name}", phash64(rgb))
+                    )
+                    continue
+                data = encode_webp_lossy(rgb, qi=4, bpred=(k % 3 == 1))
+                rows.append(
+                    (str(k), data, rgb.shape[1], rgb.shape[0], "webp",
+                     f"part {name}", phash64(decode_webp(data)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    return parts.mapInPandas(gen, IMAGE_SCHEMA)
+
+
+def q_webp_lossy_pipeline(spark, sf_dir):
+    """Lossy-WebP (VP8, RFC 6386) decode/validate — the LAST image
+    format to go real (vp8.py; boolean coder + header + mode layer
+    pinned bit-exactly against a libwebp stream, see tests/test_vp8.py).
+    Corpus mixes 16x16-mode and B_PRED keyframes."""
+    from crawl4ai_spark.operators.multimodal import decode_and_validate
+
+    images = _gen_webp_lossy_images(spark, sf_dir)
+    checks = decode_and_validate(images)
+    return checks.select("image_id", "ok", "dims_match", "phash_matches", "phash_recomputed")
+
+
+def q_webp_lossy_psnr(spark, sf_dir):
+    """Decoded-pixel PSNR of each lossy-WebP payload vs the lossless PNG
+    twin of the same source pixels.  VP8 is always 4:2:0, so on this
+    saturated-chroma corpus the representable bound is ≈38 dB (the 4:4:4
+    ≥40 dB payload contract is carried by jpeg_psnr_invariant); exact dB
+    exported e2 for the oracle."""
+    from crawl4ai_spark.operators.multimodal import psnr_against
+
+    webps = _gen_webp_lossy_images(spark, sf_dir)
+    twins = _gen_webp_lossy_images(spark, sf_dir, png_twin=True)
+    out = psnr_against(webps, twins)
+    return out.select(
+        "image_id",
+        (F.col("psnr_db") >= 38.0).alias("psnr_ge_38"),
+        F.round(F.col("psnr_db") * 100).cast("long").alias("psnr_db_e2"),
+        "caption_equal",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": q_text_stats,
@@ -1795,6 +1872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_psnr_invariant": q_jpeg_psnr_invariant,
         "jpeg_progressive": q_jpeg_progressive,
         "webp_pipeline": q_webp_pipeline,
+        "webp_lossy_pipeline": q_webp_lossy_pipeline,
+        "webp_lossy_psnr": q_webp_lossy_psnr,
         "adaptive_digest": q_adaptive_digest,
         "adaptive_embedding": q_adaptive_embedding,
         "table_extraction": q_table_extraction,
@@ -3137,6 +3216,54 @@ WHERE p.p_partkey < 200
 """
 
 
+_WEBP_LOSSY_EXPECTED_CACHE = None
+
+
+def _gen_webp_lossy_expected():
+    """Driver-side expected decode outcome per lossy-WebP payload, from
+    the same pure codec the executors run (phash of decoded pixels +
+    exact PSNR vs source)."""
+    global _WEBP_LOSSY_EXPECTED_CACHE
+    if _WEBP_LOSSY_EXPECTED_CACHE is not None:
+        return _WEBP_LOSSY_EXPECTED_CACHE
+    from crawl4ai_spark.png import phash64, psnr
+    from crawl4ai_spark.vp8 import decode_vp8, encode_vp8
+
+    out = []
+    for k in range(200):
+        rgb = _jpeg_rgb(k)
+        dec = decode_vp8(encode_vp8(rgb, qi=4, bpred=(k % 3 == 1)))
+        out.append((str(k), phash64(dec), int(round(psnr(dec, rgb) * 100))))
+    _WEBP_LOSSY_EXPECTED_CACHE = out
+    return out
+
+
+def _webp_lossy_pipeline_fixture_sql() -> str:
+    vals = ",\n".join(f"('{i}', {ph})" for i, ph, _ in _gen_webp_lossy_expected())
+    return f"""
+WITH fx(image_id, phash) AS (VALUES
+{vals}
+)
+SELECT f.image_id, TRUE AS ok, TRUE AS dims_match, TRUE AS phash_matches,
+       CAST(f.phash AS BIGINT) AS phash_recomputed
+FROM fx f JOIN part p ON CAST(p.p_partkey AS VARCHAR) = f.image_id
+WHERE p.p_partkey < 200
+"""
+
+
+def _webp_lossy_psnr_fixture_sql() -> str:
+    vals = ",\n".join(f"('{i}', {p})" for i, _, p in _gen_webp_lossy_expected())
+    return f"""
+WITH fx(image_id, psnr_db_e2) AS (VALUES
+{vals}
+)
+SELECT f.image_id, f.psnr_db_e2 >= 3800 AS psnr_ge_38,
+       CAST(f.psnr_db_e2 AS BIGINT) AS psnr_db_e2, TRUE AS caption_equal
+FROM fx f JOIN part p ON CAST(p.p_partkey AS VARCHAR) = f.image_id
+WHERE p.p_partkey < 200
+"""
+
+
 def _webp_pipeline_fixture_sql() -> str:
     """Expected decode/validate outcome per lossless-WebP payload: the
     stored phash is the SOURCE-pixel phash, so a green row pins exact
@@ -3593,6 +3720,9 @@ FROM part WHERE p_partkey < 200
         # progressive corpus pins cross-codec decode equality
         "jpeg_progressive": _cached_fixture("jpeg_progressive", _jpeg_pipeline_fixture_sql),
         "webp_pipeline": _cached_fixture("webp_pipeline", _webp_pipeline_fixture_sql),
+        "webp_lossy_pipeline": _cached_fixture(
+            "webp_lossy_pipeline", _webp_lossy_pipeline_fixture_sql),
+        "webp_lossy_psnr": _cached_fixture("webp_lossy_psnr", _webp_lossy_psnr_fixture_sql),
         "adaptive_digest": _cached_fixture("adaptive_digest", _adaptive_digest_fixture_sql),
         "adaptive_embedding": _cached_fixture("adaptive_embedding", _adaptive_embedding_fixture_sql),
         "simhash_pairs_portable": _simhash_portable_sql(),

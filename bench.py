@@ -188,6 +188,7 @@ ENTRY_QUERIES = [
     "embedding_near_dup",
     "jpeg_pipeline",
     "webp_pipeline",
+    "webp_lossy_pipeline",
     "quality_scores",
     "lang_id",
     # round-2 operator families

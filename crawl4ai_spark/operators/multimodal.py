@@ -3,16 +3,17 @@ phash) table — the BASELINE.json input_hint shape.
 
 Everything crosses into Python only through Arrow-batched pandas UDFs
 (mapInPandas): decode → validate dims → recompute pHash → PSNR against a
-reference decode.  PNG decode is real (pure-Python codec, png.py), JPEG
-decode is real for both baseline AND progressive streams (pure-Python
-T.81 codec, jpeg.py), and lossless WebP (VP8L, RFC 9649) decode is real
-(pure-Python codec, webp.py) — together covering the dominant formats of
-a real web image corpus.  Only lossy-WebP (VP8 — a different codec
-family: boolean arithmetic coding + intra prediction) remains a
-clearly-marked stub that raises NotImplementedError unless
-``allow_stub`` substitutes a deterministic fake decode — the Spark
-plumbing (schema, batch shape, partitioning) is identical for every
-format.
+reference decode.  Every payload format decodes for real through
+pure-Python codecs: PNG (png.py), JPEG baseline + progressive (T.81,
+jpeg.py), lossless WebP (VP8L/RFC 9649, webp.py) and lossy WebP (VP8
+keyframes/RFC 6386, vp8.py).  The lossy-VP8 entropy/header/mode layer
+is pinned bit-exactly against a real libwebp stream; its
+coefficient-probability defaults are best-effort for third-party
+streams (see vp8.py) — the phash/dims checks below are the backstop
+that flags any mis-decode.  ``allow_stub`` remains only as the
+deterministic fake-decode escape for corrupt JPEG streams in plumbing
+tests — the Spark surface (schema, batch shape, partitioning) is
+identical for every format.
 
 Mirrors the reference's media pipeline: images emitted per page into the
 payload table (content_scraping_strategy.py:333-339), validated and
@@ -60,12 +61,10 @@ DECODE_RESULT_SCHEMA = T.StructType(
 def decode_rgb(data: bytes, fmt: str, allow_stub: bool = False) -> np.ndarray:
     """Decode image bytes to (h, w, 3) uint8.
 
-    PNG, JPEG (baseline + progressive) and lossless WebP (VP8L): real
-    decodes (pure-Python codecs png.py / jpeg.py / webp.py).  Lossy WebP
-    (VP8): STUB — a separate codec family with no codec libs in this
-    container.  With allow_stub a deterministic fake decode (seeded from
-    the bytes) stands in so the distributed plumbing can be exercised
-    end-to-end for the stubbed format too.
+    All real decodes (pure-Python codecs png.py / jpeg.py / webp.py /
+    vp8.py).  With allow_stub, a corrupt JPEG stream falls through to a
+    deterministic fake decode (seeded from the bytes) so plumbing tests
+    can exercise the failure path end-to-end.
     """
     fmt = (fmt or "").lower()
     if fmt == "png":
@@ -81,11 +80,7 @@ def decode_rgb(data: bytes, fmt: str, allow_stub: bool = False) -> np.ndarray:
     if fmt == "webp":
         from ..webp import decode_webp
 
-        try:
-            return decode_webp(data)
-        except NotImplementedError:
-            if not allow_stub:
-                raise  # lossy VP8 → honest failure
+        return decode_webp(data)
     if fmt in ("jpeg", "jpg", "webp"):
         # only reachable with allow_stub=True (honest failures re-raised above)
         import zlib

@@ -558,13 +558,20 @@ def decode_alpha_plane(data: bytes, w: int, h: int) -> np.ndarray:
 
 def decode_webp(data: bytes) -> np.ndarray:
     """Decode WebP container bytes → (h, w, 3) uint8 RGB (alpha is
-    dropped — the payload-table contract is RGB).  Lossless (VP8L)
-    only; lossy VP8 raises NotImplementedError (different codec
-    family — boolean arithmetic coding — kept as an honest stub)."""
+    dropped — the payload-table contract is RGB).  Lossless (VP8L) and
+    lossy (VP8 keyframe, via vp8.py) are both real pure-Python decodes.
+
+    Lossy validation scope: the boolean coder, frame header, and mode
+    layer are pinned bit-exactly against a real libwebp stream
+    (tests/test_vp8.py); streams from this package's own encoder decode
+    fully.  Third-party lossy streams decode through the same machinery
+    but the coefficient-probability defaults are best-effort
+    transcription — the payload pipeline's phash/dims validation is the
+    backstop that flags any mis-decode."""
     if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP file")
     i = 12
-    vp8_seen = False
+    vp8_payload = None
     while i + 8 <= len(data):
         fourcc = data[i : i + 4]
         (size,) = struct.unpack("<I", data[i + 4 : i + 8])
@@ -572,14 +579,14 @@ def decode_webp(data: bytes) -> np.ndarray:
         if fourcc == b"VP8L":
             arr = decode_vp8l(payload)
             return arr[..., :3].copy()
-        if fourcc == b"VP8 ":
-            vp8_seen = True
+        if fourcc == b"VP8 " and vp8_payload is None:
+            vp8_payload = payload
         i += 8 + size + (size & 1)
-    if vp8_seen:
-        raise NotImplementedError(
-            "lossy WebP (VP8) decode is not implemented; only lossless VP8L"
-        )
-    raise ValueError("no VP8L chunk in WebP container")
+    if vp8_payload is not None:
+        from .vp8 import decode_vp8
+
+        return decode_vp8(vp8_payload)
+    raise ValueError("no VP8/VP8L chunk in WebP container")
 
 
 # ---------------------------------------------------------------------------

@@ -45,14 +45,16 @@ def test_corrupted_row_isolated(spark, images_df):
 
 
 def test_jpeg_webp_real_decode_and_stub_gating(spark):
-    """Round 3: baseline JPEG and lossless WebP (VP8L) decode for REAL
-    (jpeg.py / webp.py); lossy-VP8 WebP (and corrupt JPEG) still routes
-    through the honest stub path."""
+    """Round 3: baseline JPEG, lossless WebP (VP8L) AND lossy WebP
+    (VP8) all decode for REAL (jpeg.py / webp.py / vp8.py); corrupt
+    streams fail loudly, with the deterministic fake decode reachable
+    only for corrupt JPEG under allow_stub."""
     import struct
 
     from crawl4ai_spark.jpeg import decode_jpeg, encode_jpeg
     from crawl4ai_spark.png import phash64
-    from crawl4ai_spark.webp import encode_webp_lossless
+    from crawl4ai_spark.vp8 import encode_webp_lossy
+    from crawl4ai_spark.webp import decode_webp, encode_webp_lossless
 
     rng = np.random.default_rng(11)
     rgb = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
@@ -60,26 +62,29 @@ def test_jpeg_webp_real_decode_and_stub_gating(spark):
     ph = phash64(decode_jpeg(data))  # lossy: stored phash = decoded phash
     wrgb = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
     wdata = encode_webp_lossless(wrgb, transforms=("subtract_green",), lz77=True)
-    # minimal lossy container: RIFF + a VP8 (boolean-coded) chunk
-    vp8 = b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
-    lossy = b"RIFF" + struct.pack("<I", len(vp8)) + vp8
+    ldata = encode_webp_lossy(wrgb, qi=4)
+    lph = phash64(decode_webp(ldata))
+    # corrupt lossy container: RIFF + a 4-byte VP8 chunk (truncated frame)
+    bad = b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\x00" * 4
+    corrupt = b"RIFF" + struct.pack("<I", len(bad)) + bad
     rows = [
         ("j1", bytearray(data), 32, 32, "jpeg", "cap", ph),
-        ("w1", bytearray(lossy), 32, 32, "webp", "cap", 0),
+        ("w1", bytearray(corrupt), 32, 32, "webp", "cap", 0),
         ("w2", bytearray(wdata), 32, 32, "webp", "cap", phash64(wrgb)),
+        ("w3", bytearray(ldata), 32, 32, "webp", "cap", lph),
         ("j2", bytearray(b"\xff\xd8truncated"), 32, 32, "jpeg", "cap", 0),
     ]
     df = spark.createDataFrame(rows, multimodal.IMAGE_SCHEMA)
     strict = {r["image_id"]: r for r in multimodal.decode_and_validate(df, allow_stub=False).collect()}
     assert strict["j1"]["ok"] and strict["j1"]["dims_match"] and strict["j1"]["phash_matches"]
     assert strict["w2"]["ok"] and strict["w2"]["dims_match"] and strict["w2"]["phash_matches"]
-    assert not strict["w1"]["ok"]
-    assert "lossy" in str(strict["w1"]["error"]) or "VP8L" in str(strict["w1"]["error"])
+    assert strict["w3"]["ok"] and strict["w3"]["dims_match"] and strict["w3"]["phash_matches"]
+    assert not strict["w1"]["ok"] and "VP8" in str(strict["w1"]["error"])
     assert not strict["j2"]["ok"]  # corrupt jpeg fails loudly, no silent fake
     stubbed = {r["image_id"]: r for r in multimodal.decode_and_validate(df, allow_stub=True).collect()}
-    assert stubbed["w1"]["ok"]  # lossy plumbing exercised via deterministic fake decode
-    assert stubbed["w2"]["ok"] and stubbed["w2"]["phash_matches"]  # real path unchanged
-    assert stubbed["j1"]["ok"] and stubbed["j1"]["phash_matches"]  # real path unchanged
+    assert stubbed["j2"]["ok"]      # corrupt jpeg plumbing via deterministic fake
+    assert not stubbed["w1"]["ok"]  # corrupt webp still fails loudly
+    assert stubbed["w3"]["ok"] and stubbed["w3"]["phash_matches"]  # real path unchanged
 
 
 def test_near_duplicate_images(spark):

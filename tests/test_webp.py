@@ -136,9 +136,11 @@ def test_alpha_plane_ground_truth():
     assert alpha[0].tolist() == [0, 0, 0, 0, 175, 237, 255, 255, 255, 247, 146, 11, 3, 0, 0, 0]
 
 
-def test_lossy_vp8_rejected_honestly():
-    with pytest.raises(NotImplementedError, match="lossy"):
-        decode_webp(python_webp_bytes())
+def test_lossy_vp8_routes_to_vp8_decoder():
+    # lossy VP8 chunks route to the vp8.py keyframe decoder (round 3
+    # unstubbed it); full pixel-level tests live in tests/test_vp8.py
+    rgb = decode_webp(python_webp_bytes())
+    assert rgb.shape == (16, 16, 3) and rgb.dtype == np.uint8
 
 
 def test_malformed_streams_rejected():
@@ -158,13 +160,11 @@ def test_decode_rgb_routing():
     img = structured_img(20, 31)
     enc = encode_webp_lossless(img, transforms=("subtract_green",), lz77=True)
     assert np.array_equal(decode_rgb(enc, "webp"), img)
-    # lossy VP8 without allow_stub: honest failure
-    with pytest.raises(NotImplementedError):
-        decode_rgb(python_webp_bytes(), "webp")
-    # with allow_stub: deterministic fake decode stands in
-    fake = decode_rgb(python_webp_bytes(), "webp", allow_stub=True)
-    assert fake.shape == (32, 32, 3)
-    assert np.array_equal(fake, decode_rgb(python_webp_bytes(), "webp", allow_stub=True))
+    # lossy VP8 decodes for real through vp8.py (no stub path for webp)
+    assert decode_rgb(python_webp_bytes(), "webp").shape == (16, 16, 3)
+    # corrupt container fails loudly even under allow_stub
+    with pytest.raises(ValueError):
+        decode_rgb(b"RIFF....WEBPxxxx", "webp", allow_stub=True)
 
 
 def test_alpha_raw_and_filters_roundtrip():
