@@ -1703,15 +1703,14 @@ def _webp_encode_kwargs(k: int) -> dict:
     return dict(lz77=True, meta_bits=3)
 
 
-def q_webp_pipeline(spark, sf_dir):
-    """Lossless-WebP (VP8L, RFC 9649) decode/validate — real pure-Python
-    codec (webp.py); multimodal.py routed ALL WebP to an honest stub
-    until round 3.  The stored phash is the phash of the SOURCE pixels:
-    VP8L is lossless, so any codec slip (decode ≠ source) flips
-    phash_matches off the oracle fixture."""
+def _gen_webp_images(spark, sf_dir) -> DataFrame:
+    """Lossless-WebP payload per part row (REAL encode via webp.py;
+    per-row transform modes from _webp_encode_kwargs).  Stored phash is
+    the SOURCE-pixel phash — VP8L is lossless, so any codec slip flips
+    phash_matches."""
     import pandas as pd
 
-    from crawl4ai_spark.operators.multimodal import IMAGE_SCHEMA, decode_and_validate
+    from crawl4ai_spark.operators.multimodal import IMAGE_SCHEMA
 
     parts = (
         _t(spark, sf_dir, "part")
@@ -1738,8 +1737,16 @@ def q_webp_pipeline(spark, sf_dir):
                 rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
             )
 
-    images = parts.mapInPandas(gen, IMAGE_SCHEMA)
-    checks = decode_and_validate(images)
+    return parts.mapInPandas(gen, IMAGE_SCHEMA)
+
+
+def q_webp_pipeline(spark, sf_dir):
+    """Lossless-WebP (VP8L, RFC 9649) decode/validate — real pure-Python
+    codec (webp.py); multimodal.py routed ALL WebP to an honest stub
+    until round 3."""
+    from crawl4ai_spark.operators.multimodal import decode_and_validate
+
+    checks = decode_and_validate(_gen_webp_images(spark, sf_dir))
     return checks.select("image_id", "ok", "dims_match", "phash_matches", "phash_recomputed")
 
 
@@ -1787,6 +1794,38 @@ def _gen_webp_lossy_images(spark, sf_dir, png_twin: bool = False) -> DataFrame:
             )
 
     return parts.mapInPandas(gen, IMAGE_SCHEMA)
+
+
+def q_image_resize(spark, sf_dir):
+    """Bulk decode → bilinear resize (32x24) → lossless re-encode over
+    the WebP payload corpus — the canonical training-data image
+    transform, stateless mapInPandas (operators/multimodal.py
+    resize_images).  Oracled against source-pixel fixtures: the corpus
+    is lossless, so the resized phash is a pure function of the
+    deterministic source pixels."""
+    from crawl4ai_spark.operators.multimodal import resize_images
+
+    images = _gen_webp_images(spark, sf_dir)
+    out = resize_images(images, out_w=32, out_h=24)
+    return out.select(
+        "image_id",
+        F.col("w").cast("int").alias("w"),
+        F.col("h").cast("int").alias("h"),
+        F.col("phash").cast("long").alias("phash"),
+        F.col("src_w").cast("int").alias("src_w"),
+        F.col("src_h").cast("int").alias("src_h"),
+    )
+
+
+def q_image_features(spark, sf_dir):
+    """Decode → per-image feature extraction (channel means, luma
+    quartiles, gradient energy, aspect) over the WebP payload corpus —
+    the filter/curation signals a training-data pipeline keys on
+    (operators/multimodal.py extract_image_features)."""
+    from crawl4ai_spark.operators.multimodal import extract_image_features
+
+    images = _gen_webp_images(spark, sf_dir)
+    return extract_image_features(images)
 
 
 def q_webp_lossy_pipeline(spark, sf_dir):
@@ -1874,6 +1913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webp_pipeline": q_webp_pipeline,
         "webp_lossy_pipeline": q_webp_lossy_pipeline,
         "webp_lossy_psnr": q_webp_lossy_psnr,
+        "image_resize": q_image_resize,
+        "image_features": q_image_features,
         "adaptive_digest": q_adaptive_digest,
         "adaptive_embedding": q_adaptive_embedding,
         "table_extraction": q_table_extraction,
@@ -3216,6 +3257,55 @@ WHERE p.p_partkey < 200
 """
 
 
+def _image_resize_fixture_sql() -> str:
+    """Resized-phash per payload row, computed from the SOURCE pixels
+    (corpus is lossless WebP, so decode == source by the already-oracled
+    webp_pipeline contract)."""
+    from crawl4ai_spark.operators.multimodal import resize_bilinear
+    from crawl4ai_spark.png import phash64
+
+    vals = ",\n".join(
+        f"('{k}', {phash64(resize_bilinear(_webp_rgb(k), 24, 32))}, "
+        f"{_webp_rgb(k).shape[1]}, {_webp_rgb(k).shape[0]})"
+        for k in range(200)
+    )
+    return f"""
+WITH fx(image_id, phash, src_w, src_h) AS (VALUES
+{vals}
+)
+SELECT f.image_id, 32 AS w, 24 AS h, CAST(f.phash AS BIGINT) AS phash,
+       CAST(f.src_w AS INT) AS src_w, CAST(f.src_h AS INT) AS src_h
+FROM fx f JOIN part p ON CAST(p.p_partkey AS VARCHAR) = f.image_id
+WHERE p.p_partkey < 200
+"""
+
+
+def _image_features_fixture_sql() -> str:
+    from crawl4ai_spark.operators.multimodal import image_features_np
+
+    rows = []
+    for k in range(200):
+        ft = image_features_np(_webp_rgb(k))
+        rows.append(f"('{k}', {', '.join(str(x) for x in ft)})")
+    vals = ",\n".join(rows)
+    return f"""
+WITH fx(image_id, mean_r_e4, mean_g_e4, mean_b_e4, luma_p25, luma_p50,
+        luma_p75, edge_energy_e4, aspect_e4) AS (VALUES
+{vals}
+)
+SELECT f.image_id, CAST(f.mean_r_e4 AS BIGINT) AS mean_r_e4,
+       CAST(f.mean_g_e4 AS BIGINT) AS mean_g_e4,
+       CAST(f.mean_b_e4 AS BIGINT) AS mean_b_e4,
+       CAST(f.luma_p25 AS BIGINT) AS luma_p25,
+       CAST(f.luma_p50 AS BIGINT) AS luma_p50,
+       CAST(f.luma_p75 AS BIGINT) AS luma_p75,
+       CAST(f.edge_energy_e4 AS BIGINT) AS edge_energy_e4,
+       CAST(f.aspect_e4 AS BIGINT) AS aspect_e4
+FROM fx f JOIN part p ON CAST(p.p_partkey AS VARCHAR) = f.image_id
+WHERE p.p_partkey < 200
+"""
+
+
 _WEBP_LOSSY_EXPECTED_CACHE = None
 
 
@@ -3723,6 +3813,8 @@ FROM part WHERE p_partkey < 200
         "webp_lossy_pipeline": _cached_fixture(
             "webp_lossy_pipeline", _webp_lossy_pipeline_fixture_sql),
         "webp_lossy_psnr": _cached_fixture("webp_lossy_psnr", _webp_lossy_psnr_fixture_sql),
+        "image_resize": _cached_fixture("image_resize", _image_resize_fixture_sql),
+        "image_features": _cached_fixture("image_features", _image_features_fixture_sql),
         "adaptive_digest": _cached_fixture("adaptive_digest", _adaptive_digest_fixture_sql),
         "adaptive_embedding": _cached_fixture("adaptive_embedding", _adaptive_embedding_fixture_sql),
         "simhash_pairs_portable": _simhash_portable_sql(),

@@ -189,6 +189,8 @@ ENTRY_QUERIES = [
     "jpeg_pipeline",
     "webp_pipeline",
     "webp_lossy_pipeline",
+    "image_resize",
+    "image_features",
     "quality_scores",
     "lang_id",
     # round-2 operator families

@@ -176,3 +176,115 @@ def near_duplicate_images(images: DataFrame, max_hamming: int = 8, band_bits: in
         images, max_hamming=max_hamming, band_bits=band_bits, total_bits=64,
         id_col="image_id", hash_col="phash",
     )
+
+
+# ---------------------------------------------------------------------------
+# resize + feature extraction (training-data image ops)
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("src_w", T.IntegerType()),
+        T.StructField("src_h", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("mean_r_e4", T.LongType()),
+        T.StructField("mean_g_e4", T.LongType()),
+        T.StructField("mean_b_e4", T.LongType()),
+        T.StructField("luma_p25", T.LongType()),
+        T.StructField("luma_p50", T.LongType()),
+        T.StructField("luma_p75", T.LongType()),
+        T.StructField("edge_energy_e4", T.LongType()),
+        T.StructField("aspect_e4", T.LongType()),
+    ]
+)
+
+
+def resize_bilinear(rgb: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic vectorized bilinear resize (half-pixel centers,
+    floor(x+0.5) rounding — NOT np.round, whose half-even ties would
+    make the oracle fixture platform-fragile)."""
+    h, w = rgb.shape[:2]
+    yy = np.clip((np.arange(out_h) + 0.5) * (h / out_h) - 0.5, 0, h - 1)
+    xx = np.clip((np.arange(out_w) + 0.5) * (w / out_w) - 0.5, 0, w - 1)
+    y0 = np.floor(yy).astype(int)
+    x0 = np.floor(xx).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (yy - y0)[:, None, None]
+    wx = (xx - x0)[None, :, None]
+    p = rgb.astype(np.float64)
+    out = (
+        p[np.ix_(y0, x0)] * (1 - wy) * (1 - wx)
+        + p[np.ix_(y0, x1)] * (1 - wy) * wx
+        + p[np.ix_(y1, x0)] * wy * (1 - wx)
+        + p[np.ix_(y1, x1)] * wy * wx
+    )
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def image_features_np(rgb: np.ndarray) -> tuple:
+    """Deterministic per-image features (all integer exports): channel
+    means (e4), luma quartiles, normalized gradient energy (e4), aspect
+    ratio (e4).  The feature set a filtering/curation pipeline keys on."""
+    f = rgb.astype(np.float64)
+    means = [int(np.floor(f[..., c].mean() * 1e4 + 0.5)) for c in range(3)]
+    luma = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    flat = np.sort(luma.reshape(-1))
+    n = flat.size
+    qs = [int(flat[min(n - 1, (n * q) // 100)]) for q in (25, 50, 75)]
+    ge = 0.0
+    if luma.shape[0] > 1:
+        ge += np.abs(np.diff(luma, axis=0)).mean()
+    if luma.shape[1] > 1:
+        ge += np.abs(np.diff(luma, axis=1)).mean()
+    edge = int(np.floor(ge * 1e4 + 0.5))
+    aspect = int(np.floor(rgb.shape[1] / rgb.shape[0] * 1e4 + 0.5))
+    return means[0], means[1], means[2], qs[0], qs[1], qs[2], edge, aspect
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Decode → bilinear resize → re-encode (PNG, lossless) each payload
+    row.  Stateless mapInPandas — the shape of every bulk image
+    transform at corpus scale (no shuffle, linear in rows)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..png import encode_png, phash64
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rgb = decode_rgb(r.bytes, r.fmt)
+                res = resize_bilinear(rgb, out_h, out_w)
+                rows.append(
+                    (r.image_id, encode_png(res), out_w, out_h, "png",
+                     r.caption, phash64(res), rgb.shape[1], rgb.shape[0])
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return images.mapInPandas(gen, RESIZE_SCHEMA)
+
+
+def extract_image_features(images: DataFrame) -> DataFrame:
+    """Decode → feature-extract each payload row (stateless mapInPandas)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rgb = decode_rgb(r.bytes, r.fmt)
+                rows.append((r.image_id,) + image_features_np(rgb))
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(gen, FEATURE_SCHEMA)

@@ -102,3 +102,83 @@ def test_near_duplicate_images(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in multimodal.near_duplicate_images(df, max_hamming=10, band_bits=5).collect()}
     assert ("a", "b") in pairs
     assert ("a", "c") not in pairs and ("b", "c") not in pairs
+
+
+def test_resize_bilinear_reference_cases():
+    from crawl4ai_spark.operators.multimodal import resize_bilinear
+
+    # identity resize is exact
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (12, 17, 3), np.uint8)
+    assert np.array_equal(resize_bilinear(img, 12, 17), img)
+    # 2x downsample of a constant image is constant
+    flat = np.full((16, 16, 3), 93, np.uint8)
+    assert np.all(resize_bilinear(flat, 8, 8) == 93)
+    # horizontal gradient stays monotone after resize
+    g = np.tile(np.arange(0, 240, 10, dtype=np.uint8)[None, :, None], (8, 1, 3))
+    r = resize_bilinear(g, 8, 12)
+    assert np.all(np.diff(r[0, :, 0].astype(int)) >= 0)
+    # upsample then mean is preserved within rounding
+    up = resize_bilinear(img, 24, 34)
+    assert abs(float(up.mean()) - float(img.mean())) < 2.0
+
+
+def test_image_features_deterministic_and_sane():
+    from crawl4ai_spark.operators.multimodal import image_features_np
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (20, 30, 3), np.uint8)
+    f1 = image_features_np(img)
+    f2 = image_features_np(img.copy())
+    assert f1 == f2
+    mr, mg, mb_, p25, p50, p75, edge, aspect = f1
+    assert abs(mr / 1e4 - img[..., 0].mean()) < 1e-3
+    assert p25 <= p50 <= p75
+    assert edge > 0
+    assert aspect == int(np.floor(30 / 20 * 1e4 + 0.5))
+    # flat image has zero edge energy
+    flat = np.full((10, 10, 3), 50, np.uint8)
+    assert image_features_np(flat)[6] == 0
+
+
+def test_resize_and_features_distributed(spark):
+    """resize_images / extract_image_features over a mixed-format payload
+    frame: resized phash equals the driver-side pure computation, and
+    features match image_features_np row-for-row."""
+    from crawl4ai_spark.operators.multimodal import (
+        extract_image_features, image_features_np, resize_bilinear, resize_images,
+    )
+    from crawl4ai_spark.jpeg import decode_jpeg, encode_jpeg
+    from crawl4ai_spark.png import decode_png
+    from crawl4ai_spark.webp import encode_webp_lossless
+
+    rng = np.random.default_rng(31)
+    imgs = {
+        "p1": rng.integers(0, 256, (24, 18, 3), np.uint8),
+        "w1": rng.integers(0, 256, (16, 40, 3), np.uint8),
+    }
+    rows = [
+        ("p1", bytearray(encode_png(imgs["p1"])), 18, 24, "png", "c", phash64(imgs["p1"])),
+        ("w1", bytearray(encode_webp_lossless(imgs["w1"])), 40, 16, "webp", "c", phash64(imgs["w1"])),
+    ]
+    jb = encode_jpeg(rng.integers(0, 256, (16, 16, 3), np.uint8), quality=92)
+    imgs["j1"] = decode_jpeg(jb)  # lossy: expected pixels are the decode
+    rows.append(("j1", bytearray(jb), 16, 16, "jpeg", "c", phash64(imgs["j1"])))
+    df = spark.createDataFrame(rows, multimodal.IMAGE_SCHEMA)
+
+    out = {r["image_id"]: r for r in resize_images(df, out_w=20, out_h=10).collect()}
+    for iid, src in imgs.items():
+        exp = resize_bilinear(src, 10, 20)
+        assert out[iid]["phash"] == phash64(exp), iid
+        assert (out[iid]["w"], out[iid]["h"]) == (20, 10)
+        assert (out[iid]["src_w"], out[iid]["src_h"]) == (src.shape[1], src.shape[0])
+        # re-encoded bytes are lossless PNG of the resized pixels
+        assert np.array_equal(decode_png(bytes(out[iid]["bytes"])), exp)
+
+    feats = {r["image_id"]: r for r in extract_image_features(df).collect()}
+    for iid, src in imgs.items():
+        exp = image_features_np(src)
+        got = tuple(feats[iid][c] for c in (
+            "mean_r_e4", "mean_g_e4", "mean_b_e4", "luma_p25", "luma_p50",
+            "luma_p75", "edge_energy_e4", "aspect_e4"))
+        assert got == exp, iid
