@@ -1828,6 +1828,123 @@ def q_image_features(spark, sf_dir):
     return extract_image_features(images)
 
 
+def _audio_clip(k: int):
+    """Deterministic int16 PCM clip per key: two-tone mix, varying
+    length/rate, every 4th clip stereo (right channel phase-shifted)."""
+    import numpy as np
+
+    sr = 8000 if k % 3 else 16000
+    n = 800 + (k % 5) * 400
+    t = np.arange(n) / sr
+    f1 = 180.0 + 13 * (k % 37)
+    f2 = 700.0 + 29 * (k % 23)
+    x = 0.55 * np.sin(2 * np.pi * f1 * t) + 0.25 * np.sin(2 * np.pi * f2 * t)
+    mono = np.floor(x * 12000 + 0.5).astype(np.int16)
+    if k % 4 == 0:
+        y = 0.55 * np.sin(2 * np.pi * f1 * t + 0.7) + 0.25 * np.sin(2 * np.pi * f2 * t)
+        right = np.floor(y * 12000 + 0.5).astype(np.int16)
+        return np.stack([mono, right], axis=1), sr
+    return mono[:, None], sr
+
+
+def _gen_audio_clips(spark, sf_dir, n: int = 150) -> DataFrame:
+    """WAV payload table (audio_id, bytes, fmt, sample_rate, n_samples,
+    caption) — audio as opaque binary + typed metadata, the same
+    pattern as the image payload table."""
+    import pandas as pd
+
+    from crawl4ai_spark.operators.multimodal import AUDIO_SCHEMA
+
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < n)
+        .select("p_partkey", "p_name")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        from crawl4ai_spark.audio import encode_wav
+
+        for pdf in batches:
+            rows = []
+            for k, name in zip(pdf["p_partkey"], pdf["p_name"]):
+                k = int(k)
+                samples, sr = _audio_clip(k)
+                rows.append(
+                    (str(k), encode_wav(samples, sr), "wav", sr,
+                     samples.shape[0], f"clip {name}")
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["audio_id", "bytes", "fmt", "sample_rate", "n_samples", "caption"],
+            )
+
+    return parts.mapInPandas(gen, AUDIO_SCHEMA)
+
+
+def q_audio_features(spark, sf_dir):
+    """Audio modality: REAL WAV/PCM16 decode (audio.py) → per-clip
+    features (duration, RMS, peak, zero-crossing rate) as a stateless
+    mapInPandas pass over the opaque-binary payload table."""
+    from crawl4ai_spark.operators.multimodal import extract_audio_features
+
+    return extract_audio_features(_gen_audio_clips(spark, sf_dir))
+
+
+def q_audio_frames(spark, sf_dir):
+    """Audio frame windowing: 25ms/10ms short-time frames with per-frame
+    RMS/ZCR — one payload row fans out to many frame rows inside the
+    Arrow batch (the STFT-input shape, no shuffle)."""
+    from crawl4ai_spark.operators.multimodal import audio_frames
+
+    return audio_frames(_gen_audio_clips(spark, sf_dir, n=60))
+
+
+def _video_frames_np(k: int):
+    """Deterministic frame stack per key: the lossless-corpus image
+    scrolled horizontally, 3-5 frames, varying durations."""
+    import numpy as np
+
+    base = _webp_rgb(k)
+    nf = 3 + (k % 3)
+    return (
+        [np.roll(base, 3 * i + (k % 2), axis=1) for i in range(nf)],
+        [40 + 20 * (i % 2) for i in range(nf)],
+    )
+
+
+def q_video_frame_sample(spark, sf_dir):
+    """Video modality: animated-WebP (VP8X/ANIM/ANMF) container walk +
+    VP8L frame decode, sampling every 2nd frame → (frame_idx, t_ms,
+    dims, phash) rows.  Frames are lossless, so the sampled phash is a
+    pure function of the deterministic source frames — hash-oracled."""
+    import pandas as pd
+
+    from crawl4ai_spark.operators.multimodal import sample_video_frames
+
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 100)
+        .select("p_partkey")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = "media_id string, bytes binary"
+
+    def gen(batches):
+        from crawl4ai_spark.webp import encode_webp_animation
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["p_partkey"]:
+                k = int(k)
+                frames, durs = _video_frames_np(k)
+                rows.append((str(k), encode_webp_animation(frames, durs)))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes"])
+
+    media = parts.mapInPandas(gen, schema)
+    return sample_video_frames(media, every_k=2)
+
+
 def q_webp_lossy_pipeline(spark, sf_dir):
     """Lossy-WebP (VP8, RFC 6386) decode/validate — the LAST image
     format to go real (vp8.py; boolean coder + header + mode layer
@@ -1915,6 +2032,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webp_lossy_psnr": q_webp_lossy_psnr,
         "image_resize": q_image_resize,
         "image_features": q_image_features,
+        "audio_features": q_audio_features,
+        "audio_frames": q_audio_frames,
+        "video_frame_sample": q_video_frame_sample,
         "adaptive_digest": q_adaptive_digest,
         "adaptive_embedding": q_adaptive_embedding,
         "table_extraction": q_table_extraction,
@@ -3257,6 +3377,79 @@ WHERE p.p_partkey < 200
 """
 
 
+def _audio_features_fixture_sql() -> str:
+    from crawl4ai_spark.audio import audio_features_np
+
+    rows = []
+    for k in range(150):
+        samples, sr = _audio_clip(k)
+        ft = audio_features_np(samples, sr)
+        rows.append(f"('{k}', {', '.join(str(x) for x in ft)})")
+    vals = ",\n".join(rows)
+    return f"""
+WITH fx(audio_id, n_samples, sample_rate, duration_ms, rms_e6, peak_e6, zcr_e6)
+AS (VALUES
+{vals}
+)
+SELECT f.audio_id, CAST(f.n_samples AS BIGINT) AS n_samples,
+       CAST(f.sample_rate AS BIGINT) AS sample_rate,
+       CAST(f.duration_ms AS BIGINT) AS duration_ms,
+       CAST(f.rms_e6 AS BIGINT) AS rms_e6,
+       CAST(f.peak_e6 AS BIGINT) AS peak_e6,
+       CAST(f.zcr_e6 AS BIGINT) AS zcr_e6
+FROM fx f JOIN part p ON CAST(p.p_partkey AS VARCHAR) = f.audio_id
+WHERE p.p_partkey < 150
+"""
+
+
+def _audio_frames_fixture_sql() -> str:
+    from crawl4ai_spark.audio import audio_frame_features_np
+
+    rows = []
+    for k in range(60):
+        samples, sr = _audio_clip(k)
+        for idx, start, rms, zcr in audio_frame_features_np(samples, sr):
+            rows.append(f"('{k}', {idx}, {start}, {rms}, {zcr})")
+    vals = ",\n".join(rows)
+    return f"""
+WITH fx(audio_id, frame_idx, start_ms, rms_e6, zcr_e6) AS (VALUES
+{vals}
+)
+SELECT f.audio_id, CAST(f.frame_idx AS BIGINT) AS frame_idx,
+       CAST(f.start_ms AS BIGINT) AS start_ms,
+       CAST(f.rms_e6 AS BIGINT) AS rms_e6,
+       CAST(f.zcr_e6 AS BIGINT) AS zcr_e6
+FROM fx f JOIN part p ON CAST(p.p_partkey AS VARCHAR) = f.audio_id
+WHERE p.p_partkey < 60
+"""
+
+
+def _video_frame_sample_fixture_sql() -> str:
+    from crawl4ai_spark.png import phash64
+
+    rows = []
+    for k in range(100):
+        frames, durs = _video_frames_np(k)
+        t = 0
+        for idx, (fr, dur) in enumerate(zip(frames, durs)):
+            if idx % 2 == 0:
+                rows.append(
+                    f"('{k}', {idx}, {t}, {fr.shape[1]}, {fr.shape[0]}, {phash64(fr)})"
+                )
+            t += dur
+    vals = ",\n".join(rows)
+    return f"""
+WITH fx(media_id, frame_idx, t_ms, w, h, phash) AS (VALUES
+{vals}
+)
+SELECT f.media_id, CAST(f.frame_idx AS BIGINT) AS frame_idx,
+       CAST(f.t_ms AS BIGINT) AS t_ms, CAST(f.w AS INT) AS w,
+       CAST(f.h AS INT) AS h, CAST(f.phash AS BIGINT) AS phash
+FROM fx f JOIN part p ON CAST(p.p_partkey AS VARCHAR) = f.media_id
+WHERE p.p_partkey < 100
+"""
+
+
 def _image_resize_fixture_sql() -> str:
     """Resized-phash per payload row, computed from the SOURCE pixels
     (corpus is lossless WebP, so decode == source by the already-oracled
@@ -3815,6 +4008,10 @@ FROM part WHERE p_partkey < 200
         "webp_lossy_psnr": _cached_fixture("webp_lossy_psnr", _webp_lossy_psnr_fixture_sql),
         "image_resize": _cached_fixture("image_resize", _image_resize_fixture_sql),
         "image_features": _cached_fixture("image_features", _image_features_fixture_sql),
+        "audio_features": _cached_fixture("audio_features", _audio_features_fixture_sql),
+        "audio_frames": _cached_fixture("audio_frames", _audio_frames_fixture_sql),
+        "video_frame_sample": _cached_fixture(
+            "video_frame_sample", _video_frame_sample_fixture_sql),
         "adaptive_digest": _cached_fixture("adaptive_digest", _adaptive_digest_fixture_sql),
         "adaptive_embedding": _cached_fixture("adaptive_embedding", _adaptive_embedding_fixture_sql),
         "simhash_pairs_portable": _simhash_portable_sql(),

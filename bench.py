@@ -191,6 +191,8 @@ ENTRY_QUERIES = [
     "webp_lossy_pipeline",
     "image_resize",
     "image_features",
+    "audio_features",
+    "video_frame_sample",
     "quality_scores",
     "lang_id",
     # round-2 operator families

@@ -288,3 +288,121 @@ def extract_image_features(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(gen, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio + video modalities (opaque binary payloads, typed metadata)
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("caption", T.StringType()),
+    ]
+)
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms_e6", T.LongType()),
+        T.StructField("peak_e6", T.LongType()),
+        T.StructField("zcr_e6", T.LongType()),
+    ]
+)
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("rms_e6", T.LongType()),
+        T.StructField("zcr_e6", T.LongType()),
+    ]
+)
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("t_ms", T.LongType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def extract_audio_features(audio: DataFrame) -> DataFrame:
+    """WAV decode → per-clip features (duration, RMS, peak, ZCR).
+    Stateless mapInPandas; only PCM16 WAV decodes (real codec,
+    audio.py) — other fmts fail the row loudly (no silent fakes)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..audio import audio_features_np, decode_wav
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if (r.fmt or "").lower() != "wav":
+                    raise ValueError(f"unsupported audio format: {r.fmt}")
+                samples, sr = decode_wav(r.bytes)
+                rows.append((r.audio_id,) + audio_features_np(samples, sr))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
+
+    return audio.select("audio_id", "bytes", "fmt").mapInPandas(gen, AUDIO_FEATURE_SCHEMA)
+
+
+def audio_frames(audio: DataFrame, frame_ms: int = 25, hop_ms: int = 10) -> DataFrame:
+    """WAV decode → short-time frames (per-frame RMS/ZCR) — the
+    windowing shape every speech pipeline starts from.  One input row
+    fans out to many frame rows inside the same Arrow batch (no
+    shuffle)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..audio import audio_frame_features_np, decode_wav
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                samples, sr = decode_wav(r.bytes)
+                for idx, start, rms, zcr in audio_frame_features_np(
+                    samples, sr, frame_ms=frame_ms, hop_ms=hop_ms
+                ):
+                    rows.append((r.audio_id, idx, start, rms, zcr))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FRAME_SCHEMA.fields])
+
+    return audio.select("audio_id", "bytes").mapInPandas(gen, AUDIO_FRAME_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, every_k: int = 1) -> DataFrame:
+    """Animated-WebP frame sampling: decode every k-th frame, emit
+    (frame_idx, timestamp, dims, pHash) rows.  The video analog of the
+    image validate pass — REAL container walk + VP8L/VP8 decode
+    (webp.py / vp8.py), stateless mapInPandas.  Timestamps accumulate
+    the per-frame durations of the SKIPPED frames too (container order),
+    so t_ms is the true presentation time of each sampled frame."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..png import phash64
+        from ..webp import decode_webp_frames
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                t = 0
+                for idx, (rgb, dur) in enumerate(decode_webp_frames(r.bytes)):
+                    if idx % every_k == 0:
+                        rows.append(
+                            (r.media_id, idx, t, rgb.shape[1], rgb.shape[0], phash64(rgb))
+                        )
+                    t += dur
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields])
+
+    return media.select("media_id", "bytes").mapInPandas(gen, VIDEO_FRAME_SCHEMA)

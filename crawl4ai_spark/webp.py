@@ -24,8 +24,11 @@ Bitstream Specification (RFC 9649):
   encoder modes in tests.
 
 Lossy WebP (VP8 chunks) is a different codec family (boolean
-arithmetic coding, intra prediction) and stays an honest
-NotImplementedError in multimodal.decode_rgb.
+arithmetic coding, intra prediction) and lives in vp8.py; decode_webp
+routes VP8 chunks there.  Animated WebP (VP8X + ANIM/ANMF) is handled
+by encode_webp_animation / decode_webp_frames below — the "video"
+modality carrier for the frame-sampling pipeline
+(operators/multimodal.py).
 """
 
 from __future__ import annotations
@@ -1085,3 +1088,80 @@ def encode_webp_lossless(rgb: np.ndarray, **kw) -> bytes:
         chunk += b"\x00"
     riff = b"WEBP" + chunk
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# ---------------------------------------------------------------------------
+# animated WebP (VP8X + ANIM/ANMF) — the "video" modality carrier
+# ---------------------------------------------------------------------------
+
+
+def encode_webp_animation(frames, durations_ms, loop_count: int = 0) -> bytes:
+    """Encode a list of (h, w, 3) uint8 frames as an animated WebP
+    (VP8X + ANIM + one ANMF per frame, VP8L-coded, full-canvas,
+    no-blend).  All frames must share one canvas size."""
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("all frames must share the canvas size")
+    if len(durations_ms) != len(frames):
+        raise ValueError("durations/frames length mismatch")
+
+    def u24(v):
+        return bytes([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF])
+
+    chunks = []
+    vp8x = bytes([0x02, 0, 0, 0]) + u24(w - 1) + u24(h - 1)  # ANIM flag
+    chunks.append(b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x)
+    anim = struct.pack("<I", 0) + struct.pack("<H", loop_count)
+    chunks.append(b"ANIM" + struct.pack("<I", len(anim)) + anim)
+    for f, dur in zip(frames, durations_ms):
+        payload = encode_vp8l(f, transforms=("subtract_green",), lz77=True)
+        sub = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            sub += b"\x00"
+        anmf = (u24(0) + u24(0) + u24(w - 1) + u24(h - 1)
+                + u24(int(dur)) + bytes([0]) + sub)
+        chunk = b"ANMF" + struct.pack("<I", len(anmf)) + anmf
+        if len(anmf) & 1:
+            chunk += b"\x00"
+        chunks.append(chunk)
+    body = b"WEBP" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_webp_frames(data: bytes):
+    """Decode WebP container bytes → list of ((h, w, 3) uint8 RGB,
+    duration_ms).  Still images yield one frame with duration 0;
+    animations yield every ANMF frame (full-canvas, no-blend layout —
+    the layout encode_webp_animation emits)."""
+    if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+    frames = []
+    i = 12
+    while i + 8 <= len(data):
+        fourcc = data[i : i + 4]
+        (size,) = struct.unpack("<I", data[i + 4 : i + 8])
+        payload = data[i + 8 : i + 8 + size]
+        if fourcc == b"ANMF":
+            if len(payload) < 16:
+                raise ValueError("truncated ANMF header")
+            dur = payload[12] | payload[13] << 8 | payload[14] << 16
+            j = 16
+            while j + 8 <= len(payload):
+                sub = payload[j : j + 4]
+                (ssz,) = struct.unpack("<I", payload[j + 4 : j + 8])
+                sdata = payload[j + 8 : j + 8 + ssz]
+                if sub == b"VP8L":
+                    frames.append((decode_vp8l(sdata)[..., :3].copy(), dur))
+                    break
+                if sub == b"VP8 ":
+                    from .vp8 import decode_vp8
+
+                    frames.append((decode_vp8(sdata), dur))
+                    break
+                j += 8 + ssz + (ssz & 1)
+        i += 8 + size + (size & 1)
+    if frames:
+        return frames
+    return [(decode_webp(data), 0)]
