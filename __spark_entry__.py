@@ -1945,6 +1945,85 @@ def q_video_frame_sample(spark, sf_dir):
     return sample_video_frames(media, every_k=2)
 
 
+def _pdf_doc(k: int):
+    """Deterministic synthetic article for the PDF corpus: (pages,
+    title, author, created) — pseudo-paper shape (headline, authors,
+    numbered sections, hyphenated line breaks) so the markdown cleanup
+    heuristics all fire."""
+    from datetime import datetime
+
+    words = ["crawl", "frontier", "politeness", "sketch", "shard", "vector",
+             "token", "parser", "spark", "cluster", "image", "payload"]
+    title = f"Study {k} of Deep {words[k % 12].title()} Systems"
+    author = f"Alice Smith, Bob Jones{k % 7}"
+    pages = []
+    n_pages = 1 + k % 3
+    for p in range(n_pages):
+        lines = []
+        y = 720
+        if p == 0:
+            lines.append((72, y, 18, title)); y -= 24
+            lines.append((72, y, 10, author)); y -= 20
+        lines.append((72, y, 12, f"{p + 1} Section {words[(k + p) % 12].title()}")); y -= 16
+        for j in range(4 + (k + p) % 3):
+            w1 = words[(k + j) % 12]
+            w2 = words[(k + j + 5) % 12]
+            tail = "over-" if j % 3 == 2 else f"and {w2}."
+            lines.append((72, y, 10, f"The {w1} pipeline handles {w2} rows {tail}"))
+            y -= 12
+        links = [f"https://ref{k % 5}.example.com/cite/{p}-{j}" for j in range(k % 3)]
+        pages.append({"lines": lines, "links": links})
+    created = datetime(2020 + k % 5, 1 + k % 12, 1 + k % 28, k % 24, k % 60, 0)
+    return pages, title, author, created
+
+
+def q_pdf_extract(spark, sf_dir):
+    """PDF payload processing (reference NaivePDFProcessorStrategy,
+    processors/pdf/processor.py:57): real PDF 1.4 parse (pdf.py —
+    FlateDecode streams, page tree, BT/ET text operators, /Annots URI
+    links, Info metadata) fanning each doc to per-page rows with the
+    reference's markdown cleanup.  Corpus is written by pdf.py's own
+    writer (even keys compressed, odd uncompressed)."""
+    import pandas as pd
+
+    from crawl4ai_spark.operators.pdfproc import process_pdfs
+
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 120)
+        .select("p_partkey")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        from crawl4ai_spark.pdf import write_pdf
+
+        for pdf_batch in batches:
+            rows = []
+            for k in pdf_batch["p_partkey"]:
+                k = int(k)
+                pages, title, author, created = _pdf_doc(k)
+                rows.append(
+                    (str(k), write_pdf(pages, title=title, author=author,
+                                       created=created, compress=(k % 2 == 0)))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "bytes"])
+
+    docs = parts.mapInPandas(gen, "doc_id string, bytes binary")
+    out = process_pdfs(docs)
+    return out.select(
+        "doc_id",
+        F.col("page_number").cast("int").alias("page_number"),
+        F.md5(F.col("raw_text")).alias("raw_text_md5"),
+        F.md5(F.col("markdown")).alias("markdown_md5"),
+        F.concat_ws("|", F.col("links")).alias("links_joined"),
+        F.col("n_text_ops").cast("int").alias("n_text_ops"),
+        "title",
+        "created_iso",
+        F.col("n_pages").cast("int").alias("n_pages"),
+    )
+
+
 def q_webp_lossy_pipeline(spark, sf_dir):
     """Lossy-WebP (VP8, RFC 6386) decode/validate — the LAST image
     format to go real (vp8.py; boolean coder + header + mode layer
@@ -2035,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "audio_frames": q_audio_frames,
         "video_frame_sample": q_video_frame_sample,
+        "pdf_extract": q_pdf_extract,
         "adaptive_digest": q_adaptive_digest,
         "adaptive_embedding": q_adaptive_embedding,
         "table_extraction": q_table_extraction,
@@ -3377,6 +3457,49 @@ WHERE p.p_partkey < 200
 """
 
 
+def _pdf_extract_fixture_sql() -> str:
+    """Per-page expected parse/cleanup output, computed driver-side by
+    writing + re-parsing each corpus document with the same pure
+    functions the executors run (pins writer→parser→cleanup end-to-end
+    incl. Flate on even keys)."""
+    import hashlib
+
+    from crawl4ai_spark.operators.pdfproc import process_pdfs  # noqa: F401 (parity doc)
+    from crawl4ai_spark.pdf import clean_pdf_text, parse_pdf, write_pdf
+
+    def md5(s):
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    rows = []
+    for k in range(120):
+        pages, title, author, created = _pdf_doc(k)
+        res = parse_pdf(write_pdf(pages, title=title, author=author,
+                                  created=created, compress=(k % 2 == 0)))
+        m = res["metadata"]
+        for pg in res["pages"]:
+            rows.append(
+                "('{}', {}, '{}', '{}', '{}', {}, '{}', '{}', {})".format(
+                    k, pg["page_number"], md5(pg["raw_text"]),
+                    md5(clean_pdf_text(pg["page_number"], pg["raw_text"])),
+                    "|".join(pg["links"]), len(pg["layout"]),
+                    m["title"].replace("'", "''"),
+                    m["created"].isoformat(), m["pages"],
+                )
+            )
+    vals = ",\n".join(rows)
+    return f"""
+WITH fx(doc_id, page_number, raw_text_md5, markdown_md5, links_joined,
+        n_text_ops, title, created_iso, n_pages) AS (VALUES
+{vals}
+)
+SELECT f.doc_id, CAST(f.page_number AS INT) AS page_number, f.raw_text_md5,
+       f.markdown_md5, f.links_joined, CAST(f.n_text_ops AS INT) AS n_text_ops,
+       f.title, f.created_iso, CAST(f.n_pages AS INT) AS n_pages
+FROM fx f JOIN part p ON CAST(p.p_partkey AS VARCHAR) = f.doc_id
+WHERE p.p_partkey < 120
+"""
+
+
 def _audio_features_fixture_sql() -> str:
     from crawl4ai_spark.audio import audio_features_np
 
@@ -4008,6 +4131,7 @@ FROM part WHERE p_partkey < 200
         "webp_lossy_psnr": _cached_fixture("webp_lossy_psnr", _webp_lossy_psnr_fixture_sql),
         "image_resize": _cached_fixture("image_resize", _image_resize_fixture_sql),
         "image_features": _cached_fixture("image_features", _image_features_fixture_sql),
+        "pdf_extract": _cached_fixture("pdf_extract", _pdf_extract_fixture_sql),
         "audio_features": _cached_fixture("audio_features", _audio_features_fixture_sql),
         "audio_frames": _cached_fixture("audio_frames", _audio_frames_fixture_sql),
         "video_frame_sample": _cached_fixture(

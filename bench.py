@@ -193,6 +193,7 @@ ENTRY_QUERIES = [
     "image_features",
     "audio_features",
     "video_frame_sample",
+    "pdf_extract",
     "quality_scores",
     "lang_id",
     # round-2 operator families

@@ -1,0 +1,676 @@
+"""Minimal pure-Python PDF writer + parser for the crawl payload plane.
+
+Grafts the reference's PDF processing surface
+(``crawl4ai/processors/pdf/processor.py`` — ``NaivePDFProcessorStrategy``):
+per-page text extraction with a layout visitor capturing the text
+matrix translation (processor.py:210-216), link extraction from /Annots
+URI actions (processor.py:403-413), Info-dictionary metadata with
+``D:YYYYMMDDHHMMSS`` date parsing (processor.py:415-452), and the
+markdown cleanup heuristics (utils.py:213 ``clean_pdf_text``,
+transcribed below and cross-checked in tests against the reference's
+own code executed via AST extraction).
+
+The reference runs on pypdf; this sandbox has no pypdf, so the parser
+here is built directly on the public PDF 1.4 object syntax (ISO
+32000 subset): object scanning, dictionaries/arrays/names/strings
+(literal + hex), indirect references, streams with /FlateDecode
+(zlib — available), the page tree, and BT/ET text operators
+(Tf/Td/TD/TL/T*/Tm/Tj/TJ/'/").  The writer emits exactly that subset
+(one Tm+Tj per text line, optional Flate compression, link annots,
+Info metadata) so every parser path is exercised by round-trip tests
+and the oracled entry corpus — the same self-generated-corpus pattern
+as jpeg.py/vp8.py.
+
+Scope (documented, mirroring the reference's "Naive" label): simple
+fonts with latin-1 text (no CMap/ToUnicode), no encryption, no
+cross-reference streams (PDF 1.5 object streams), no image X-Objects.
+Parsing a PDF outside this subset raises ValueError rather than
+returning partial garbage.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from datetime import datetime
+
+
+# ---------------------------------------------------------------------------
+# object model + tokenizer
+# ---------------------------------------------------------------------------
+
+
+class Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num, gen):
+        self.num, self.gen = num, gen
+
+    def __repr__(self):
+        return f"{self.num} {self.gen} R"
+
+    def __eq__(self, o):
+        return isinstance(o, Ref) and (self.num, self.gen) == (o.num, o.gen)
+
+    def __hash__(self):
+        return hash((self.num, self.gen))
+
+
+class Name(str):
+    """PDF name object (/X) — a str subclass so dict keys stay readable."""
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.d = data
+        self.pos = pos
+
+    def _skip_ws(self):
+        d, i = self.d, self.pos
+        while i < len(d):
+            c = d[i : i + 1]
+            if c in b"%":
+                while i < len(d) and d[i] not in b"\r\n":
+                    i += 1
+            elif c in _WS:
+                i += 1
+            else:
+                break
+        self.pos = i
+
+    def peek_token(self):
+        save = self.pos
+        tok = self.next_token()
+        self.pos = save
+        return tok
+
+    def next_token(self):
+        self._skip_ws()
+        d, i = self.d, self.pos
+        if i >= len(d):
+            return None
+        c = d[i : i + 1]
+        if c == b"<":
+            if d[i : i + 2] == b"<<":
+                self.pos = i + 2
+                return b"<<"
+            j = d.index(b">", i)
+            self.pos = j + 1
+            return (b"hex", d[i + 1 : j])
+        if c == b">":
+            if d[i : i + 2] == b">>":
+                self.pos = i + 2
+                return b">>"
+            raise ValueError("unbalanced '>'")
+        if c in b"[]":
+            self.pos = i + 1
+            return c
+        if c == b"/":
+            j = i + 1
+            while j < len(d) and d[j] not in _WS + _DELIM:
+                j += 1
+            self.pos = j
+            return (b"name", d[i + 1 : j])
+        if c == b"(":
+            return (b"str", self._literal_string())
+        # bare token (number, keyword)
+        j = i
+        while j < len(d) and d[j] not in _WS + _DELIM:
+            j += 1
+        if j == i:
+            raise ValueError(f"lex error at {i}: {d[i:i+10]!r}")
+        self.pos = j
+        return d[i:j]
+
+    def _literal_string(self) -> bytes:
+        d = self.d
+        i = self.pos
+        assert d[i : i + 1] == b"("
+        i += 1
+        out = bytearray()
+        depth = 1
+        esc = {b"n": 10, b"r": 13, b"t": 9, b"b": 8, b"f": 12,
+               b"(": 40, b")": 41, b"\\": 92}
+        while i < len(d):
+            c = d[i : i + 1]
+            if c == b"\\":
+                nc = d[i + 1 : i + 2]
+                if nc in esc:
+                    out.append(esc[nc])
+                    i += 2
+                elif nc.isdigit():  # octal, up to 3 digits
+                    j = i + 1
+                    while j < min(i + 4, len(d)) and d[j : j + 1].isdigit():
+                        j += 1
+                    out.append(int(d[i + 1 : j], 8) & 0xFF)
+                    i = j
+                else:  # line continuation / unknown escape: drop backslash
+                    i += 1
+            elif c == b"(":
+                depth += 1
+                out.append(40)
+                i += 1
+            elif c == b")":
+                depth -= 1
+                if depth == 0:
+                    self.pos = i + 1
+                    return bytes(out)
+                out.append(41)
+                i += 1
+            else:
+                out.append(d[i])
+                i += 1
+        raise ValueError("unterminated string")
+
+
+_NUM_RE = re.compile(rb"^[+-]?(\d+\.?\d*|\.\d+)$")
+
+
+def _parse_value(lx: _Lexer, allow_ref: bool = True):
+    tok = lx.next_token()
+    return _parse_value_tok(lx, tok, allow_ref)
+
+
+def _parse_value_tok(lx: _Lexer, tok, allow_ref: bool = True):
+    if tok is None:
+        raise ValueError("unexpected EOF")
+    if tok == b"<<":
+        d = {}
+        while True:
+            t = lx.next_token()
+            if t == b">>":
+                return d
+            if not (isinstance(t, tuple) and t[0] == b"name"):
+                raise ValueError(f"dict key not a name: {t!r}")
+            d[Name(t[1].decode("latin-1"))] = _parse_value(lx, allow_ref)
+        return d
+    if tok == b"[":
+        arr = []
+        while True:
+            t = lx.next_token()
+            if t == b"]":
+                return arr
+            arr.append(_parse_value_tok(lx, t, allow_ref))
+    if isinstance(tok, tuple):
+        kind, val = tok
+        if kind == b"name":
+            return Name(val.decode("latin-1"))
+        if kind == b"str":
+            return val
+        if kind == b"hex":
+            h = re.sub(rb"\s", b"", val)
+            if len(h) % 2:
+                h += b"0"
+            return bytes.fromhex(h.decode("ascii"))
+    if tok == b"true":
+        return True
+    if tok == b"false":
+        return False
+    if tok == b"null":
+        return None
+    if _NUM_RE.match(tok):
+        # possible indirect reference: "num gen R"
+        if allow_ref and b"." not in tok:
+            save = lx.pos
+            t2 = lx.next_token()
+            if isinstance(t2, bytes) and _NUM_RE.match(t2) and b"." not in t2:
+                t3 = lx.next_token()
+                if t3 == b"R":
+                    return Ref(int(tok), int(t2))
+            lx.pos = save
+        return float(tok) if b"." in tok else int(tok)
+    raise ValueError(f"unexpected token {tok!r}")
+
+
+# ---------------------------------------------------------------------------
+# document parsing
+# ---------------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+def _load_objects(data: bytes):
+    """Scan all ``N G obj`` definitions; streams are skipped by their
+    /Length so binary content cannot confuse the scanner."""
+    objects = {}
+    pos = 0
+    pending_streams = []
+    while True:
+        m = _OBJ_RE.search(data, pos)
+        if not m:
+            break
+        lx = _Lexer(data, m.end())
+        val = _parse_value(lx)
+        lx._skip_ws()
+        if data[lx.pos : lx.pos + 6] == b"stream":
+            p = lx.pos + 6
+            if data[p : p + 2] == b"\r\n":
+                p += 2
+            elif data[p : p + 1] == b"\n":
+                p += 1
+            if not isinstance(val, dict):
+                raise ValueError("stream without dict")
+            length = val.get("Length")
+            if isinstance(length, Ref):
+                pending_streams.append((int(m.group(1)), val, length, p))
+                # can't know the end yet; conservatively find 'endstream'
+                e = data.index(b"endstream", p)
+                pos = e + 9
+                continue
+            raw = data[p : p + int(length)]
+            val = {"__stream__": raw, **val}
+            pos = p + int(length)
+        else:
+            pos = lx.pos
+        objects[int(m.group(1))] = val
+    for num, dct, ref, p in pending_streams:
+        length = objects.get(ref.num)
+        if not isinstance(length, int):
+            raise ValueError("unresolvable stream /Length")
+        objects[num] = {"__stream__": data[p : p + length], **dct}
+    return objects
+
+
+def _resolve(objects, v):
+    seen = 0
+    while isinstance(v, Ref):
+        v = objects.get(v.num)
+        seen += 1
+        if seen > 32:
+            raise ValueError("reference cycle")
+    return v
+
+
+def _stream_data(objects, obj) -> bytes:
+    raw = obj["__stream__"]
+    filt = _resolve(objects, obj.get("Filter"))
+    if filt is None:
+        return raw
+    filts = filt if isinstance(filt, list) else [filt]
+    for f in filts:
+        f = _resolve(objects, f)
+        if f == "FlateDecode":
+            raw = zlib.decompress(raw)
+        else:
+            raise ValueError(f"unsupported stream filter {f}")
+    return raw
+
+
+def _find_trailer(data: bytes, objects):
+    """Last trailer dict (classic xref); falls back to scanning for a
+    /Root-bearing dict when the trailer keyword is absent."""
+    idx = data.rfind(b"trailer")
+    if idx >= 0:
+        lx = _Lexer(data, idx + 7)
+        return _parse_value(lx)
+    for obj in objects.values():
+        if isinstance(obj, dict) and "Root" in obj:
+            return obj
+    raise ValueError("no trailer / catalog found")
+
+
+def _walk_pages(objects, node, out):
+    node = _resolve(objects, node)
+    if not isinstance(node, dict):
+        raise ValueError("bad page tree node")
+    t = node.get("Type")
+    if t == "Pages":
+        for kid in _resolve(objects, node.get("Kids")) or []:
+            _walk_pages(objects, kid, out)
+    elif t == "Page":
+        out.append(node)
+    else:
+        raise ValueError(f"unexpected page tree node type {t}")
+
+
+# text operators: (operand_count is implicit in the token stream)
+def _extract_text(content: bytes):
+    """Walk BT/ET text blocks; returns layout entries mirroring the
+    reference's visitor capture (text + text-matrix translation,
+    processor.py:210-216) in content order."""
+    lx = _Lexer(content)
+    stack = []
+    layout = []
+    tm = [1, 0, 0, 1, 0, 0]
+    tlm = [1, 0, 0, 1, 0, 0]
+    leading = 0.0
+
+    def show(s: bytes):
+        layout.append({"type": "text", "text": s.decode("latin-1"),
+                       "x": tlm[4], "y": tlm[5]})
+
+    while True:
+        tok = lx.next_token()
+        if tok is None:
+            break
+        if tok == b"<<" or tok == b"[":
+            stack.append(_parse_value_tok(lx, tok, allow_ref=False))
+            continue
+        if isinstance(tok, tuple) or _NUM_RE.match(tok):
+            stack.append(_parse_value_tok(lx, tok, allow_ref=False))
+            continue
+        op = tok
+        if op == b"BT":
+            tm = [1, 0, 0, 1, 0, 0]
+            tlm = list(tm)
+        elif op == b"Tm":
+            tlm = [float(x) for x in stack[-6:]]
+            tm = list(tlm)
+        elif op in (b"Td", b"TD"):
+            tx, ty = float(stack[-2]), float(stack[-1])
+            if op == b"TD":
+                leading = -ty
+            tlm = [tlm[0], tlm[1], tlm[2], tlm[3],
+                   tlm[4] + tx * tlm[0] + ty * tlm[2],
+                   tlm[5] + tx * tlm[1] + ty * tlm[3]]
+            tm = list(tlm)
+        elif op == b"TL":
+            leading = float(stack[-1])
+        elif op == b"T*":
+            tlm = [tlm[0], tlm[1], tlm[2], tlm[3],
+                   tlm[4] - leading * tlm[2], tlm[5] - leading * tlm[3]]
+            tm = list(tlm)
+        elif op == b"Tj":
+            show(stack[-1])
+        elif op == b"'":
+            tlm = [tlm[0], tlm[1], tlm[2], tlm[3],
+                   tlm[4] - leading * tlm[2], tlm[5] - leading * tlm[3]]
+            show(stack[-1])
+        elif op == b'"':
+            tlm = [tlm[0], tlm[1], tlm[2], tlm[3],
+                   tlm[4] - leading * tlm[2], tlm[5] - leading * tlm[3]]
+            show(stack[-1])
+        elif op == b"TJ":
+            parts = [p for p in stack[-1] if isinstance(p, bytes)]
+            show(b"".join(parts))
+        stack.clear()
+    return layout
+
+
+def parse_pdf_date(date_str):
+    """``D:YYYYMMDDHHmmSS...`` → datetime (reference
+    processor.py:439-452 semantics: strip prefix, first 14 digits)."""
+    if not date_str:
+        return None
+    s = date_str.decode("latin-1") if isinstance(date_str, bytes) else str(date_str)
+    s = s.lstrip("D:")
+    m = re.match(r"(\d{4})(\d{2})?(\d{2})?(\d{2})?(\d{2})?(\d{2})?", s)
+    if not m:
+        return None
+    parts = [int(g) if g else (1 if i in (1, 2) else 0)
+             for i, g in enumerate(m.groups())]
+    try:
+        return datetime(*parts)
+    except ValueError:
+        return None
+
+
+def parse_pdf(data: bytes) -> dict:
+    """Parse PDF bytes → {metadata: {...}, pages: [{page_number,
+    raw_text, layout, links}]} — the shape of the reference's
+    PDFProcessResult (processor.py:25-50) minus image extraction."""
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("not a PDF file")
+    objects = _load_objects(data)
+    trailer = _find_trailer(data, objects)
+    info = _resolve(objects, trailer.get("Info")) or {}
+    root = _resolve(objects, trailer.get("Root"))
+    if not isinstance(root, dict):
+        raise ValueError("missing document catalog")
+    page_objs = []
+    _walk_pages(objects, root.get("Pages"), page_objs)
+
+    def _txt(v):
+        v = _resolve(objects, v)
+        return v.decode("latin-1") if isinstance(v, bytes) else v
+
+    meta = {
+        "title": _txt(info.get("Title")),
+        "author": _txt(info.get("Author")),
+        "subject": _txt(info.get("Subject")),
+        "producer": _txt(info.get("Producer")),
+        "created": parse_pdf_date(_resolve(objects, info.get("CreationDate"))),
+        "pages": len(page_objs),
+    }
+    pages = []
+    for i, pg in enumerate(page_objs):
+        contents = _resolve(objects, pg.get("Contents"))
+        chunks = contents if isinstance(contents, list) else [contents]
+        content = b"\n".join(
+            _stream_data(objects, _resolve(objects, c)) for c in chunks if c is not None
+        )
+        layout = _extract_text(content)
+        raw_text = "\n".join(e["text"] for e in layout)
+        links = []
+        for an in _resolve(objects, pg.get("Annots")) or []:
+            an = _resolve(objects, an)
+            act = _resolve(objects, an.get("A")) if isinstance(an, dict) else None
+            if isinstance(act, dict) and act.get("URI") is not None:
+                uri = _resolve(objects, act["URI"])
+                links.append(uri.decode("latin-1") if isinstance(uri, bytes) else str(uri))
+        pages.append(
+            {"page_number": i + 1, "raw_text": raw_text, "layout": layout,
+             "links": links}
+        )
+    return {"metadata": meta, "pages": pages}
+
+
+# ---------------------------------------------------------------------------
+# writer (corpus generator — exercises every parser path above)
+# ---------------------------------------------------------------------------
+
+
+def _esc(s: str) -> bytes:
+    b = s.encode("latin-1")
+    return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def write_pdf(pages, title=None, author=None, created=None, compress=True) -> bytes:
+    """pages: list of {"lines": [(x, y, size, text), ...],
+    "links": [uri, ...]}.  Emits PDF 1.4 with one Tm+Tj per line,
+    Helvetica, optional Flate-compressed content streams, URI link
+    annotations, and an Info dictionary."""
+    objs: list[bytes] = []  # 1-indexed bodies
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    page_nums = []
+    kids_placeholder = add(b"")  # pages tree, patched later
+    for pg in pages:
+        parts = [b"BT\n"]
+        for (x, y, size, text) in pg.get("lines", []):
+            parts.append(b"/F1 %d Tf\n" % int(size))
+            parts.append(b"1 0 0 1 %s %s Tm\n" % (_fmt(x), _fmt(y)))
+            parts.append(b"(" + _esc(text) + b") Tj\n")
+        parts.append(b"ET\n")
+        content = b"".join(parts)
+        if compress:
+            cdata = zlib.compress(content)
+            cnum = add(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(cdata)
+                + cdata + b"\nendstream"
+            )
+        else:
+            cnum = add(
+                b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+            )
+        annot_nums = []
+        for uri in pg.get("links", []):
+            annot_nums.append(add(
+                b"<< /Type /Annot /Subtype /Link /Rect [0 0 10 10] "
+                b"/A << /Type /Action /S /URI /URI (" + _esc(uri) + b") >> >>"
+            ))
+        annots = (b" /Annots [" + b" ".join(b"%d 0 R" % n for n in annot_nums) + b"]"
+                  if annot_nums else b"")
+        page_nums.append(add(
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R%s >>"
+            % (kids_placeholder, font_num, cnum, annots)
+        ))
+    objs[kids_placeholder - 1] = (
+        b"<< /Type /Pages /Kids [" + b" ".join(b"%d 0 R" % n for n in page_nums)
+        + b"] /Count %d >>" % len(page_nums)
+    )
+    catalog = add(b"<< /Type /Catalog /Pages %d 0 R >>" % kids_placeholder)
+    info_parts = [b"<< /Producer (crawl4ai-spark pdf.py)"]
+    if title:
+        info_parts.append(b" /Title (" + _esc(title) + b")")
+    if author:
+        info_parts.append(b" /Author (" + _esc(author) + b")")
+    if created:
+        info_parts.append(b" /CreationDate (D:" + created.strftime("%Y%m%d%H%M%S").encode() + b")")
+    info_parts.append(b" >>")
+    info = add(b"".join(info_parts))
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root %d 0 R /Info %d 0 R >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % (len(objs) + 1, catalog, info, xref_pos))
+    return bytes(out)
+
+
+def _fmt(v) -> bytes:
+    if isinstance(v, int) or float(v).is_integer():
+        return b"%d" % int(v)
+    return (b"%.2f" % float(v)).rstrip(b"0").rstrip(b".")
+
+
+# ---------------------------------------------------------------------------
+# markdown cleanup — parity transcription of the reference's
+# clean_pdf_text (processors/pdf/utils.py:213-349); quirks preserved
+# verbatim (the '.\n' → '.\n\n' expansion, first-line headline rule,
+# page-1 author detection, hyphen joining, citation bracketing).
+# Cross-checked in tests against the reference's own code executed via
+# AST extraction (tests/test_pdf.py).
+# ---------------------------------------------------------------------------
+
+
+def clean_pdf_text(page_number, text):
+    try:
+        decoded = text.encode("latin-1").decode("unicode-escape")
+        decoded = decoded.encode("utf-16", "surrogatepass").decode("utf-16")
+    except Exception:
+        decoded = text
+
+    article_title_detected = False
+    decoded = re.sub(r"\.\n", ".\n\n", decoded)
+    lines = decoded.split("\n")
+    output = []
+    current_paragraph = []
+    in_header = False
+    email_pattern = re.compile(r"\{.*?\}")
+    affiliation_pattern = re.compile(r"^†")
+    quote_pattern = re.compile(r'^["“]')
+    author_pattern = re.compile(
+        r"^\s*[A-Z][a-zA-Z]+(?:\s+[A-Z][a-zA-Z]+)*\s*(?:[†*0-9]+)?"
+        r"(?:,\s*[A-Z][a-zA-Z]+(?:\s+[A-Z][a-zA-Z]+)*\s*(?:[†*0-9]+)?)*"
+        r"(?:,\s*(?:and|&)\s+[A-Z][a-zA-Z]+(?:\s+[A-Z][a-zA-Z]+)*\s*(?:[†*0-9]+)?)?\s*$"
+    )
+
+    def flush_paragraph():
+        if current_paragraph:
+            para = " ".join(current_paragraph)
+            para = re.sub(r"\s+", " ", para).strip()
+            if para:
+                output.append(para)
+            current_paragraph.clear()
+
+    for i, line in enumerate(lines):
+        line = line.strip()
+
+        if not line:
+            flush_paragraph()
+            continue
+
+        if (
+            not article_title_detected
+            and i == 0
+            and 3 <= len(line.split()) <= 8
+            and (len(lines) > 1)
+        ):
+            flush_paragraph()
+            output.append(f"## {line}")
+            continue
+
+        if not line and current_paragraph:
+            flush_paragraph()
+            output.append("")
+            continue
+
+        numbered_header = re.match(r"^(\d+(?:\.\d+)*)\s+(.+)$", line)
+        if not lines[i - 1].strip() and numbered_header:
+            flush_paragraph()
+            level = numbered_header.group(1).count(".") + 1
+            header_text = numbered_header.group(2)
+            md_level = min(level + 1, 6)
+            output.append(f'{"#" * md_level} {header_text}')
+            in_header = True
+            continue
+
+        if page_number == 1 and author_pattern.match(line):
+            authors = re.sub(r"[†â€]", "", line)
+            authors = re.split(r", | and ", authors)
+            formatted_authors = []
+            for author in authors:
+                if author.strip():
+                    parts = [p for p in author.strip().split() if p]
+                    formatted = " ".join(parts)
+                    formatted_authors.append(f"**{formatted}**")
+            if len(formatted_authors) > 1:
+                joined = ", ".join(formatted_authors[:-1]) + " and " + formatted_authors[-1]
+            else:
+                joined = formatted_authors[0]
+            output.append(joined)
+            continue
+
+        if affiliation_pattern.match(line):
+            output.append(f"*{line}*")
+            continue
+
+        if email_pattern.match(line):
+            output.append(f"`{line}`")
+            continue
+
+        if re.match(r"^(Abstract|\d+\s+[A-Z]|References|Appendix|Figure|Table)", line):
+            flush_paragraph()
+            output.append(f"_[{line}]_")
+            in_header = True
+            continue
+
+        if quote_pattern.match(line):
+            flush_paragraph()
+            output.append(f"> {line}")
+            continue
+
+        if line.endswith("-"):
+            current_paragraph.append(line[:-1].strip())
+        else:
+            current_paragraph.append(line)
+
+        if in_header and not line.endswith((".", "!", "?")):
+            flush_paragraph()
+            in_header = False
+
+    flush_paragraph()
+
+    markdown = "\n\n".join(output)
+    markdown = re.sub(r"\(([A-Z][a-z]+ et al\. \d{4})\)", r"[\1]", markdown)
+    markdown = markdown.replace("\\ud835", "").replace("\\u2020", "†")
+    markdown = re.sub(r"\s+-\s+", "", markdown)
+    markdown = re.sub(r"\s+([.,!?)])", r"\1", markdown)
+    return markdown
