@@ -1825,7 +1825,7 @@ def q_image_features(spark, sf_dir):
     from crawl4ai_spark.operators.multimodal import extract_image_features
 
     images = _gen_webp_images(spark, sf_dir)
-    return extract_image_features(images)
+    return extract_image_features(images).drop("error")
 
 
 def _audio_clip(k: int):
@@ -1888,7 +1888,7 @@ def q_audio_features(spark, sf_dir):
     mapInPandas pass over the opaque-binary payload table."""
     from crawl4ai_spark.operators.multimodal import extract_audio_features
 
-    return extract_audio_features(_gen_audio_clips(spark, sf_dir))
+    return extract_audio_features(_gen_audio_clips(spark, sf_dir)).drop("error")
 
 
 def q_audio_frames(spark, sf_dir):
@@ -1897,7 +1897,7 @@ def q_audio_frames(spark, sf_dir):
     Arrow batch (the STFT-input shape, no shuffle)."""
     from crawl4ai_spark.operators.multimodal import audio_frames
 
-    return audio_frames(_gen_audio_clips(spark, sf_dir, n=60))
+    return audio_frames(_gen_audio_clips(spark, sf_dir, n=60)).drop("error")
 
 
 def _video_frames_np(k: int):
@@ -1942,7 +1942,7 @@ def q_video_frame_sample(spark, sf_dir):
             yield pd.DataFrame(rows, columns=["media_id", "bytes"])
 
     media = parts.mapInPandas(gen, schema)
-    return sample_video_frames(media, every_k=2)
+    return sample_video_frames(media, every_k=2).drop("error")
 
 
 def _pdf_doc(k: int):
@@ -3580,11 +3580,14 @@ def _image_resize_fixture_sql() -> str:
     from crawl4ai_spark.operators.multimodal import resize_bilinear
     from crawl4ai_spark.png import phash64
 
-    vals = ",\n".join(
-        f"('{k}', {phash64(resize_bilinear(_webp_rgb(k), 24, 32))}, "
-        f"{_webp_rgb(k).shape[1]}, {_webp_rgb(k).shape[0]})"
-        for k in range(200)
-    )
+    rows = []
+    for k in range(200):
+        rgb = _webp_rgb(k)
+        rows.append(
+            f"('{k}', {phash64(resize_bilinear(rgb, 24, 32))}, "
+            f"{rgb.shape[1]}, {rgb.shape[0]})"
+        )
+    vals = ",\n".join(rows)
     return f"""
 WITH fx(image_id, phash, src_w, src_h) AS (VALUES
 {vals}

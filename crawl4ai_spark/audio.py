@@ -67,6 +67,10 @@ def decode_wav(data: bytes):
             )
             if audio_fmt != 1 or bits != 16:
                 raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
+            if channels not in (1, 2):
+                raise ValueError(f"bad channel count {channels}")
+            if sample_rate == 0:
+                raise ValueError("bad sample rate 0")
         elif tag == b"data":
             pcm = payload
         i += 8 + size + (size & 1)

@@ -81,7 +81,7 @@ def decode_rgb(data: bytes, fmt: str, allow_stub: bool = False) -> np.ndarray:
         from ..webp import decode_webp
 
         return decode_webp(data)
-    if fmt in ("jpeg", "jpg", "webp"):
+    if fmt in ("jpeg", "jpg"):
         # only reachable with allow_stub=True (honest failures re-raised above)
         import zlib
 
@@ -193,6 +193,7 @@ RESIZE_SCHEMA = T.StructType(
         T.StructField("phash", T.LongType()),
         T.StructField("src_w", T.IntegerType()),
         T.StructField("src_h", T.IntegerType()),
+        T.StructField("error", T.StringType()),
     ]
 )
 
@@ -207,6 +208,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("luma_p75", T.LongType()),
         T.StructField("edge_energy_e4", T.LongType()),
         T.StructField("aspect_e4", T.LongType()),
+        T.StructField("error", T.StringType()),
     ]
 )
 
@@ -265,12 +267,16 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                rgb = decode_rgb(r.bytes, r.fmt)
-                res = resize_bilinear(rgb, out_h, out_w)
-                rows.append(
-                    (r.image_id, encode_png(res), out_w, out_h, "png",
-                     r.caption, phash64(res), rgb.shape[1], rgb.shape[0])
-                )
+                try:
+                    rgb = decode_rgb(r.bytes, r.fmt)
+                    res = resize_bilinear(rgb, out_h, out_w)
+                    rows.append(
+                        (r.image_id, encode_png(res), out_w, out_h, "png",
+                         r.caption, phash64(res), rgb.shape[1], rgb.shape[0], None)
+                    )
+                except Exception as e:  # corrupt payloads land as data
+                    rows.append((r.image_id, None, None, None, None,
+                                 r.caption, None, None, None, str(e)[:200]))
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
 
     return images.mapInPandas(gen, RESIZE_SCHEMA)
@@ -283,8 +289,11 @@ def extract_image_features(images: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                rgb = decode_rgb(r.bytes, r.fmt)
-                rows.append((r.image_id,) + image_features_np(rgb))
+                try:
+                    rgb = decode_rgb(r.bytes, r.fmt)
+                    rows.append((r.image_id,) + image_features_np(rgb) + (None,))
+                except Exception as e:
+                    rows.append((r.image_id,) + (None,) * 8 + (str(e)[:200],))
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(gen, FEATURE_SCHEMA)
@@ -314,6 +323,7 @@ AUDIO_FEATURE_SCHEMA = T.StructType(
         T.StructField("rms_e6", T.LongType()),
         T.StructField("peak_e6", T.LongType()),
         T.StructField("zcr_e6", T.LongType()),
+        T.StructField("error", T.StringType()),
     ]
 )
 
@@ -324,6 +334,7 @@ AUDIO_FRAME_SCHEMA = T.StructType(
         T.StructField("start_ms", T.LongType()),
         T.StructField("rms_e6", T.LongType()),
         T.StructField("zcr_e6", T.LongType()),
+        T.StructField("error", T.StringType()),
     ]
 )
 
@@ -335,6 +346,7 @@ VIDEO_FRAME_SCHEMA = T.StructType(
         T.StructField("w", T.IntegerType()),
         T.StructField("h", T.IntegerType()),
         T.StructField("phash", T.LongType()),
+        T.StructField("error", T.StringType()),
     ]
 )
 
@@ -342,7 +354,8 @@ VIDEO_FRAME_SCHEMA = T.StructType(
 def extract_audio_features(audio: DataFrame) -> DataFrame:
     """WAV decode → per-clip features (duration, RMS, peak, ZCR).
     Stateless mapInPandas; only PCM16 WAV decodes (real codec,
-    audio.py) — other fmts fail the row loudly (no silent fakes)."""
+    audio.py) — other fmts / corrupt clips fail the ROW loudly (error
+    column), never the job."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..audio import audio_features_np, decode_wav
@@ -350,10 +363,15 @@ def extract_audio_features(audio: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                if (r.fmt or "").lower() != "wav":
-                    raise ValueError(f"unsupported audio format: {r.fmt}")
-                samples, sr = decode_wav(r.bytes)
-                rows.append((r.audio_id,) + audio_features_np(samples, sr))
+                try:
+                    if (r.fmt or "").lower() != "wav":
+                        raise ValueError(f"unsupported audio format: {r.fmt}")
+                    samples, sr = decode_wav(r.bytes)
+                    rows.append(
+                        (r.audio_id,) + audio_features_np(samples, sr) + (None,)
+                    )
+                except Exception as e:
+                    rows.append((r.audio_id,) + (None,) * 6 + (str(e)[:200],))
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
 
     return audio.select("audio_id", "bytes", "fmt").mapInPandas(gen, AUDIO_FEATURE_SCHEMA)
@@ -371,11 +389,14 @@ def audio_frames(audio: DataFrame, frame_ms: int = 25, hop_ms: int = 10) -> Data
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                samples, sr = decode_wav(r.bytes)
-                for idx, start, rms, zcr in audio_frame_features_np(
-                    samples, sr, frame_ms=frame_ms, hop_ms=hop_ms
-                ):
-                    rows.append((r.audio_id, idx, start, rms, zcr))
+                try:
+                    samples, sr = decode_wav(r.bytes)
+                    for idx, start, rms, zcr in audio_frame_features_np(
+                        samples, sr, frame_ms=frame_ms, hop_ms=hop_ms
+                    ):
+                        rows.append((r.audio_id, idx, start, rms, zcr, None))
+                except Exception as e:
+                    rows.append((r.audio_id, None, None, None, None, str(e)[:200]))
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FRAME_SCHEMA.fields])
 
     return audio.select("audio_id", "bytes").mapInPandas(gen, AUDIO_FRAME_SCHEMA)
@@ -396,13 +417,17 @@ def sample_video_frames(media: DataFrame, every_k: int = 1) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                t = 0
-                for idx, (rgb, dur) in enumerate(decode_webp_frames(r.bytes)):
-                    if idx % every_k == 0:
-                        rows.append(
-                            (r.media_id, idx, t, rgb.shape[1], rgb.shape[0], phash64(rgb))
-                        )
-                    t += dur
+                try:
+                    t = 0
+                    for idx, (rgb, dur) in enumerate(decode_webp_frames(r.bytes)):
+                        if idx % every_k == 0:
+                            rows.append(
+                                (r.media_id, idx, t, rgb.shape[1], rgb.shape[0],
+                                 phash64(rgb), None)
+                            )
+                        t += dur
+                except Exception as e:
+                    rows.append((r.media_id, None, None, None, None, None, str(e)[:200]))
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields])
 
     return media.select("media_id", "bytes").mapInPandas(gen, VIDEO_FRAME_SCHEMA)

@@ -187,7 +187,6 @@ def _parse_value_tok(lx: _Lexer, tok, allow_ref: bool = True):
             if not (isinstance(t, tuple) and t[0] == b"name"):
                 raise ValueError(f"dict key not a name: {t!r}")
             d[Name(t[1].decode("latin-1"))] = _parse_value(lx, allow_ref)
-        return d
     if tok == b"[":
         arr = []
         while True:

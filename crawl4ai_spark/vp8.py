@@ -1097,14 +1097,25 @@ def _clamp255(v):
     return np.clip(v, 0, 255)
 
 
-def pred_16_or_8(mode: int, above, left, corner, size: int):
+def pred_16_or_8(mode: int, above, left, corner, size: int,
+                 have_above: bool = True, have_left: bool = True):
     """16x16 luma / 8x8 chroma whole-MB prediction.  above/left are
-    length-`size` int arrays, corner the above-left pixel."""
+    length-`size` int arrays, corner the above-left pixel.  DC_PRED
+    follows RFC 6386's availability rule: average only the neighbours
+    inside the frame (half shift with one side, 128 with neither) —
+    the 127/129 edge pads feed V/H/TM but never the DC average."""
     a = np.asarray(above, np.int32)
     l = np.asarray(left, np.int32)
     if mode == DC_PRED:
-        shift = {16: 5, 8: 4}[size]
-        dc = (int(a.sum()) + int(l.sum()) + (1 << (shift - 1))) >> shift
+        shift = {16: 4, 8: 3}[size]
+        if have_above and have_left:
+            dc = (int(a.sum()) + int(l.sum()) + (1 << shift)) >> (shift + 1)
+        elif have_above:
+            dc = (int(a.sum()) + (1 << (shift - 1))) >> shift
+        elif have_left:
+            dc = (int(l.sum()) + (1 << (shift - 1))) >> shift
+        else:
+            dc = 128
         return np.full((size, size), dc, np.int32)
     if mode == V_PRED:
         return np.tile(a, (size, 1))
@@ -1354,7 +1365,8 @@ def decode_frame(data: bytes):
                 above = y_plane.px[y0, 1 + x0 : 1 + x0 + 16]
                 left = y_plane.px[1 + y0 : 1 + y0 + 16, x0]
                 corner = int(y_plane.px[y0, x0])
-                pred = pred_16_or_8(ymode, above, left, corner, 16)
+                pred = pred_16_or_8(ymode, above, left, corner, 16,
+                                    have_above=my > 0, have_left=mx > 0)
                 rec = pred.copy()
                 if not mb["skip"]:
                     for b in range(16):
@@ -1386,7 +1398,8 @@ def decode_frame(data: bytes):
                 above = plane.px[cy0, 1 + cx0 : 1 + cx0 + 8]
                 left = plane.px[1 + cy0 : 1 + cy0 + 8, cx0]
                 corner = int(plane.px[cy0, cx0])
-                pred = pred_16_or_8(mb["uvmode"], above, left, corner, 8)
+                pred = pred_16_or_8(mb["uvmode"], above, left, corner, 8,
+                                    have_above=my > 0, have_left=mx > 0)
                 rec = pred.copy()
                 if not mb["skip"]:
                     for b in range(4):
@@ -1779,12 +1792,11 @@ def _encode_block_tokens(enc: BoolEncoder, probs, block_type, first_coeff,
         c += 1
 
 
-def _pred_modes_16(above, left, corner):
+def _pred_modes_16(above, left, corner, have_above, have_left):
     return {
-        DC_PRED: pred_16_or_8(DC_PRED, above, left, corner, 16),
-        V_PRED: pred_16_or_8(V_PRED, above, left, corner, 16),
-        H_PRED: pred_16_or_8(H_PRED, above, left, corner, 16),
-        TM_PRED: pred_16_or_8(TM_PRED, above, left, corner, 16),
+        m: pred_16_or_8(m, above, left, corner, 16,
+                        have_above=have_above, have_left=have_left)
+        for m in (DC_PRED, V_PRED, H_PRED, TM_PRED)
     }
 
 
@@ -1841,7 +1853,8 @@ def encode_vp8(rgb: np.ndarray, qi: int = 12, bpred: bool = False) -> bytes:
                 above = y_rec.px[y0, 1 + x0 : 1 + x0 + 16]
                 leftc = y_rec.px[1 + y0 : 1 + y0 + 16, x0]
                 corner = int(y_rec.px[y0, x0])
-                preds = _pred_modes_16(above, leftc, corner)
+                preds = _pred_modes_16(above, leftc, corner,
+                                       have_above=my > 0, have_left=mx > 0)
                 ymode = min(preds, key=lambda m: int(np.abs(preds[m] - src).sum()))
                 pred = preds[ymode]
 
@@ -1930,7 +1943,8 @@ def encode_vp8(rgb: np.ndarray, qi: int = 12, bpred: bool = False) -> bytes:
                 cab = plane_rec.px[cy0, 1 + cx0 : 1 + cx0 + 8]
                 cle = plane_rec.px[1 + cy0 : 1 + cy0 + 8, cx0]
                 cco = int(plane_rec.px[cy0, cx0])
-                cpred = pred_16_or_8(DC_PRED, cab, cle, cco, 8)
+                cpred = pred_16_or_8(DC_PRED, cab, cle, cco, 8,
+                                     have_above=my > 0, have_left=mx > 0)
                 cres = (csrc - cpred).astype(np.int64)
                 uv_nz = [0] * 4
                 crec = cpred.copy()

@@ -462,7 +462,18 @@ def _inv_color_transform(px: np.ndarray, w: int, h: int, bits: int, cts: np.ndar
 
 
 def _apply_inverse_transforms(px: np.ndarray, w: int, h: int, transforms: list):
-    """Inverse transforms run in reverse stream order (RFC 9649 §6)."""
+    """Inverse transforms run in reverse stream order (RFC 9649 §6).
+
+    The width must be tracked across stages: the entropy-coded image has
+    the PACKED width when color-indexing is present, and any predictor /
+    color transform signalled after the palette (i.e. applied to the
+    packed image at encode time) must be inverted at that packed width —
+    only the palette inverse restores the full width."""
+    cur_w = w
+    for tr in transforms:
+        if tr[0] == "palette":
+            cur_w = (tr[4] + (1 << tr[1]) - 1) >> tr[1]
+    w = cur_w
     for tr in reversed(transforms):
         kind = tr[0]
         if kind == "subtract_green":

@@ -156,3 +156,41 @@ def test_sample_video_frames_distributed(spark):
     for r in out:
         assert (r["w"], r["h"]) == (24, 16)
         assert r["phash"] == phash64(frames[r["frame_idx"]])
+
+
+def test_corrupt_rows_isolated_not_fatal(spark):
+    """One corrupt payload must land as an error ROW, never kill the job
+    (review fix: the new media operators previously raised through
+    mapInPandas)."""
+    good = tone(800)
+    rows = [
+        ("ok", bytearray(encode_wav(good, 8000)), "wav", 8000, 800, "c"),
+        ("bad", bytearray(b"RIFFgarbageWAVE"), "wav", 0, 0, "c"),
+        ("mp3", bytearray(b"ID3\x03"), "mp3", 0, 0, "c"),
+    ]
+    df = spark.createDataFrame(rows, multimodal.AUDIO_SCHEMA)
+    out = {r["audio_id"]: r for r in multimodal.extract_audio_features(df).collect()}
+    assert out["ok"]["error"] is None and out["ok"]["rms_e6"] > 0
+    assert out["bad"]["error"] and out["bad"]["rms_e6"] is None
+    assert "unsupported audio format" in out["mp3"]["error"]
+    fr = multimodal.audio_frames(df).collect()
+    errs = [r for r in fr if r["error"]]
+    assert len(errs) == 2 and all(r["frame_idx"] is None for r in errs)
+    vrows = [("v_ok", bytearray(encode_webp_animation([np.zeros((8, 8, 3), np.uint8)], [10]))),
+             ("v_bad", bytearray(b"RIFF????WEBPnope"))]
+    vdf = spark.createDataFrame(vrows, "media_id string, bytes binary")
+    vout = {r["media_id"]: r for r in multimodal.sample_video_frames(vdf).collect()}
+    assert vout["v_ok"]["error"] is None
+    assert vout["v_bad"]["error"] and vout["v_bad"]["frame_idx"] is None
+
+
+def test_wav_channel_and_rate_validation():
+    data = bytearray(encode_wav(tone(100), 8000))
+    bad_ch = bytearray(data)
+    bad_ch[22:24] = (0).to_bytes(2, "little")  # channels = 0
+    with pytest.raises(ValueError, match="channel"):
+        decode_wav(bytes(bad_ch))
+    bad_sr = bytearray(data)
+    bad_sr[24:28] = (0).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="sample rate"):
+        decode_wav(bytes(bad_sr))

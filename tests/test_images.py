@@ -182,3 +182,17 @@ def test_resize_and_features_distributed(spark):
             "mean_r_e4", "mean_g_e4", "mean_b_e4", "luma_p25", "luma_p50",
             "luma_p75", "edge_energy_e4", "aspect_e4"))
         assert got == exp, iid
+
+
+def test_resize_and_features_error_isolation(spark):
+    rows = [
+        ("ok", bytearray(encode_png(np.full((8, 8, 3), 10, np.uint8))), 8, 8,
+         "png", "c", 0),
+        ("bad", bytearray(b"nonsense"), 8, 8, "png", "c", 0),
+    ]
+    df = spark.createDataFrame(rows, multimodal.IMAGE_SCHEMA)
+    rs = {r["image_id"]: r for r in multimodal.resize_images(df, 4, 4).collect()}
+    assert rs["ok"]["error"] is None and rs["ok"]["phash"] is not None
+    assert rs["bad"]["error"] and rs["bad"]["bytes"] is None
+    ft = {r["image_id"]: r for r in multimodal.extract_image_features(df).collect()}
+    assert ft["ok"]["error"] is None and ft["bad"]["error"]

@@ -102,9 +102,9 @@ def test_decode_rgb_routes_jpeg():
     out = decode_rgb(data, "jpeg")
     assert out.shape == img.shape and psnr(out, img) >= 40
     assert decode_rgb(data, "jpg").shape == img.shape
-    # malformed webp container → loud ValueError (lossless decode is
-    # real as of round 3; only lossy VP8 raises NotImplementedError —
-    # see tests/test_webp.py)
+    # malformed webp container → loud ValueError (ALL WebP decodes are
+    # real as of round 3 — lossless VP8L and lossy VP8 both; see
+    # tests/test_webp.py and tests/test_vp8.py)
     with pytest.raises(ValueError):
         decode_rgb(b"RIFF....WEBP", "webp")
     # malformed (baseline scan header under an SOF2 marker) → honest

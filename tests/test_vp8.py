@@ -243,3 +243,22 @@ def test_webp_container_roundtrip():
     dec = decode_webp(data)
     assert dec.shape == img.shape
     assert psnr(dec, img) >= 36.0
+
+
+def test_dc_pred_availability_rule():
+    """RFC 6386 DC_PRED averages only in-frame neighbours; the 127/129
+    edge pads must never leak into the DC average (review fix)."""
+    above = [127] * 16  # pad values
+    left = [100] * 16   # real reconstructed pixels
+    p = vp8.pred_16_or_8(vp8.DC_PRED, above, left, 127, 16,
+                         have_above=False, have_left=True)
+    assert np.all(p == 100)
+    p = vp8.pred_16_or_8(vp8.DC_PRED, [60] * 16, left, 127, 16,
+                         have_above=True, have_left=False)
+    assert np.all(p == 60)
+    p = vp8.pred_16_or_8(vp8.DC_PRED, above, [129] * 16, 127, 16,
+                         have_above=False, have_left=False)
+    assert np.all(p == 128)
+    p = vp8.pred_16_or_8(vp8.DC_PRED, [60] * 8, [100] * 8, 127, 8,
+                         have_above=True, have_left=True)
+    assert np.all(p == (60 * 8 + 100 * 8 + 8) >> 4)

@@ -183,3 +183,15 @@ def test_encoder_rejects_bad_input():
     big = np.zeros((1, 1 << 15, 3), np.uint8)
     with pytest.raises(ValueError):
         encode_vp8l(big)  # width exceeds VP8L's 14-bit dimension field
+
+
+def test_palette_then_predictor_transform_order():
+    """Predictor/color transforms applied to the PACKED image (signalled
+    after color-indexing) must invert at the packed width (review fix:
+    the inverse pass previously used the full-image width and crashed)."""
+    rng = np.random.default_rng(2)
+    pal = rng.integers(0, 256, (7, 3), np.uint8)
+    img = pal[rng.integers(0, 7, (20, 33))]
+    for trs in [("palette", ("predictor", 2)), ("palette", ("color", 3))]:
+        enc = encode_webp_lossless(img, transforms=trs)
+        assert np.array_equal(decode_webp(enc), img), trs
