@@ -963,15 +963,24 @@ def q_crawl_dfs(spark, sf_dir):
     )
 
 
-def q_crawl_job_e2e(spark, sf_dir):
-    """Full production wave composition: politeness + robots + bloom dedup
-    + image payload emit + lineage, on the deterministic corpus."""
+_E2E_JOB_CACHE: dict = {}
+
+
+def _run_e2e_job(spark):
+    """Run (once per session) the full production CrawlJob on the
+    deterministic mixed-format corpus and return the finished job.
+    Memoized so `crawl_job_e2e` and `image_emit_e2e` share one run —
+    the driver executes both in the same SparkSession."""
     import tempfile
 
     from crawl4ai_spark.operators.multimodal import IMAGE_SCHEMA
     from crawl4ai_spark.operators.traversal import canonical_corpus_fetcher
     from crawl4ai_spark.pipeline import CrawlJob, JobConfig
     from crawl4ai_spark.sources.corpus import generate_corpus
+
+    key = id(spark)
+    if key in _E2E_JOB_CACHE:
+        return _E2E_JOB_CACHE[key]
 
     corpus = generate_corpus(seed=42, n_hosts=3, pages_per_host=8, images_per_page=1)
     world_pages = spark.createDataFrame(corpus["pages"])
@@ -996,6 +1005,14 @@ def q_crawl_job_e2e(spark, sf_dir):
     )
     job.seed(spark.createDataFrame(corpus["seeds"]))
     job.run(max_waves=6)
+    _E2E_JOB_CACHE[key] = job
+    return job
+
+
+def q_crawl_job_e2e(spark, sf_dir):
+    """Full production wave composition: politeness + robots + bloom dedup
+    + image payload emit + lineage, on the deterministic corpus."""
+    job = _run_e2e_job(spark)
     res = job.results().select(
         "url",
         "host",
@@ -1005,6 +1022,26 @@ def q_crawl_job_e2e(spark, sf_dir):
         F.col("wave_id").cast("long").alias("wave_id"),
     )
     return res
+
+
+def q_image_emit_e2e(spark, sf_dir):
+    """The north-rule image plane, end-to-end: the images table the
+    production CrawlJob landed in its catalog — every row passed the
+    in-wave decode/validate gate (pipeline._emit_images → multimodal.
+    decode_and_validate) over the MIXED-codec corpus (PNG / baseline
+    JPEG / lossless VP8L / lossy VP8 payloads).  phash is the stored
+    decoded-pixel hash, re-verified by the gate, so a hash-green row
+    here pins decode parity for all four formats inside the wave path."""
+    job = _run_e2e_job(spark)
+    imgs = job.catalog.read("images")
+    return imgs.select(
+        "image_id",
+        "fmt",
+        F.col("w").cast("long").alias("w"),
+        F.col("h").cast("long").alias("h"),
+        "caption",
+        F.col("phash").cast("long").alias("phash"),
+    )
 
 
 def q_sentence_chunking(spark, sf_dir):
@@ -2101,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_best_first": q_crawl_best_first,
         "crawl_dfs": q_crawl_dfs,
         "crawl_job_e2e": q_crawl_job_e2e,
+        "image_emit_e2e": q_image_emit_e2e,
         "crawl_job_retries": q_crawl_job_retries,
         "image_psnr_invariant": q_image_psnr_invariant,
         "jpeg_pipeline": q_jpeg_pipeline,
@@ -3403,6 +3441,49 @@ def _crawl_job_fixture_sql() -> str:
     )
 
 
+def _image_emit_fixture_sql() -> str:
+    """Expected emitted-image rows, derived without Spark: the job oracle
+    (oracles.job_rows) says which pages get crawled; every real corpus
+    <img> on a crawled page scores ≥2 (alt + format substring in src —
+    scrape.image_score), the decoy icon is rejected (icon hint in src,
+    and absent from the store); each payload is decoded with the same
+    pure-Python codecs and must validate (dims + stored-phash == decoded
+    phash) or this builder raises — mirroring the pipeline's gate."""
+    from crawl4ai_spark.functions.urls import normalize_url_for_deep_crawl
+    from crawl4ai_spark.operators.multimodal import decode_rgb
+    from crawl4ai_spark.oracles import corpus_fetch_fn, job_rows, rows_values_sql
+    from crawl4ai_spark.png import phash64
+    from crawl4ai_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(seed=42, n_hosts=3, pages_per_host=8, images_per_page=1)
+    seeds = list(zip(corpus["seeds"]["url"], corpus["seeds"]["priority"]))
+    robots = dict(zip(corpus["robots"]["host"], corpus["robots"]["rules"]))
+    crawled = {
+        r[0]
+        for r in job_rows(
+            seeds, corpus_fetch_fn(corpus, canonical=True), robots=robots,
+            max_depth=2, max_waves=6, wave_budget=100.0, default_delay=1.0,
+        )
+        if r[4]
+    }
+    rows = []
+    for rec in corpus["images"].to_dict("records"):
+        canon = normalize_url_for_deep_crawl(rec["page_url"], rec["page_url"])
+        if canon not in crawled:
+            continue
+        dec = decode_rgb(bytes(rec["bytes"]), rec["fmt"])
+        if dec.shape != (rec["h"], rec["w"], 3) or phash64(dec) != rec["phash"]:
+            raise AssertionError(f"corpus image {rec['image_id']} fails its own validate gate")
+        rows.append(
+            (rec["image_id"], rec["fmt"], rec["w"], rec["h"], rec["caption"], rec["phash"])
+        )
+    return rows_values_sql(
+        rows,
+        [("image_id", "VARCHAR"), ("fmt", "VARCHAR"), ("w", "BIGINT"),
+         ("h", "BIGINT"), ("caption", "VARCHAR"), ("phash", "BIGINT")],
+    )
+
+
 def _gen_image_phashes(n: int = 200) -> list[tuple[str, int]]:
     """pHash of each _gen_images payload — pure function of p_partkey."""
     import numpy as np
@@ -4115,6 +4196,7 @@ FROM first GROUP BY wave_id
         "crawl_dfs": _cached_fixture("crawl_dfs", _crawl_dfs_fixture_sql),
         "crawl_best_first": _cached_fixture("crawl_best_first", _crawl_bff_fixture_sql),
         "crawl_job_e2e": _cached_fixture("crawl_job_e2e", _crawl_job_fixture_sql),
+        "image_emit_e2e": _cached_fixture("image_emit_e2e", _image_emit_fixture_sql),
         "crawl_job_retries": _cached_fixture("crawl_job_retries", _crawl_job_retries_fixture_sql),
         "image_pipeline": _cached_fixture("image_pipeline", _image_pipeline_fixture_sql),
         "image_near_dup": _cached_fixture("image_near_dup", _image_near_dup_fixture_sql),

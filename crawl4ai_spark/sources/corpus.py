@@ -29,6 +29,32 @@ import pandas as pd
 from ..png import encode_png, phash64
 
 
+def _encode_payload(image_id: str, rgb: np.ndarray):
+    """Encode a corpus image in a format chosen deterministically from
+    its id — the image plane of the synthetic web mixes every real
+    payload format (PNG / JPEG / lossless WebP / lossy WebP), so the
+    e2e CrawlJob image emit exercises all four codecs.  Stored phash is
+    the DECODED-pixel phash for lossy formats (the validate contract)."""
+    pick = _stable_int(image_id + ":fmt") % 4
+    if pick == 0:
+        return encode_png(rgb), "png", "png", phash64(rgb)
+    if pick == 1:
+        from ..jpeg import decode_jpeg, encode_jpeg
+
+        data = encode_jpeg(rgb, quality=92)
+        return data, "jpeg", "jpg", phash64(decode_jpeg(data))
+    if pick == 2:
+        from ..webp import encode_webp_lossless
+
+        return (encode_webp_lossless(rgb, transforms=("subtract_green",), lz77=True),
+                "webp", "webp", phash64(rgb))
+    from ..vp8 import encode_webp_lossy
+    from ..webp import decode_webp
+
+    data = encode_webp_lossy(rgb, qi=4)
+    return data, "webp", "webp", phash64(decode_webp(data))
+
+
 def _stable_int(s: str) -> int:
     """Deterministic 31-bit int from a string (Python's hash() is salted
     per-process, so it must not seed RNGs)."""
@@ -137,7 +163,7 @@ def generate_corpus(
                     w = int(irng.choice(img_sizes))
                     hh = int(irng.choice(img_sizes))
                     rgb = irng.integers(0, 256, (hh, w, 3), dtype=np.uint8)
-                    data = encode_png(rgb)
+                    data, fmt, ext, ph = _encode_payload(image_id, rgb)
                     caption = f"caption {image_id}: " + " ".join(
                         _WORDS[x] for x in irng.integers(0, len(_WORDS), int(irng.integers(3, 11)))
                     )
@@ -147,14 +173,14 @@ def generate_corpus(
                             bytes=data,
                             w=w,
                             h=hh,
-                            fmt="png",
+                            fmt=fmt,
                             caption=caption,
-                            phash=phash64(rgb),
+                            phash=ph,
                             page_url=url,
                         )
                     )
                     img_tags.append(
-                        f'<img src="/img/{image_id}.png" alt="{caption}" '
+                        f'<img src="/img/{image_id}.{ext}" alt="{caption}" '
                         f'width="{w}" height="{hh}">'
                     )
                 # decoy icon that image scoring must reject
