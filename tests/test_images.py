@@ -17,6 +17,18 @@ def images_df(spark):
     return spark.createDataFrame(pdf, schema=multimodal.IMAGE_SCHEMA)
 
 
+def test_corpus_mixes_all_codecs():
+    """The synthetic web's image plane must keep exercising every real
+    codec: PNG, JPEG, and WebP (VP8L lossless + VP8 lossy both land as
+    fmt='webp' — distinguished by container sniff in decode_rgb)."""
+    corpus = generate_corpus(seed=42, n_hosts=2, pages_per_host=8, images_per_page=2)
+    imgs = corpus["images"]
+    assert set(imgs["fmt"]) == {"png", "jpeg", "webp"}
+    # both WebP flavors present: VP8L chunk tag vs VP8 chunk tag
+    webp_tags = {bytes(b)[12:16] for b in imgs[imgs["fmt"] == "webp"]["bytes"]}
+    assert b"VP8L" in webp_tags and b"VP8 " in webp_tags
+
+
 def test_decode_and_validate(spark, images_df):
     out = multimodal.decode_and_validate(images_df).collect()
     assert len(out) == images_df.count() > 0
