@@ -2092,6 +2092,121 @@ def q_webp_lossy_psnr(spark, sf_dir):
     )
 
 
+def _llm_doc_html(k: int) -> str:
+    """Deterministic page html per doc key for the LLM-strategy queries:
+    quotes + apostrophes exercise the sanitize/escape round-trip, the
+    word count forces multiple merge_chunks sections at the query's
+    chunk threshold."""
+    words = " ".join(f"word{(k * 7 + i) % 23}" for i in range(18 + k % 5))
+    return (
+        f'<h1>Doc {k} "headline"</h1>'
+        f"<p>Intro paragraph for doc {k}: it's {words}.</p>"
+        f"<p>Second block {k % 3} with more prose {words}.</p>"
+        f"<ul><li>alpha {k}</li><li>beta {k % 4}</li></ul>"
+    )
+
+
+def _llm_table_html(k: int) -> str:
+    """Deterministic table html per doc key: rowspan groups + periodic
+    colspan rows; every 7th table is headerless (exercises the
+    no-headers directive path)."""
+    n = 14 + k % 6
+    head = "" if k % 7 == 0 else "<thead><tr><th>grp</th><th>item</th><th>val</th></tr></thead>"
+    body = []
+    for i in range(n):
+        if i % 4 == 0:
+            body.append(f'<tr><td rowspan="2">g{i // 4}</td><td>i{i}_{k}</td><td>v{(i * k) % 97}</td></tr>')
+        elif i % 4 == 1:
+            body.append(f"<tr><td>i{i}_{k}</td><td>v{(i * k) % 97}</td></tr>")
+        elif i % 4 == 2:
+            body.append(f'<tr><td>s{i}</td><td colspan="2">span_{k}_{i}</td></tr>')
+        else:
+            body.append(f"<tr><td>p{i}</td><td>q{i}</td><td>v{(i + k) % 89}</td></tr>")
+    return f'<table><caption>Table {k}</caption>{head}<tbody>{"".join(body)}</tbody></table>'
+
+
+_LLM_BLOCKS_KW = dict(instruction="Extract the salient blocks.", chunk_token_threshold=30)
+_LLM_FILTER_KW = dict(chunk_token_threshold=40)
+_LLM_TABLE_KW = dict(chunk_token_threshold=70)
+
+
+def _llm_docs_df(spark, sf_dir, n: int, html_fn) -> DataFrame:
+    from pyspark.sql import types as T
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < n)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    # string keys: the llm operators carry the id through
+                    # their string url/table_id column
+                    "doc_id": [str(int(k)) for k in pdf["doc_id"]],
+                    "html": [html_fn(int(k)) for k in pdf["doc_id"]],
+                }
+            )
+
+    return docs.mapInPandas(
+        gen, T.StructType([T.StructField("doc_id", T.StringType()), T.StructField("html", T.StringType())])
+    )
+
+
+def q_llm_extract_blocks(spark, sf_dir):
+    """LLMExtractionStrategy analog (extraction_strategy.py:493-790):
+    merge_chunks sectioning + prompt assembly + block parsing around a
+    pluggable completion fn (deterministic DOM-segmenting fake — no
+    model runtime in sandbox, plumbing is the graft)."""
+    from crawl4ai_spark.operators.llm import fake_block_completion, llm_extract_blocks
+
+    pages = _llm_docs_df(spark, sf_dir, 60, _llm_doc_html)
+    out = llm_extract_blocks(pages, fake_block_completion, url_col="doc_id", **_LLM_BLOCKS_KW)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("section_ix").cast("long").alias("section_ix"),
+        F.col("block_pos").cast("long").alias("block_pos"),
+        "block_json",
+    )
+
+
+def q_llm_filter_markdown(spark, sf_dir):
+    """LLMContentFilter analog (content_filter_strategy.py:780-1063):
+    chunked prompt → <content> markdown per chunk (real markdown
+    generator as the deterministic fake model)."""
+    from crawl4ai_spark.operators.llm import fake_filter_completion, llm_filter_markdown
+
+    pages = _llm_docs_df(spark, sf_dir, 60, _llm_doc_html)
+    out = llm_filter_markdown(pages, fake_filter_completion, url_col="doc_id", **_LLM_FILTER_KW)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("chunk_ix").cast("long").alias("chunk_ix"),
+        "markdown",
+    )
+
+
+def q_llm_table_extract(spark, sf_dir):
+    """LLMTableExtraction analog (table_extraction.py:320-1445):
+    header-preserving row chunking → per-chunk extraction (rowspan/
+    colspan grid-expanding fake) → chunk merge, exploded to rows."""
+    from crawl4ai_spark.operators.llm import fake_table_completion, llm_extract_tables
+
+    tables = _llm_docs_df(spark, sf_dir, 40, _llm_table_html)
+    out = llm_extract_tables(tables, fake_table_completion, id_col="doc_id", **_LLM_TABLE_KW)
+    return out.select(
+        F.col("table_id").cast("long").alias("doc_id"),
+        F.col("row_idx").cast("long").alias("row_idx"),
+        "row_json",
+        "headers_json",
+        F.col("chunk_count").cast("long").alias("chunk_count"),
+        F.col("row_count").cast("long").alias("row_count"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": q_text_stats,
@@ -2139,6 +2254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_dfs": q_crawl_dfs,
         "crawl_job_e2e": q_crawl_job_e2e,
         "image_emit_e2e": q_image_emit_e2e,
+        "llm_extract_blocks": q_llm_extract_blocks,
+        "llm_filter_markdown": q_llm_filter_markdown,
+        "llm_table_extract": q_llm_table_extract,
         "crawl_job_retries": q_crawl_job_retries,
         "image_psnr_invariant": q_image_psnr_invariant,
         "jpeg_pipeline": q_jpeg_pipeline,
@@ -3484,6 +3602,76 @@ def _image_emit_fixture_sql() -> str:
     )
 
 
+def _llm_blocks_fixture_sql() -> str:
+    """Pure-Python replay of the block-extraction plumbing + fake model
+    over the same per-key html; JOIN documents to track the driver's sf."""
+    from crawl4ai_spark.operators.llm import extract_blocks_py, fake_block_completion
+    from crawl4ai_spark.oracles import rows_values_sql
+
+    rows = []
+    for k in range(60):
+        for six, pos, bj in extract_blocks_py(
+            str(k), _llm_doc_html(k), fake_block_completion, **_LLM_BLOCKS_KW
+        ):
+            rows.append((k, six, pos, bj))
+    inner = rows_values_sql(
+        rows,
+        [("doc_id", "BIGINT"), ("section_ix", "BIGINT"), ("block_pos", "BIGINT"),
+         ("block_json", "VARCHAR")],
+    )
+    return f"""
+SELECT f.doc_id, f.section_ix, f.block_pos, f.block_json
+FROM ({inner}) f JOIN documents d ON d.doc_id = f.doc_id
+WHERE d.doc_id < 60
+"""
+
+
+def _llm_filter_fixture_sql() -> str:
+    from crawl4ai_spark.operators.llm import fake_filter_completion, filter_content_py
+    from crawl4ai_spark.oracles import rows_values_sql
+
+    rows = []
+    for k in range(60):
+        for i, md in enumerate(
+            filter_content_py(_llm_doc_html(k), fake_filter_completion, **_LLM_FILTER_KW)
+        ):
+            rows.append((k, i, md))
+    inner = rows_values_sql(
+        rows, [("doc_id", "BIGINT"), ("chunk_ix", "BIGINT"), ("markdown", "VARCHAR")]
+    )
+    return f"""
+SELECT f.doc_id, f.chunk_ix, f.markdown
+FROM ({inner}) f JOIN documents d ON d.doc_id = f.doc_id
+WHERE d.doc_id < 60
+"""
+
+
+def _llm_table_fixture_sql() -> str:
+    import json as _json
+
+    from crawl4ai_spark.operators.llm import extract_tables_py, fake_table_completion
+    from crawl4ai_spark.oracles import rows_values_sql
+
+    rows = []
+    for k in range(40):
+        for t in extract_tables_py(_llm_table_html(k), fake_table_completion, **_LLM_TABLE_KW):
+            hdr = _json.dumps(t["headers"])
+            cc = int(t["metadata"].get("chunk_count", 1))
+            rc = int(t["metadata"]["row_count"])
+            for i, row in enumerate(t["rows"]):
+                rows.append((k, i, _json.dumps(row), hdr, cc, rc))
+    inner = rows_values_sql(
+        rows,
+        [("doc_id", "BIGINT"), ("row_idx", "BIGINT"), ("row_json", "VARCHAR"),
+         ("headers_json", "VARCHAR"), ("chunk_count", "BIGINT"), ("row_count", "BIGINT")],
+    )
+    return f"""
+SELECT f.doc_id, f.row_idx, f.row_json, f.headers_json, f.chunk_count, f.row_count
+FROM ({inner}) f JOIN documents d ON d.doc_id = f.doc_id
+WHERE d.doc_id < 40
+"""
+
+
 def _gen_image_phashes(n: int = 200) -> list[tuple[str, int]]:
     """pHash of each _gen_images payload — pure function of p_partkey."""
     import numpy as np
@@ -4197,6 +4385,9 @@ FROM first GROUP BY wave_id
         "crawl_best_first": _cached_fixture("crawl_best_first", _crawl_bff_fixture_sql),
         "crawl_job_e2e": _cached_fixture("crawl_job_e2e", _crawl_job_fixture_sql),
         "image_emit_e2e": _cached_fixture("image_emit_e2e", _image_emit_fixture_sql),
+        "llm_extract_blocks": _cached_fixture("llm_extract_blocks", _llm_blocks_fixture_sql),
+        "llm_filter_markdown": _cached_fixture("llm_filter_markdown", _llm_filter_fixture_sql),
+        "llm_table_extract": _cached_fixture("llm_table_extract", _llm_table_fixture_sql),
         "crawl_job_retries": _cached_fixture("crawl_job_retries", _crawl_job_retries_fixture_sql),
         "image_pipeline": _cached_fixture("image_pipeline", _image_pipeline_fixture_sql),
         "image_near_dup": _cached_fixture("image_near_dup", _image_near_dup_fixture_sql),
