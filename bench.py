@@ -208,6 +208,10 @@ ENTRY_QUERIES = [
     "url_relevance",
     "link_preview",
     "topic_chunking",
+    # round-3 LLM-strategy data plane (deterministic fake completion fn)
+    "llm_extract_blocks",
+    "llm_filter_markdown",
+    "llm_table_extract",
 ]
 
 
