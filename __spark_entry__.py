@@ -2207,6 +2207,61 @@ def q_llm_table_extract(spark, sf_dir):
     )
 
 
+def _ua_key(k: int) -> str:
+    return f"https://host{k % 7}.example/p/{k}"
+
+
+def q_ua_assign(spark, sf_dir):
+    """User-agent rotation + Sec-CH-UA client hints (user_agent_
+    generator.py:143-428): deterministic per-URL choice streams replace
+    the reference's process-global random (replayable on any executor)."""
+    from pyspark.sql import types as T
+
+    from crawl4ai_spark.operators.user_agent import assign_user_agents
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "url": [_ua_key(int(k)) for k in pdf["doc_id"]]}
+            )
+
+    urls = docs.mapInPandas(
+        gen, T.StructType([T.StructField("doc_id", T.LongType()), T.StructField("url", T.StringType())])
+    )
+    out = assign_user_agents(urls, key_col="url")
+    return out.select("doc_id", "user_agent", "client_hints")
+
+
+def _ua_assign_fixture_sql() -> str:
+    from crawl4ai_spark.operators.user_agent import (
+        generate_client_hints,
+        generate_ua,
+        hash_pick,
+    )
+    from crawl4ai_spark.oracles import rows_values_sql
+
+    rows = []
+    for k in range(100):
+        ua = generate_ua(hash_pick(_ua_key(k)))
+        rows.append((k, ua, generate_client_hints(ua)))
+    inner = rows_values_sql(
+        rows, [("doc_id", "BIGINT"), ("user_agent", "VARCHAR"), ("client_hints", "VARCHAR")]
+    )
+    return f"""
+SELECT f.doc_id, f.user_agent, f.client_hints
+FROM ({inner}) f JOIN documents d ON d.doc_id = f.doc_id
+WHERE d.doc_id < 100
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": q_text_stats,
@@ -2257,6 +2312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_extract_blocks": q_llm_extract_blocks,
         "llm_filter_markdown": q_llm_filter_markdown,
         "llm_table_extract": q_llm_table_extract,
+        "ua_assign": q_ua_assign,
         "crawl_job_retries": q_crawl_job_retries,
         "image_psnr_invariant": q_image_psnr_invariant,
         "jpeg_pipeline": q_jpeg_pipeline,
@@ -4388,6 +4444,7 @@ FROM first GROUP BY wave_id
         "llm_extract_blocks": _cached_fixture("llm_extract_blocks", _llm_blocks_fixture_sql),
         "llm_filter_markdown": _cached_fixture("llm_filter_markdown", _llm_filter_fixture_sql),
         "llm_table_extract": _cached_fixture("llm_table_extract", _llm_table_fixture_sql),
+        "ua_assign": _cached_fixture("ua_assign", _ua_assign_fixture_sql),
         "crawl_job_retries": _cached_fixture("crawl_job_retries", _crawl_job_retries_fixture_sql),
         "image_pipeline": _cached_fixture("image_pipeline", _image_pipeline_fixture_sql),
         "image_near_dup": _cached_fixture("image_near_dup", _image_near_dup_fixture_sql),
