@@ -2262,6 +2262,63 @@ WHERE d.doc_id < 100
 """
 
 
+def q_ssl_cert_extract(spark, sf_dir):
+    """SSL-certificate parse/flatten/export plane (ssl_certificate.py:61-198):
+    deterministic per-host DER payloads parsed by the pure-Python X.509 codec
+    inside one stateless mapInPandas; fingerprint reproduces the reference's
+    digest().hex() double-encoding quirk; pem_md5 pins the to_pem export."""
+    from crawl4ai_spark.operators.ssl_cert import attach_synthetic_certs, extract_certificates
+
+    hosts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 300)
+        .select(
+            F.concat(F.lit("site"), F.col("p_partkey").cast("string"), F.lit(".example.com")).alias(
+                "host"
+            )
+        )
+    )
+    certs = attach_synthetic_certs(hosts)
+    out = extract_certificates(certs)
+    return out.select(
+        "host", "subject_cn", "issuer_cn", "issuer_o",
+        F.col("version").cast("long").alias("version"),
+        "serial_hex", "not_before", "not_after", "fingerprint", "sig_alg",
+        "san", "key_usage", "basic_constraints", "pem_md5",
+    )
+
+
+def _ssl_cert_fixture_sql() -> str:
+    """Pure-Python replay of synth→parse→export for the same host universe,
+    joined against part so the row set tracks the driver's sf."""
+    from crawl4ai_spark.operators.ssl_cert import _flatten_row, synth_cert_for_host
+    from crawl4ai_spark.oracles import rows_values_sql
+
+    rows = []
+    for k in range(300):
+        host = f"site{k}.example.com"
+        r = _flatten_row(host, synth_cert_for_host(host))
+        rows.append(
+            (host, r["subject_cn"], r["issuer_cn"], r["issuer_o"], r["version"],
+             r["serial_hex"], r["not_before"], r["not_after"], r["fingerprint"],
+             r["sig_alg"], r["san"], r["key_usage"], r["basic_constraints"], r["pem_md5"])
+        )
+    inner = rows_values_sql(
+        rows,
+        [("host", "VARCHAR"), ("subject_cn", "VARCHAR"), ("issuer_cn", "VARCHAR"),
+         ("issuer_o", "VARCHAR"), ("version", "BIGINT"), ("serial_hex", "VARCHAR"),
+         ("not_before", "VARCHAR"), ("not_after", "VARCHAR"), ("fingerprint", "VARCHAR"),
+         ("sig_alg", "VARCHAR"), ("san", "VARCHAR"), ("key_usage", "VARCHAR"),
+         ("basic_constraints", "VARCHAR"), ("pem_md5", "VARCHAR")],
+    )
+    return f"""
+SELECT f.*
+FROM ({inner}) f
+JOIN part p ON 'site' || CAST(p.p_partkey AS VARCHAR) || '.example.com' = f.host
+WHERE p.p_partkey < 300
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": q_text_stats,
@@ -2313,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_filter_markdown": q_llm_filter_markdown,
         "llm_table_extract": q_llm_table_extract,
         "ua_assign": q_ua_assign,
+        "ssl_cert_extract": q_ssl_cert_extract,
         "crawl_job_retries": q_crawl_job_retries,
         "image_psnr_invariant": q_image_psnr_invariant,
         "jpeg_pipeline": q_jpeg_pipeline,
@@ -4445,6 +4503,7 @@ FROM first GROUP BY wave_id
         "llm_filter_markdown": _cached_fixture("llm_filter_markdown", _llm_filter_fixture_sql),
         "llm_table_extract": _cached_fixture("llm_table_extract", _llm_table_fixture_sql),
         "ua_assign": _cached_fixture("ua_assign", _ua_assign_fixture_sql),
+        "ssl_cert_extract": _cached_fixture("ssl_cert_extract", _ssl_cert_fixture_sql),
         "crawl_job_retries": _cached_fixture("crawl_job_retries", _crawl_job_retries_fixture_sql),
         "image_pipeline": _cached_fixture("image_pipeline", _image_pipeline_fixture_sql),
         "image_near_dup": _cached_fixture("image_near_dup", _image_near_dup_fixture_sql),
