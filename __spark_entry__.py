@@ -2319,6 +2319,134 @@ WHERE p.p_partkey < 300
 """
 
 
+def _schema_page_html(k: int) -> str:
+    """Deterministic listing page exercising every preprocess rule: head +
+    script/style to strip, onclick/style attrs to prune, >100-char text to
+    truncate, a >200-char attr value, repeated product cards (one exact
+    duplicate on even k for the dedup pass)."""
+    n = 3 + k % 3
+
+    def card(i: int) -> str:
+        return (
+            f'<div class="item card" data-sku="sku{k}-{i}"><h3 class="title">Item {k}-{i}</h3>'
+            f'<span class="price">${(k * 7 + i) % 90}.{i}0</span><a href="/p/{k}/{i}">view</a></div>'
+        )
+
+    cards = "".join(card(i) for i in range(n))
+    dup = card(1) if k % 2 == 0 else ""
+    long_text = "lorem ipsum " * (9 + k % 5)
+    long_attr = "c" + "x" * (190 + (k % 3) * 10)
+    return (
+        f'<html><head><title>Page {k}</title><script>var a={k};</script></head><body>'
+        f'<script>track({k})</script><style>.s{{color:red}}</style>'
+        f'<nav class="topnav" onclick="go()" style="x" data-page="{k}" id="{long_attr}">menu</nav>'
+        f'<p class="intro">{long_text}</p>{cards}{dup}</body></html>'
+    )
+
+
+def _gen_schema_pages(spark, sf_dir, n_max: int = 400):
+    from pyspark.sql import types as T
+
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < n_max)
+        .select(F.col("p_partkey").cast("long").alias("k"))
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [f"https://shop.test/page/{int(k)}" for k in pdf["k"]],
+                    "html": [_schema_page_html(int(k)) for k in pdf["k"]],
+                }
+            )
+
+    return part.mapInPandas(
+        gen,
+        T.StructType([T.StructField("url", T.StringType()), T.StructField("html", T.StringType())]),
+    )
+
+
+def q_html_preprocess(spark, sf_dir):
+    """Schema-generation HTML reducers (utils.py:3045-3061,3120-3263):
+    preprocess_html_for_schema + optimize_html per page in one stateless
+    map; md5 of the reduced document pins the full output text."""
+    from crawl4ai_spark.operators.schema_gen import preprocess_pages
+
+    out = preprocess_pages(_gen_schema_pages(spark, sf_dir))
+    return out.select(
+        "url",
+        F.col("reduced_len").cast("long").alias("reduced_len"),
+        F.col("optimized_len").cast("long").alias("optimized_len"),
+        F.md5(F.col("reduced_html")).alias("reduced_md5"),
+    )
+
+
+def q_schema_induction(spark, sf_dir):
+    """generate_schema data plane (extraction_strategy.py:1277-1388):
+    reduce → prompt → (deterministic inducer as the completion) → json
+    schema → re-extract with it, closing the generate→extract loop."""
+    from crawl4ai_spark.operators.schema_gen import generate_schemas
+
+    out = generate_schemas(_gen_schema_pages(spark, sf_dir))
+    return out.select("url", "schema_json", F.col("n_items").cast("long").alias("n_items"))
+
+
+def _html_preprocess_fixture_sql() -> str:
+    import hashlib as _hl
+
+    from crawl4ai_spark.operators.schema_gen import optimize_html, preprocess_html_for_schema
+    from crawl4ai_spark.oracles import rows_values_sql
+
+    rows = []
+    for k in range(400):
+        html = _schema_page_html(k)
+        red = preprocess_html_for_schema(html)
+        rows.append(
+            (f"https://shop.test/page/{k}", k, len(red), len(optimize_html(html)),
+             _hl.md5(red.encode()).hexdigest())
+        )
+    inner = rows_values_sql(
+        rows,
+        [("url", "VARCHAR"), ("k", "BIGINT"), ("reduced_len", "BIGINT"),
+         ("optimized_len", "BIGINT"), ("reduced_md5", "VARCHAR")],
+    )
+    return f"""
+SELECT f.url, f.reduced_len, f.optimized_len, f.reduced_md5
+FROM ({inner}) f JOIN part p ON p.p_partkey = f.k
+WHERE p.p_partkey < 400
+"""
+
+
+def _schema_induction_fixture_sql() -> str:
+    import json as _json
+
+    from crawl4ai_spark.operators.extraction import extract_json_css
+    from crawl4ai_spark.operators.schema_gen import generate_schema, preprocess_html_for_schema
+    from crawl4ai_spark.oracles import rows_values_sql
+
+    rows = []
+    for k in range(400):
+        html = _schema_page_html(k)
+        schema = generate_schema(preprocess_html_for_schema(html))
+        items = extract_json_css(html, schema) if schema else []
+        rows.append(
+            (f"https://shop.test/page/{k}", k, _json.dumps(schema, sort_keys=True), len(items))
+        )
+    inner = rows_values_sql(
+        rows,
+        [("url", "VARCHAR"), ("k", "BIGINT"), ("schema_json", "VARCHAR"), ("n_items", "BIGINT")],
+    )
+    return f"""
+SELECT f.url, f.schema_json, f.n_items
+FROM ({inner}) f JOIN part p ON p.p_partkey = f.k
+WHERE p.p_partkey < 400
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": q_text_stats,
@@ -2371,6 +2499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_table_extract": q_llm_table_extract,
         "ua_assign": q_ua_assign,
         "ssl_cert_extract": q_ssl_cert_extract,
+        "html_preprocess": q_html_preprocess,
+        "schema_induction": q_schema_induction,
         "crawl_job_retries": q_crawl_job_retries,
         "image_psnr_invariant": q_image_psnr_invariant,
         "jpeg_pipeline": q_jpeg_pipeline,
@@ -4504,6 +4634,8 @@ FROM first GROUP BY wave_id
         "llm_table_extract": _cached_fixture("llm_table_extract", _llm_table_fixture_sql),
         "ua_assign": _cached_fixture("ua_assign", _ua_assign_fixture_sql),
         "ssl_cert_extract": _cached_fixture("ssl_cert_extract", _ssl_cert_fixture_sql),
+        "html_preprocess": _cached_fixture("html_preprocess", _html_preprocess_fixture_sql),
+        "schema_induction": _cached_fixture("schema_induction", _schema_induction_fixture_sql),
         "crawl_job_retries": _cached_fixture("crawl_job_retries", _crawl_job_retries_fixture_sql),
         "image_pipeline": _cached_fixture("image_pipeline", _image_pipeline_fixture_sql),
         "image_near_dup": _cached_fixture("image_near_dup", _image_near_dup_fixture_sql),
