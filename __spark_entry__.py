@@ -2447,6 +2447,74 @@ WHERE p.p_partkey < 400
 """
 
 
+def _fp_head_html(k: int) -> str:
+    """Deterministic head fragment exercising every fingerprint signal:
+    title (whitespace-padded, mixed case), description in both attribute
+    orders, og:/article: property metas, empty-content meta (still a
+    signal), and a no-signal head every 11th doc."""
+    if k % 11 == 0:
+        return f"<head><script>var k={k};</script><link rel=\"icon\" href=\"/f.ico\"></head>"
+    parts = [f"<head><title>  Doc {k} TITLE  </title>"]
+    if k % 13 == 0:
+        parts.append('<meta name="description" content="">')
+    elif k % 7 == 0:
+        parts.append(f'<meta content="reversed desc {k}" name="description">')
+    else:
+        parts.append(f'<meta name="description" content="Desc {k}">')
+    if k % 5 == 0:
+        parts.append(f'<meta property="og:title" content="OG {k}">')
+        parts.append(f'<meta property="og:updated_time" content="2025-0{k % 9 + 1}-01">')
+    if k % 3 == 0:
+        parts.append(f'<meta property="article:modified_time" content="t{k}">')
+    parts.append("</head>")
+    return "".join(parts)
+
+
+def q_head_fingerprint(spark, sf_dir):
+    """Cache-freshness head fingerprint (utils.py compute_head_fingerprint;
+    consumed by the cache validation path, async_webcrawler.py:273-315):
+    signal scrape fully JVM-side (rlike-guarded regexp_extract), md5 in
+    place of the absent xxhash lib (equality-token substitution)."""
+    from pyspark.sql import types as T
+
+    from crawl4ai_spark.functions.heads import head_fingerprint_expr
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") < 500)
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "head_html": [_fp_head_html(int(k)) for k in pdf["doc_id"]]}
+            )
+
+    heads = docs.mapInPandas(
+        gen,
+        T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("head_html", T.StringType())]
+        ),
+    )
+    return heads.select("doc_id", head_fingerprint_expr(F.col("head_html")).alias("fingerprint"))
+
+
+def _head_fingerprint_fixture_sql() -> str:
+    from crawl4ai_spark.functions.heads import head_fingerprint_py
+    from crawl4ai_spark.oracles import rows_values_sql
+
+    rows = [(k, head_fingerprint_py(_fp_head_html(k))) for k in range(500)]
+    inner = rows_values_sql(rows, [("doc_id", "BIGINT"), ("fingerprint", "VARCHAR")])
+    return f"""
+SELECT f.doc_id, f.fingerprint
+FROM ({inner}) f JOIN documents d ON d.doc_id = f.doc_id
+WHERE d.doc_id < 500
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": q_text_stats,
@@ -2501,6 +2569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ssl_cert_extract": q_ssl_cert_extract,
         "html_preprocess": q_html_preprocess,
         "schema_induction": q_schema_induction,
+        "head_fingerprint": q_head_fingerprint,
         "crawl_job_retries": q_crawl_job_retries,
         "image_psnr_invariant": q_image_psnr_invariant,
         "jpeg_pipeline": q_jpeg_pipeline,
@@ -4636,6 +4705,7 @@ FROM first GROUP BY wave_id
         "ssl_cert_extract": _cached_fixture("ssl_cert_extract", _ssl_cert_fixture_sql),
         "html_preprocess": _cached_fixture("html_preprocess", _html_preprocess_fixture_sql),
         "schema_induction": _cached_fixture("schema_induction", _schema_induction_fixture_sql),
+        "head_fingerprint": _cached_fixture("head_fingerprint", _head_fingerprint_fixture_sql),
         "crawl_job_retries": _cached_fixture("crawl_job_retries", _crawl_job_retries_fixture_sql),
         "image_pipeline": _cached_fixture("image_pipeline", _image_pipeline_fixture_sql),
         "image_near_dup": _cached_fixture("image_near_dup", _image_near_dup_fixture_sql),

@@ -125,3 +125,89 @@ def parse_heads(
             yield pd.DataFrame(rows, columns=[f.name for f in HEAD_SCHEMA.fields])
 
     return pages.select(url_col, html_col).mapInPandas(gen, HEAD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Head fingerprint for cache freshness (utils.py compute_head_fingerprint)
+# ---------------------------------------------------------------------------
+#
+# The reference hashes a '|'-joined list of change signals scraped from the
+# lowered <head> (title + seven name/property metas, each tried in both
+# attribute orders) with xxhash64 (utils.py:2966-3038) and compares the
+# result for EQUALITY against the cached fingerprint
+# (async_webcrawler.py:273-315, cache_context.py).  The xxhash lib is absent
+# here, so the graft substitutes md5 — fingerprints are opaque equality
+# tokens, so the kept/invalidated set is identical (same substitution as the
+# dedup signature hash in operators/schema_gen.py).  Everything below title
+# extraction runs JVM-side: the signal scrape is pure regex, expressed with
+# rlike guards so an *empty* content="" still counts as a matched signal,
+# exactly like the reference's `if match` check.
+
+_FP_META_TAGS = [
+    ("name", "description"),
+    ("name", "last-modified"),
+    ("property", "og:title"),
+    ("property", "og:description"),
+    ("property", "og:image"),
+    ("property", "og:updated_time"),
+    ("property", "article:modified_time"),
+]
+
+_FP_TITLE_PAT = r"(?s)<title[^>]*>(.*?)</title>"
+
+
+def _fp_meta_pats(attr_type: str, attr_value: str) -> tuple[str, str]:
+    import re as _re
+
+    v = _re.escape(attr_value)
+    p1 = rf'<meta[^>]*{attr_type}=["\']{v}["\'][^>]*content=["\']([^"\']*)["\']'
+    p2 = rf'<meta[^>]*content=["\']([^"\']*)["\'][^>]*{attr_type}=["\']{v}["\']'
+    return p1, p2
+
+
+def head_fingerprint_expr(head):
+    """Column expression: md5 fingerprint of the head's change signals
+    ('' when no signal is present, like the reference's empty return)."""
+    from pyspark.sql import functions as F
+
+    def _strip(c):
+        return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+    low = F.lower(head)
+    sigs = [F.when(low.rlike(_FP_TITLE_PAT), _strip(F.regexp_extract(low, _FP_TITLE_PAT, 1)))]
+    for attr_type, attr_value in _FP_META_TAGS:
+        p1, p2 = _fp_meta_pats(attr_type, attr_value)
+        sigs.append(
+            F.when(low.rlike(p1), _strip(F.regexp_extract(low, p1, 1)))
+            .when(low.rlike(p2), _strip(F.regexp_extract(low, p2, 1)))
+        )
+    present = F.filter(F.array(*sigs), lambda x: x.isNotNull())
+    return (
+        F.when(head.isNull() | (head == F.lit("")), F.lit(""))
+        .when(F.size(present) == 0, F.lit(""))
+        .otherwise(F.md5(F.array_join(present, "|")))
+    )
+
+
+def head_fingerprint_py(head_html: str) -> str:
+    """Pure-Python mirror of head_fingerprint_expr (oracle replay twin);
+    same signal walk as the reference, md5 in place of xxhash64."""
+    import hashlib
+    import re as _re
+
+    if not head_html:
+        return ""
+    head_lower = head_html.lower()
+    signals = []
+    m = _re.search(r"<title[^>]*>(.*?)</title>", head_lower, _re.DOTALL)
+    if m:
+        signals.append(m.group(1).strip())
+    for attr_type, attr_value in _FP_META_TAGS:
+        for pat in _fp_meta_pats(attr_type, attr_value):
+            m = _re.search(pat, head_lower)
+            if m:
+                signals.append(m.group(1).strip())
+                break
+    if not signals:
+        return ""
+    return hashlib.md5("|".join(signals).encode()).hexdigest()
