@@ -2515,6 +2515,161 @@ WHERE d.doc_id < 500
 """
 
 
+def _meta_page_html(k: int) -> str:
+    """Deterministic page exercising every extract_metadata_using_lxml rule:
+    no-head page (→ {}), head-missing-title with a body <title> (whole-doc
+    fallback), og:title fallback, empty-content metas (dropped from the
+    og/twitter/article map), padded values (stripped)."""
+    if k % 11 == 0:
+        return f"<html><body><title>body only {k}</title><p>no head</p></body></html>"
+    if k % 13 == 0:
+        return (
+            f'<html><head><meta property="og:title" content="OG Title {k}">'
+            f'<meta name="description" content="d{k}"></head><body></body></html>'
+        )
+    if k % 7 == 0:
+        return (
+            f'<html><head><meta name="author" content="  Author {k} "></head>'
+            f"<body><title>Body Title {k}</title></body></html>"
+        )
+    parts = [f"<html><head><title>  Page {k} Title  </title>"]
+    parts.append(f'<meta name="description" content=" Description {k} ">')
+    if k % 3 == 0:
+        parts.append(f'<meta name="keywords" content="k{k},spark,crawl">')
+    if k % 4 == 0:
+        parts.append(f'<meta name="author" content="Author {k}">')
+    parts.append(f'<meta property="og:image" content="/img/{k}.png">')
+    if k % 2 == 0:
+        parts.append(f'<meta property="og:type" content="article">')
+        parts.append(f'<meta property="article:modified_time" content="2025-0{k % 9 + 1}-02">')
+    parts.append(f'<meta name="twitter:card" content="summary">')
+    parts.append('<meta property="og:locale" content="">')  # dropped: empty content
+    parts.append("</head><body><p>body</p></body></html>")
+    return "".join(parts)
+
+
+def q_page_metadata(spark, sf_dir):
+    """Full page-metadata dict (extract_metadata_using_lxml, utils.py; the
+    metadata LXMLWebScrapingStrategy attaches per result,
+    content_scraping_strategy.py:690): fixed columns + the variable
+    og/twitter/article keys as sorted JSON."""
+    from pyspark.sql import types as T
+
+    from crawl4ai_spark.operators.scrape import extract_page_metadata
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") < 500)
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [str(int(k)) for k in pdf["doc_id"]],
+                    "html": [_meta_page_html(int(k)) for k in pdf["doc_id"]],
+                }
+            )
+
+    pages = docs.mapInPandas(
+        gen,
+        T.StructType([T.StructField("url", T.StringType()), T.StructField("html", T.StringType())]),
+    )
+    out = extract_page_metadata(pages)
+    return out.select(
+        F.col("src_url").cast("long").alias("doc_id"),
+        "title", "description", "keywords", "author", "metadata_json",
+    )
+
+
+def _page_metadata_fixture_sql() -> str:
+    import json as _json
+
+    from crawl4ai_spark.operators.scrape import page_metadata_lxml
+    from crawl4ai_spark.oracles import rows_values_sql
+
+    rows = []
+    for k in range(500):
+        md = page_metadata_lxml(_meta_page_html(k))
+        rows.append(
+            (k, md.get("title"), md.get("description"), md.get("keywords"), md.get("author"),
+             _json.dumps({a: b for a, b in md.items()
+                          if a not in ("title", "description", "keywords", "author")},
+                         sort_keys=True))
+        )
+    inner = rows_values_sql(
+        rows,
+        [("doc_id", "BIGINT"), ("title", "VARCHAR"), ("description", "VARCHAR"),
+         ("keywords", "VARCHAR"), ("author", "VARCHAR"), ("metadata_json", "VARCHAR")],
+    )
+    return f"""
+SELECT f.doc_id, f.title, f.description, f.keywords, f.author, f.metadata_json
+FROM ({inner}) f JOIN documents d ON d.doc_id = f.doc_id
+WHERE d.doc_id < 500
+"""
+
+
+def q_pretty_html(spark, sf_dir):
+    """prettiify path (utils.py fast_format_html, async_webcrawler.py:739):
+    the transcribed formatter (xchecked vs the reference's own code) over
+    the listing pages; md5 + length pin the exact output text."""
+    from pyspark.sql import types as T
+
+    from crawl4ai_spark.operators.scrape import fast_format_html
+
+    pages = _gen_schema_pages(spark, sf_dir)
+
+    def gen(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        for pdf in batches:
+            fm = [fast_format_html(h) for h in pdf["html"]]
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "formatted_len": [len(x) for x in fm],
+                    "formatted_md5": [_hl.md5(x.encode()).hexdigest() for x in fm],
+                }
+            )
+
+    return pages.mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("url", T.StringType()),
+                T.StructField("formatted_len", T.LongType()),
+                T.StructField("formatted_md5", T.StringType()),
+            ]
+        ),
+    )
+
+
+def _pretty_html_fixture_sql() -> str:
+    import hashlib as _hl
+
+    from crawl4ai_spark.operators.scrape import fast_format_html
+    from crawl4ai_spark.oracles import rows_values_sql
+
+    rows = []
+    for k in range(400):
+        fm = fast_format_html(_schema_page_html(k))
+        rows.append((f"https://shop.test/page/{k}", k, len(fm), _hl.md5(fm.encode()).hexdigest()))
+    inner = rows_values_sql(
+        rows,
+        [("url", "VARCHAR"), ("k", "BIGINT"), ("formatted_len", "BIGINT"), ("formatted_md5", "VARCHAR")],
+    )
+    return f"""
+SELECT f.url, f.formatted_len, f.formatted_md5
+FROM ({inner}) f JOIN part p ON p.p_partkey = f.k
+WHERE p.p_partkey < 400
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": q_text_stats,
@@ -2570,6 +2725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_preprocess": q_html_preprocess,
         "schema_induction": q_schema_induction,
         "head_fingerprint": q_head_fingerprint,
+        "page_metadata": q_page_metadata,
+        "pretty_html": q_pretty_html,
         "crawl_job_retries": q_crawl_job_retries,
         "image_psnr_invariant": q_image_psnr_invariant,
         "jpeg_pipeline": q_jpeg_pipeline,
@@ -4706,6 +4863,8 @@ FROM first GROUP BY wave_id
         "html_preprocess": _cached_fixture("html_preprocess", _html_preprocess_fixture_sql),
         "schema_induction": _cached_fixture("schema_induction", _schema_induction_fixture_sql),
         "head_fingerprint": _cached_fixture("head_fingerprint", _head_fingerprint_fixture_sql),
+        "page_metadata": _cached_fixture("page_metadata", _page_metadata_fixture_sql),
+        "pretty_html": _cached_fixture("pretty_html", _pretty_html_fixture_sql),
         "crawl_job_retries": _cached_fixture("crawl_job_retries", _crawl_job_retries_fixture_sql),
         "image_pipeline": _cached_fixture("image_pipeline", _image_pipeline_fixture_sql),
         "image_near_dup": _cached_fixture("image_near_dup", _image_near_dup_fixture_sql),

@@ -627,3 +627,156 @@ def extract_tables(
             yield pd.DataFrame(out, columns=[f.name for f in TABLE_SCHEMA.fields])
 
     return pages.select(url_col, html_col).mapInPandas(gen, TABLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Full page metadata (extract_metadata_using_lxml, utils.py — the metadata
+# dict LXMLWebScrapingStrategy attaches to every result,
+# content_scraping_strategy.py:690)
+# ---------------------------------------------------------------------------
+#
+# lxml is absent, so this is a rule-for-rule analog on the stdlib DOM
+# (pinned by tests; same precedent as preprocess_html_for_schema).  Pinned
+# reference quirks: no <head> element → {} immediately (even when <title>
+# exists in <body>); the second title fallback searches the WHOLE document;
+# the third falls back to og:title/twitter:title @content (empty attr →
+# None); og:/twitter:/article: metas are collected from the head only and
+# dropped when either the attr name or the content strips to empty; later
+# duplicates overwrite earlier ones (plain dict assignment).
+
+FULL_META_SCHEMA = T.StructType(
+    [
+        T.StructField("src_url", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("keywords", T.StringType()),
+        T.StructField("author", T.StringType()),
+        T.StructField("metadata_json", T.StringType()),
+    ]
+)
+
+
+def _first_text_child(node) -> str | None:
+    for c in node.children:
+        if isinstance(c, str):
+            return c
+        return None  # lxml .text: nothing before the first child element
+    return None
+
+
+def page_metadata_lxml(html: str) -> dict:
+    """extract_metadata_using_lxml parity on the stdlib DOM."""
+    from ..functions.dom import parse_dom
+
+    if not html:
+        return {}
+    try:
+        root = parse_dom(html)
+    except Exception:
+        return {}
+    heads = root.find_all("head")
+    if not heads:
+        return {}
+    head = heads[0]
+    metadata: dict = {}
+
+    # title: head .//title/text()[0] → doc.find(".//title").text → og/twitter
+    title = None
+    tel = head.find("title")
+    if tel is not None:
+        for c in tel.children:
+            if isinstance(c, str):
+                title = c
+                break
+    if not title:
+        tel = root.find("title")
+        title = _first_text_child(tel) if tel is not None else None
+    if not title:
+        candidates = [
+            m.get("content")
+            for m in root.find_all("meta")
+            if m.get("property") == "og:title"
+        ] or [
+            m.get("content")
+            for m in root.find_all("meta")
+            if m.get("name") == "twitter:title"
+        ]
+        title = candidates[0] if candidates else None
+    metadata["title"] = title.strip() if title else None
+
+    def _head_meta(name: str) -> str | None:
+        for m in head.find_all("meta"):
+            if m.get("name") == name:
+                v = m.get("content")
+                return v.strip() if v is not None else None
+        return None
+
+    metadata["description"] = _head_meta("description")
+    metadata["keywords"] = _head_meta("keywords")
+    metadata["author"] = _head_meta("author")
+
+    for attr, prefix in (("property", "og:"), ("name", "twitter:"), ("property", "article:")):
+        for m in head.find_all("meta"):
+            key = (m.get(attr) or "").strip()
+            if not key.startswith(prefix):
+                continue
+            content = (m.get("content") or "").strip()
+            if key and content:
+                metadata[key] = content
+    return metadata
+
+
+def extract_page_metadata(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """Arrow-batched map: the full metadata dict per page, fixed columns +
+    the variable og/twitter/article keys as sorted JSON."""
+    import json as _json
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf[url_col], pdf[html_col]):
+                md = page_metadata_lxml(html)
+                rows.append(
+                    (
+                        url,
+                        md.get("title"),
+                        md.get("description"),
+                        md.get("keywords"),
+                        md.get("author"),
+                        _json.dumps(
+                            {k: v for k, v in md.items()
+                             if k not in ("title", "description", "keywords", "author")},
+                            sort_keys=True,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FULL_META_SCHEMA.fields])
+
+    return pages.select(url_col, html_col).mapInPandas(gen, FULL_META_SCHEMA)
+
+
+def fast_format_html(html_string: str) -> str:
+    """Prettify-path formatter (utils.py fast_format_html, applied to
+    cleaned_html when ``prettiify`` is set, async_webcrawler.py:739):
+    tag/content split on '<'/'>' with a running two-space indent —
+    transcribed; cross-executed against the reference's own code in tests."""
+    indent = 0
+    indent_str = "  "
+    formatted = []
+    parts = html_string.replace(">", ">\n").replace("<", "\n<").split("\n")
+    for part in parts:
+        if not part.strip():
+            continue
+        if part.startswith("</"):
+            indent -= 1
+            formatted.append(indent_str * indent + part)
+        elif part.startswith("<") and part.endswith("/>"):
+            formatted.append(indent_str * indent + part)
+        elif part.startswith("<"):
+            formatted.append(indent_str * indent + part)
+            indent += 1
+        else:
+            content = part.strip()
+            if content:
+                formatted.append(indent_str * indent + content)
+    return "\n".join(formatted)
