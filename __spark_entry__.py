@@ -2670,6 +2670,150 @@ WHERE p.p_partkey < 400
 """
 
 
+def _cache_val_case(k: int) -> dict:
+    """Deterministic CacheValidator scenario per doc: every ladder branch
+    (304, fp match/changed, generic 200-stale, fingerprint-only, no data,
+    timeout, request error) including the no-signal-head UNKNOWN quirk
+    (every 11th head has no fingerprint signals)."""
+    from crawl4ai_spark.functions.heads import head_fingerprint_py
+
+    head = _fp_head_html(k)
+    live_etag = f'W/"v{k}"'
+    live_lm = f"Mon, 0{k % 9 + 1} Jan 2025 00:00:00 GMT"
+    c = {
+        "url": f"https://cache.test/{k}", "k": k,
+        "stored_etag": None, "stored_last_modified": None, "stored_fp": None,
+        "live_status": 200, "live_head_html": head,
+        "live_etag": live_etag, "live_last_modified": live_lm, "error": None,
+    }
+    m = k % 7
+    if m == 0:
+        c.update(stored_etag=f'W/"v{k - 1}"', live_status=304)
+    elif m == 1:
+        c.update(stored_etag=f'W/"v{k - 1}"', stored_fp=head_fingerprint_py(head))
+    elif m == 2:
+        c.update(stored_etag=f'W/"v{k - 1}"', stored_fp="f" * 32)
+    elif m == 3:
+        c.update(stored_last_modified="Sun, 01 Dec 2024 00:00:00 GMT")
+    elif m == 4:
+        c.update(stored_fp=head_fingerprint_py(head) or ("e" * 32))
+    elif m == 5:
+        pass  # nothing stored → UNKNOWN
+    else:
+        c.update(error="timeout" if k % 2 == 0 else "request:ConnectError")
+    return c
+
+
+def _cache_val_oracle(c: dict) -> tuple:
+    """Independent pure-Python transcription of CacheValidator.validate
+    (cache_validator.py:83-270) — the oracle twin of operators/cache.py
+    validate_cache."""
+    from crawl4ai_spark.functions.heads import head_fingerprint_py
+
+    err = c["error"]
+    if err == "timeout":
+        return ("error", "Validation request timed out", None, None, None)
+    if err and err.startswith("request:"):
+        return ("error", f"Validation request failed: {err.split(':', 1)[1]}", None, None, None)
+    headers = bool(c["stored_etag"]) or bool(c["stored_last_modified"])
+    nf = head_fingerprint_py(c["live_head_html"]) if c["live_head_html"] else ""
+    if headers:
+        if c["live_status"] == 304:
+            return ("fresh", "Server returned 304 Not Modified", None, None, None)
+        if c["stored_fp"] and c["live_head_html"]:
+            if nf and nf == c["stored_fp"]:
+                return ("fresh", "Head fingerprint matches",
+                        c["live_etag"], c["live_last_modified"], nf)
+            if nf:
+                return ("stale", "Head fingerprint changed",
+                        c["live_etag"], c["live_last_modified"], nf)
+        return ("stale", "Server returned 200, content may have changed",
+                c["live_etag"], c["live_last_modified"], None)
+    if c["stored_fp"] and c["live_head_html"]:
+        if nf and nf == c["stored_fp"]:
+            return ("fresh", "Head fingerprint matches",
+                    c["live_etag"], c["live_last_modified"], nf)
+        if nf:
+            return ("stale", "Head fingerprint changed",
+                    c["live_etag"], c["live_last_modified"], nf)
+    return ("unknown",
+            "No validation data available (no etag, last-modified, or fingerprint)",
+            None, None, None)
+
+
+def q_cache_validation(spark, sf_dir):
+    """CacheValidator decision ladder (cache_validator.py:83-270) over
+    per-URL live observations, entirely JVM-side (the fingerprint reuses
+    head_fingerprint_expr); oracle is an independent pure-Python
+    transcription of the reference's validate()."""
+    from pyspark.sql import types as T
+
+    from crawl4ai_spark.operators.cache import validate_cache
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .filter(F.col("doc_id") < 500)
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("stored_etag", T.StringType()),
+            T.StructField("stored_last_modified", T.StringType()),
+            T.StructField("stored_fp", T.StringType()),
+            T.StructField("live_status", T.IntegerType()),
+            T.StructField("live_head_html", T.StringType()),
+            T.StructField("live_etag", T.StringType()),
+            T.StructField("live_last_modified", T.StringType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for k in pdf["doc_id"]:
+                c = _cache_val_case(int(k))
+                rows.append(
+                    (int(k), c["url"], c["stored_etag"], c["stored_last_modified"],
+                     c["stored_fp"], c["live_status"], c["live_head_html"],
+                     c["live_etag"], c["live_last_modified"], c["error"])
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    entries = docs.mapInPandas(gen, schema)
+    out = validate_cache(entries.drop("doc_id")).join(
+        entries.select("doc_id", "url"), "url"
+    )
+    return out.select(
+        "doc_id", "status", "reason", "new_etag", "new_last_modified", "new_fingerprint"
+    )
+
+
+def _cache_validation_fixture_sql() -> str:
+    from crawl4ai_spark.oracles import rows_values_sql
+
+    rows = []
+    for k in range(500):
+        status, reason, ne, nlm, nfp = _cache_val_oracle(_cache_val_case(k))
+        rows.append((k, status, reason, ne, nlm, nfp))
+    inner = rows_values_sql(
+        rows,
+        [("doc_id", "BIGINT"), ("status", "VARCHAR"), ("reason", "VARCHAR"),
+         ("new_etag", "VARCHAR"), ("new_last_modified", "VARCHAR"),
+         ("new_fingerprint", "VARCHAR")],
+    )
+    return f"""
+SELECT f.doc_id, f.status, f.reason, f.new_etag, f.new_last_modified, f.new_fingerprint
+FROM ({inner}) f JOIN documents d ON d.doc_id = f.doc_id
+WHERE d.doc_id < 500
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": q_text_stats,
@@ -2727,6 +2871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "head_fingerprint": q_head_fingerprint,
         "page_metadata": q_page_metadata,
         "pretty_html": q_pretty_html,
+        "cache_validation": q_cache_validation,
         "crawl_job_retries": q_crawl_job_retries,
         "image_psnr_invariant": q_image_psnr_invariant,
         "jpeg_pipeline": q_jpeg_pipeline,
@@ -4865,6 +5010,7 @@ FROM first GROUP BY wave_id
         "head_fingerprint": _cached_fixture("head_fingerprint", _head_fingerprint_fixture_sql),
         "page_metadata": _cached_fixture("page_metadata", _page_metadata_fixture_sql),
         "pretty_html": _cached_fixture("pretty_html", _pretty_html_fixture_sql),
+        "cache_validation": _cached_fixture("cache_validation", _cache_validation_fixture_sql),
         "crawl_job_retries": _cached_fixture("crawl_job_retries", _crawl_job_retries_fixture_sql),
         "image_pipeline": _cached_fixture("image_pipeline", _image_pipeline_fixture_sql),
         "image_near_dup": _cached_fixture("image_near_dup", _image_near_dup_fixture_sql),

@@ -155,3 +155,102 @@ def cache_lookup_mode(
     ).withColumn(
         "cached_html", F.when(readable, F.col("cached_html"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CacheValidator decision ladder (cache_validator.py:83-270)
+# ---------------------------------------------------------------------------
+#
+# The reference's validator makes the HTTP round-trips itself (HEAD with
+# If-None-Match/If-Modified-Since, then a bounded <head> fetch); here the
+# live observations arrive as columns (status code, head HTML, etag,
+# last-modified, error marker — the fetch plane, same I/O ruling as
+# elsewhere) and the DECISION ladder is reproduced exactly, all JVM-side:
+#
+#   error                      → ERROR  (timeout / request-failure reasons)
+#   conditional headers stored:
+#     304                      → FRESH "Server returned 304 Not Modified"
+#     200 + stored fp + head:
+#       fp match               → FRESH "Head fingerprint matches"
+#       fp changed             → STALE "Head fingerprint changed"
+#       fp empty (no signals)  → fall through
+#     200                      → STALE "Server returned 200, content may
+#                                       have changed"
+#   no headers + stored fp + head:
+#       fp match / changed     → FRESH / STALE (as above)
+#       fp empty               → fall through
+#   otherwise                  → UNKNOWN "No validation data available
+#                                 (no etag, last-modified, or fingerprint)"
+#
+# Pinned quirk: with only a stored fingerprint and a no-signal live head,
+# the ladder lands on UNKNOWN with the "no etag…" reason even though a
+# fingerprint WAS stored (cache_validator.py:180-184).
+
+VALIDATION_FRESH = "fresh"
+VALIDATION_STALE = "stale"
+VALIDATION_UNKNOWN = "unknown"
+VALIDATION_ERROR = "error"
+
+
+def validate_cache(entries: DataFrame) -> DataFrame:
+    """Columnar CacheValidator.validate: input columns ``url, stored_etag,
+    stored_last_modified, stored_fp, live_status, live_head_html,
+    live_etag, live_last_modified, error`` (error: 'timeout' |
+    'request:<ExcName>' | NULL) → ``status, reason, new_etag,
+    new_last_modified, new_fingerprint``."""
+    from ..functions.heads import head_fingerprint_expr
+
+    # `if stored_etag:` truthiness — empty strings count as absent
+    has_headers = (
+        (F.col("stored_etag").isNotNull() & (F.col("stored_etag") != ""))
+        | (F.col("stored_last_modified").isNotNull() & (F.col("stored_last_modified") != ""))
+    )
+    has_fp = F.col("stored_fp").isNotNull() & (F.col("stored_fp") != "")
+    nf = head_fingerprint_expr(F.col("live_head_html"))
+    has_head = F.col("live_head_html").isNotNull() & (F.col("live_head_html") != "")
+    fp_decided = has_fp & has_head & (nf != "")
+    fp_match = fp_decided & (nf == F.col("stored_fp"))
+    is_timeout = F.col("error") == "timeout"
+    is_req_err = F.col("error").startswith("request:")
+
+    status = (
+        F.when(is_timeout | is_req_err, F.lit(VALIDATION_ERROR))
+        .when(F.col("error").isNotNull(), F.lit(VALIDATION_ERROR))
+        .when(has_headers & (F.col("live_status") == 304), F.lit(VALIDATION_FRESH))
+        .when(has_headers & fp_match, F.lit(VALIDATION_FRESH))
+        .when(has_headers & fp_decided, F.lit(VALIDATION_STALE))
+        .when(has_headers, F.lit(VALIDATION_STALE))
+        .when(fp_match, F.lit(VALIDATION_FRESH))
+        .when(fp_decided, F.lit(VALIDATION_STALE))
+        .otherwise(F.lit(VALIDATION_UNKNOWN))
+    )
+    reason = (
+        F.when(is_timeout, F.lit("Validation request timed out"))
+        .when(
+            is_req_err,
+            F.concat(F.lit("Validation request failed: "),
+                     F.substring_index(F.col("error"), ":", -1)),
+        )
+        .when(F.col("error").isNotNull(),
+              F.concat(F.lit("Validation error: "), F.col("error")))
+        .when(has_headers & (F.col("live_status") == 304),
+              F.lit("Server returned 304 Not Modified"))
+        .when(fp_match, F.lit("Head fingerprint matches"))
+        .when(fp_decided, F.lit("Head fingerprint changed"))
+        .when(has_headers, F.lit("Server returned 200, content may have changed"))
+        .otherwise(
+            F.lit("No validation data available (no etag, last-modified, or fingerprint)")
+        )
+    )
+    err_or_304 = (
+        F.col("error").isNotNull() | (has_headers & (F.col("live_status") == 304))
+    )
+    keeps_new = ~err_or_304 & (has_headers | fp_decided)
+    return entries.select(
+        "url",
+        status.alias("status"),
+        reason.alias("reason"),
+        F.when(keeps_new, F.col("live_etag")).alias("new_etag"),
+        F.when(keeps_new, F.col("live_last_modified")).alias("new_last_modified"),
+        F.when(~err_or_304 & fp_decided, nf).alias("new_fingerprint"),
+    )
