@@ -2814,6 +2814,94 @@ WHERE d.doc_id < 500
 """
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN (the coarse-quantizer scale path beside lsh_topk): integer
+    k-means cells + nprobe equi-join + exact cosine re-rank.  All k-means
+    arithmetic is int64 micro-units, so the DuckDB oracle replays the
+    training bit-for-bit (order-free integer sums)."""
+    from crawl4ai_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries_df, k=5, n_centroids=16, nprobe=3, iters=3)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        _e4(F.col("cosine")).alias("cosine_e4"),
+    )
+
+
+def _ivf_oracle_sql(n_centroids: int = 16, iters: int = 3, nprobe: int = 3,
+                    k: int = 5, dim: int = 64) -> str:
+    """Unrolled integer k-means + probe + re-rank in pure DuckDB SQL — a
+    REAL SQL oracle (no Python fixture): every training step is integer
+    arithmetic, so it matches Spark exactly; the float cosine re-rank
+    follows the ann_topk e4 precedent."""
+    dist = "list_sum(list_transform(list_zip(q.qv, c.cv), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    parts = [f"""
+WITH q AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(round(x*1000000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+pos AS (SELECT CAST(p AS INTEGER) AS pos FROM range(1, {dim + 1}) t(p)),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, qv AS cv
+  FROM q ORDER BY vec_id LIMIT {n_centroids}
+)"""]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(f""",
+asn{i} AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT q.vec_id, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {dist}, c.cid) AS rn
+    FROM q CROSS JOIN {prev} c
+  ) WHERE rn = 1
+), s{i} AS (
+  SELECT a.cid, pos.pos,
+         CAST(FLOOR(CAST(SUM(a.qv[pos.pos]) AS DOUBLE)/COUNT(*)) AS BIGINT) AS m
+  FROM asn{i} a CROSS JOIN pos GROUP BY a.cid, pos.pos
+), c{i} AS (
+  SELECT c.cid, COALESCE(n.cv, c.cv) AS cv
+  FROM {prev} c LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS cv FROM s{i} GROUP BY cid) n
+  USING (cid)
+)""")
+        prev = f"c{i}"
+    parts.append(f""",
+cells AS (
+  SELECT vec_id AS neighbor_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {dist}, c.cid) AS rn
+    FROM q CROSS JOIN {prev} c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {dist}, c.cid) AS rn
+    FROM q CROSS JOIN {prev} c WHERE q.vec_id < 8
+  ) WHERE rn <= {nprobe}
+), scored AS (
+  SELECT p.query_id, cl.neighbor_id,
+         list_cosine_similarity(nv.v, qv2.v) AS cos
+  FROM probes p
+  JOIN cells cl USING (cid)
+  JOIN q nv ON nv.vec_id = cl.neighbor_id
+  JOIN q qv2 ON qv2.vec_id = p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+       CAST(round(cos * 10000) AS BIGINT) AS cosine_e4
+FROM ranked WHERE rn <= {k}""")
+    return "".join(parts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": q_text_stats,
@@ -2872,6 +2960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_metadata": q_page_metadata,
         "pretty_html": q_pretty_html,
         "cache_validation": q_cache_validation,
+        "ivf_topk": q_ivf_topk,
         "crawl_job_retries": q_crawl_job_retries,
         "image_psnr_invariant": q_image_psnr_invariant,
         "jpeg_pipeline": q_jpeg_pipeline,
@@ -5011,6 +5100,7 @@ FROM first GROUP BY wave_id
         "page_metadata": _cached_fixture("page_metadata", _page_metadata_fixture_sql),
         "pretty_html": _cached_fixture("pretty_html", _pretty_html_fixture_sql),
         "cache_validation": _cached_fixture("cache_validation", _cache_validation_fixture_sql),
+        "ivf_topk": _cached_fixture("ivf_topk", _ivf_oracle_sql),
         "crawl_job_retries": _cached_fixture("crawl_job_retries", _crawl_job_retries_fixture_sql),
         "image_pipeline": _cached_fixture("image_pipeline", _image_pipeline_fixture_sql),
         "image_near_dup": _cached_fixture("image_near_dup", _image_near_dup_fixture_sql),

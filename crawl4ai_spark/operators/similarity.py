@@ -177,3 +177,147 @@ def embedding_near_dup_pairs(
         "cosine", cosine_expr(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
     )
     return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+#
+# Complements lsh_topk: k-means coarse centroids partition the corpus, each
+# query probes only its `nprobe` nearest cells, exact cosine re-ranks.
+# Determinism at cluster scale is designed in, not hoped for:
+#
+# * vectors are quantized ONCE to int64 micro-units; every k-means distance
+#   and every centroid sum is INTEGER arithmetic — associative and
+#   commutative, so the result is independent of partitioning, task order
+#   and engine (the DuckDB oracle replays it exactly);
+# * centroid update = floor(sum/count) on the integer sums (exact while
+#   |sum| < 2^53 — at 10^10 rows switch the division to DECIMAL, the sums
+#   themselves stay exact int64 far beyond that);
+# * argmin ties break on the lower centroid id via min-of-struct.
+#
+# Scale shape: assignment is a stateless column expression (no shuffle);
+# the per-iteration centroid update shuffles only (n_centroids × dim)
+# partial sums after map-side combine; the probe join is an equi-join on
+# cell id — never a cross join.  Centroids (16×64 ints) live on the driver
+# like any k-means.
+
+
+def quantize_expr(vec: Column, scale: float = 1e6) -> Column:
+    """int64 micro-unit quantization (round half away from zero — same rule
+    in Spark and DuckDB)."""
+    return F.transform(vec, lambda x: F.round(x * scale).cast("long"))
+
+
+def _int_l2sq(qvec: Column, center: list) -> Column:
+    arr = F.array(*[F.lit(int(c)) for c in center])
+    return F.aggregate(
+        F.zip_with(qvec, arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_struct(qvec: Column, centroids: list[list]) -> Column:
+    """array_min over (dist, cid) structs — argmin with lower-cid ties."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(_int_l2sq(qvec, c).alias("d"), F.lit(i).alias("cid"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+
+
+def ivf_train(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list]:
+    """Deterministic integer k-means: init = the quantized vectors of the
+    `n_centroids` smallest ids; `iters` Lloyd rounds with integer sums and
+    floor-mean updates; empty cells keep their previous centroid."""
+    import math
+
+    q = vectors.select(
+        F.col(id_col).alias("_id"), quantize_expr(F.col(vec_col)).alias("_qv")
+    )
+    init_rows = q.orderBy("_id").limit(n_centroids).collect()
+    centroids = [list(r["_qv"]) for r in init_rows]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = q.select(
+            _assign_struct(F.col("_qv"), centroids)["cid"].alias("_cid"), "_qv"
+        )
+        sums = (
+            assigned.select("_cid", F.posexplode("_qv").alias("_pos", "_c"))
+            .groupBy("_cid", "_pos")
+            .agg(F.sum("_c").alias("_s"), F.count("*").alias("_n"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in sums:
+            # same floor(double/count) as the SQL oracle; exact < 2^53
+            new[r["_cid"]][r["_pos"]] = int(math.floor(r["_s"] / r["_n"]))
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN: train the coarse quantizer, assign every vector to its cell
+    (stateless expr), explode each query to its `nprobe` nearest cells, and
+    resolve candidates with an equi-join on cell id before the exact cosine
+    re-rank (cos DESC, neighbor_id ASC tiebreak, same as brute_force_topk)."""
+    centroids = ivf_train(vectors, n_centroids, iters, vec_col, id_col)
+
+    cells = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_v"),
+        _assign_struct(quantize_expr(F.col(vec_col)), centroids)["cid"].alias("_cid"),
+    )
+    qprobe = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.array(
+                            *[
+                                F.struct(
+                                    _int_l2sq(quantize_expr(F.col(vec_col)), c).alias("d"),
+                                    F.lit(i).alias("cid"),
+                                )
+                                for i, c in enumerate(centroids)
+                            ]
+                        )
+                    ),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["cid"],
+            )
+        ).alias("_cid"),
+    )
+    scored = cells.join(F.broadcast(qprobe), "_cid").select(
+        "query_id", "neighbor_id", cosine_expr(F.col("_v"), F.col("_qvec")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
