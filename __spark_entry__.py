@@ -2902,6 +2902,82 @@ FROM ranked WHERE rn <= {k}""")
     return "".join(parts)
 
 
+def _mdopt_pages(docs: DataFrame) -> DataFrame:
+    """Article page with a relative link, an image, and an absolute titled
+    link — the surface the html2text option trio acts on."""
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), d.cast("string"),
+        F.lit('</h1><p>See <a href="/docs/'), d.cast("string"),
+        F.lit('">guide '), d.cast("string"),
+        F.lit('</a> and <img src="/img/'), d.cast("string"),
+        F.lit('.png" alt="img'), d.cast("string"),
+        F.lit('"> plus <a href="https://ext.example.org/x'), (d % 50).cast("string"),
+        F.lit('" title="Ext'), (d % 7).cast("string"),
+        F.lit('">ext</a>.</p></body></html>'),
+    )
+    url = F.concat(F.lit("https://h"), d.cast("string"), F.lit(".example.com/page"))
+    return docs.select(d.cast("long").alias("doc_id"), url.alias("url"), html.alias("html"))
+
+
+def q_markdown_options(spark, sf_dir):
+    """html2text option trio (markdown_generation_strategy.py:182-186,
+    html2text/__init__.py:511-556): ignore_links (inner text only),
+    ignore_images (dropped), protect_links (href bracketed BEFORE the
+    baseurl join — quirk pinned).  Four combos per document."""
+    from crawl4ai_spark.functions.markdown import markdown_for_pages
+
+    pages = _mdopt_pages(_t(spark, sf_dir, "documents"))
+    outs = []
+    for combo, opts in [
+        ("default", None),
+        ("nolinks", {"ignore_links": True}),
+        ("noimages", {"ignore_images": True}),
+        ("protect", {"protect_links": True}),
+    ]:
+        md = markdown_for_pages(pages, citations=False, html2text_options=opts)
+        outs.append(
+            md.join(pages.select("doc_id", "url"), "url").select(
+                "doc_id", F.lit(combo).alias("combo"), "raw_markdown"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _markdown_options_sql() -> str:
+    """Hand-derived expected markdown per combo — an INDEPENDENT oracle
+    (string algebra in SQL, not a replay of the converter)."""
+    nl = "chr(10)"
+    d = "CAST(doc_id AS VARCHAR)"
+    m = "CAST(doc_id % 50 AS VARCHAR)"
+    t = "CAST(doc_id % 7 AS VARCHAR)"
+    head = f"'# Doc ' || {d} || {nl}"
+    base = f"'https://h' || {d} || '.example.com'"
+    img = f"'![img' || {d} || '](' || {base} || '/img/' || {d} || '.png)'"
+    link_abs = f"'[ext](https://ext.example.org/x' || {m} || ' \"Ext' || {t} || '\")'"
+    link_rel = f"'[guide ' || {d} || '](' || {base} || '/docs/' || {d} || ')'"
+    # protect_links: href bracketed pre-join → urljoin grafts it under the
+    # page directory; '//' inside the bracketed absolute URL collapses
+    prot_rel = f"'[guide ' || {d} || '](' || {base} || '/</docs/' || {d} || '>)'"
+    prot_abs = (
+        f"'[ext](' || {base} || '/<https:/ext.example.org/x' || {m} || '> \"Ext' || {t} || '\")'"
+    )
+    rows = {
+        "default": f"{head} || 'See ' || {link_rel} || ' and ' || {img} || ' plus ' || {link_abs} || '.' || {nl}",
+        "nolinks": f"{head} || 'See guide ' || {d} || ' and ' || {img} || ' plus ext.' || {nl}",
+        "noimages": f"{head} || 'See ' || {link_rel} || ' and  plus ' || {link_abs} || '.' || {nl}",
+        "protect": f"{head} || 'See ' || {prot_rel} || ' and ' || {img} || ' plus ' || {prot_abs} || '.' || {nl}",
+    }
+    selects = [
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, '{combo}' AS combo, {expr} AS raw_markdown FROM documents"
+        for combo, expr in rows.items()
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": q_text_stats,
@@ -2961,6 +3037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pretty_html": q_pretty_html,
         "cache_validation": q_cache_validation,
         "ivf_topk": q_ivf_topk,
+        "markdown_options": q_markdown_options,
         "crawl_job_retries": q_crawl_job_retries,
         "image_psnr_invariant": q_image_psnr_invariant,
         "jpeg_pipeline": q_jpeg_pipeline,
@@ -5101,6 +5178,7 @@ FROM first GROUP BY wave_id
         "pretty_html": _cached_fixture("pretty_html", _pretty_html_fixture_sql),
         "cache_validation": _cached_fixture("cache_validation", _cache_validation_fixture_sql),
         "ivf_topk": _cached_fixture("ivf_topk", _ivf_oracle_sql),
+        "markdown_options": _markdown_options_sql(),
         "crawl_job_retries": _cached_fixture("crawl_job_retries", _crawl_job_retries_fixture_sql),
         "image_pipeline": _cached_fixture("image_pipeline", _image_pipeline_fixture_sql),
         "image_near_dup": _cached_fixture("image_near_dup", _image_near_dup_fixture_sql),

@@ -62,10 +62,23 @@ def _collapse(text: str) -> str:
 
 
 class _MdWriter:
-    def __init__(self, base_url: str = ""):
+    def __init__(
+        self,
+        base_url: str = "",
+        ignore_links: bool = False,
+        ignore_images: bool = False,
+        protect_links: bool = False,
+    ):
         self.blocks: list[str] = []
         self.cur: list[str] = []
         self.base_url = base_url
+        # html2text option trio (html2text/__init__.py:68-72,511,525,556):
+        # ignore_links skips the <a> machinery entirely (inner text only);
+        # protect_links wraps href in <> BEFORE the baseurl join (:525 sets
+        # attrs["href"] pre-join — quirk pinned); ignore_images drops <img>.
+        self.ignore_links = ignore_links
+        self.ignore_images = ignore_images
+        self.protect_links = protect_links
 
     def resolve(self, url: str) -> str:
         # html2text absolutizes with PROPER urljoin when baseurl is set
@@ -115,13 +128,17 @@ def _render_node(n: DomNode, w: _MdWriter) -> None:
         label = _collapse(n.get_text()).strip()
         if not label:
             return
-        if href:
-            href = w.resolve(href)
-            w.text(f'[{label}]({href} "{title}")' if title else f"[{label}]({href})")
-        else:
+        if w.ignore_links or not href:
             w.text(label)
+            return
+        if w.protect_links:
+            href = "<" + href + ">"  # pre-join bracketing (:525)
+        href = w.resolve(href)
+        w.text(f'[{label}]({href} "{title}")' if title else f"[{label}]({href})")
         return
     if tag == "img":
+        if w.ignore_images:
+            return
         alt = (n.get("alt") or "").strip()
         src = n.get("src") or ""
         title = n.get("title")
@@ -201,12 +218,21 @@ def _render_block_children(n: DomNode, w: _MdWriter) -> None:
             _render_node(c, w)
 
 
-def html_to_markdown(html: str, base_url: str = "") -> str:
+def html_to_markdown(
+    html: str,
+    base_url: str = "",
+    ignore_links: bool = False,
+    ignore_images: bool = False,
+    protect_links: bool = False,
+) -> str:
     """Convert HTML to markdown (single_line_break: one newline between
     blocks, no wrapping).  With ``base_url`` link/image urls are
-    absolutized by proper urljoin, as html2text does with baseurl."""
+    absolutized by proper urljoin, as html2text does with baseurl.
+    ``ignore_links``/``ignore_images``/``protect_links`` mirror the
+    html2text_options trio the reference exposes
+    (markdown_generation_strategy.py:182-186)."""
     root = parse_dom(html or "")
-    w = _MdWriter(base_url)
+    w = _MdWriter(base_url, ignore_links, ignore_images, protect_links)
     body = root.find("body") or root
     _render_block_children(body, w)
     w.flush()
@@ -257,6 +283,7 @@ def generate_markdown(
     base_url: str = "",
     content_filter: Callable[[str], list[str]] | None = None,
     citations: bool = True,
+    html2text_options: dict | None = None,
 ) -> dict:
     """DefaultMarkdownGenerator.generate_markdown composition (:148-260):
     raw markdown → citations → optional fit_html/fit_markdown via a
@@ -267,9 +294,13 @@ def generate_markdown(
     error-strings raw_markdown; a citations error keeps raw and
     error-strings references; a content-filter error keeps raw+citations
     and error-strings only fit_markdown (fit_html blanked)."""
+    opts = {
+        k: bool((html2text_options or {}).get(k, False))
+        for k in ("ignore_links", "ignore_images", "protect_links")
+    }
     try:
         try:
-            raw_markdown = html_to_markdown(html or "", base_url)
+            raw_markdown = html_to_markdown(html or "", base_url, **opts)
         except Exception as e:
             raw_markdown = f"Error converting HTML to markdown: {str(e)}"
         markdown_with_citations, references_markdown = raw_markdown, ""
@@ -286,7 +317,7 @@ def generate_markdown(
             try:
                 blocks = content_filter(html or "")
                 fit_html = "\n".join("<div>{}</div>".format(s) for s in blocks)
-                fit_markdown = html_to_markdown(fit_html, base_url)
+                fit_markdown = html_to_markdown(fit_html, base_url, **opts)
             except Exception as e:
                 fit_markdown = f"Error generating fit markdown: {str(e)}"
                 fit_html = ""
@@ -326,6 +357,7 @@ def markdown_for_pages(
     html_col: str = "html",
     content_filter: Callable[[str], list[str]] | None = None,
     citations: bool = True,
+    html2text_options: dict | None = None,
 ) -> DataFrame:
     """Markdown columns for every page — one stateless Arrow pass."""
 
@@ -335,7 +367,10 @@ def markdown_for_pages(
             for url, html in zip(pdf[url_col], pdf[html_col]):
                 # generate_markdown never raises (reference-parity
                 # per-stage error strings inside)
-                r = generate_markdown(html, base_url=url, content_filter=content_filter, citations=citations)
+                r = generate_markdown(
+                    html, base_url=url, content_filter=content_filter,
+                    citations=citations, html2text_options=html2text_options,
+                )
                 rows.append(
                     (url, r["raw_markdown"], r["markdown_with_citations"],
                      r["references_markdown"], r["fit_markdown"], r["fit_html"])

@@ -266,3 +266,53 @@ def test_crawljob_emits_markdown(spark, tmp_path):
     assert all(r["raw_markdown"].startswith("# ") for r in rows)  # corpus pages open with h1
     assert any("## References" in r["references_markdown"] for r in rows)
     assert all(r["fit_html"] is not None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# html2text option trio (markdown_generation_strategy.py:182-186) — CROSS-
+# EXECUTED against the reference's vendored html2text package (pure Python;
+# imported from a temp copy because crawl4ai/types.py shadows stdlib types)
+# ---------------------------------------------------------------------------
+
+def _ref_html2text():
+    import shutil
+    import sys
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="h2t_")
+    shutil.copytree("/root/reference/crawl4ai/html2text", d + "/html2text")
+    sys.path.insert(0, d)
+    try:
+        import html2text  # noqa: F401
+    finally:
+        sys.path.remove(d)
+    return sys.modules["html2text"]
+
+
+def test_markdown_option_trio_xcheck():
+    from crawl4ai_spark.functions.markdown import html_to_markdown
+
+    h2t = _ref_html2text()
+    base = "https://h7.example.com/page"
+    src = (
+        '<p>See <a href="/docs/7">guide 7</a> and '
+        '<a href="https://ext.example.org/x7" title="Ext0">ext</a>.</p>'
+    )
+    img_src = '<p>x <img src="/i.png" alt="a"> y</p>'
+
+    def ref(html, **kw):
+        h = h2t.HTML2Text(baseurl=base)
+        h.body_width = 0
+        h.single_line_break = True
+        for k, v in kw.items():
+            setattr(h, k, v)
+        return h.handle(html)
+
+    for html, kw in [
+        (src, {}),
+        (src, {"ignore_links": True}),
+        (src, {"protect_links": True}),  # pre-join <> bracketing quirk
+        (img_src, {"ignore_images": True}),
+        (img_src, {}),
+    ]:
+        assert html_to_markdown(html, base, **kw) == ref(html, **kw), kw
