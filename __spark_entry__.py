@@ -2978,6 +2978,88 @@ def _markdown_options_sql() -> str:
     return "\nUNION ALL\n".join(selects)
 
 
+_STREAM_EPOCH = 1735689600  # 2025-01-01T00:00:00Z
+
+
+def q_stream_host_rates(spark, sf_dir):
+    """Structured-Streaming politeness monitor (SURVEY §2.12,
+    streaming/frontier_stream.windowed_host_rates): a real multi-batch
+    stream — file source, maxFilesPerTrigger=1, availableNow — aggregating
+    per-host fetch/throttle counts into tumbling event-time windows.
+    Complete output mode makes the final table equal the batch GROUP BY,
+    so the streaming machinery is driver-oracled in plain SQL."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from crawl4ai_spark.streaming.frontier_stream import windowed_host_rates
+
+    d = F.col("doc_id").cast("long")
+    events = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.concat(F.lit("h"), (d % 20).cast("string"), F.lit(".test")).alias("host"),
+            F.timestamp_seconds(F.lit(_STREAM_EPOCH) + (d * 37) % 3600).alias("fetched_at"),
+            F.when(d % 13 == 0, F.lit(429)).otherwise(F.lit(200)).alias("status_code"),
+            (d % 4).cast("int").alias("wave"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_rates_")
+    try:
+        events.write.mode("overwrite").partitionBy("wave").parquet(tmp)
+        schema = T.StructType(
+            [
+                T.StructField("host", T.StringType()),
+                T.StructField("fetched_at", T.TimestampType()),
+                T.StructField("status_code", T.IntegerType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(tmp)
+        )
+        rates = windowed_host_rates(
+            stream, window_duration="600 seconds", slide="600 seconds", watermark="1 hour"
+        )
+        sink = "stream_host_rates_sink"
+        for q in spark.streams.active:
+            if q.name == sink:
+                q.stop()
+        q = (
+            rates.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(sink).select(
+            "host",
+            F.col("window_start").cast("long").alias("window_start"),
+            F.col("n_fetches").cast("long").alias("n_fetches"),
+            F.col("n_throttled").cast("long").alias("n_throttled"),
+        )
+        # materialize before the scratch dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _stream_host_rates_sql() -> str:
+    return f"""
+SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.test' AS host,
+       CAST({_STREAM_EPOCH} + ((doc_id * 37) % 3600) // 600 * 600 AS BIGINT) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_fetches,
+       CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_throttled
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": q_text_stats,
@@ -3038,6 +3120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_validation": q_cache_validation,
         "ivf_topk": q_ivf_topk,
         "markdown_options": q_markdown_options,
+        "stream_host_rates": q_stream_host_rates,
         "crawl_job_retries": q_crawl_job_retries,
         "image_psnr_invariant": q_image_psnr_invariant,
         "jpeg_pipeline": q_jpeg_pipeline,
@@ -5179,6 +5262,7 @@ FROM first GROUP BY wave_id
         "cache_validation": _cached_fixture("cache_validation", _cache_validation_fixture_sql),
         "ivf_topk": _cached_fixture("ivf_topk", _ivf_oracle_sql),
         "markdown_options": _markdown_options_sql(),
+        "stream_host_rates": _stream_host_rates_sql(),
         "crawl_job_retries": _cached_fixture("crawl_job_retries", _crawl_job_retries_fixture_sql),
         "image_pipeline": _cached_fixture("image_pipeline", _image_pipeline_fixture_sql),
         "image_near_dup": _cached_fixture("image_near_dup", _image_near_dup_fixture_sql),
