@@ -212,6 +212,15 @@ ENTRY_QUERIES = [
     "llm_extract_blocks",
     "llm_filter_markdown",
     "llm_table_extract",
+    # round-3 session-4 grafts
+    "ssl_cert_extract",
+    "html_preprocess",
+    "schema_induction",
+    "head_fingerprint",
+    "page_metadata",
+    "cache_validation",
+    "ivf_topk",
+    "markdown_options",
 ]
 
 
