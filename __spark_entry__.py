@@ -3060,6 +3060,28 @@ GROUP BY 1, 2
 """
 
 
+def q_cuckoo_seen_filter(spark, sf_dir):
+    """Cuckoo-filter seen set (the north star's deletion-capable fallback
+    beside the bloom shards, operators/cuckoo.py): build from the seen
+    wave, DELETE a recrawl-invalidation subset, then resolve candidates
+    through the pre-filter + exact verify.  The final row set must equal
+    the plain anti-join against (seen − deleted) — proving the no-false-
+    negative contract end-to-end, deletions included."""
+    from crawl4ai_spark.operators.cuckoo import build_cuckoo, cuckoo_anti_join_seen, cuckoo_delete
+
+    d = F.col("doc_id").cast("long")
+    url = F.concat(F.lit("https://c.test/p"), d.cast("string")).alias("url")
+    docs = _t(spark, sf_dir, "documents").select(d.alias("doc_id"), url)
+    seen = docs.filter(F.col("doc_id") < 400).select("url")
+    deleted = docs.filter((F.col("doc_id") < 400) & (F.col("doc_id") % 10 == 0)).select("url")
+    candidates = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 500)).select("url")
+
+    shards = build_cuckoo(seen, n_partitions=8, n_buckets=1 << 12)
+    pruned = cuckoo_delete(shards, deleted, n_partitions=8)
+    seen_after = seen.join(deleted, "url", "left_anti")
+    return cuckoo_anti_join_seen(candidates, seen_after, pruned, n_partitions=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_stats": q_text_stats,
@@ -3121,6 +3143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "markdown_options": q_markdown_options,
         "stream_host_rates": q_stream_host_rates,
+        "cuckoo_seen_filter": q_cuckoo_seen_filter,
         "crawl_job_retries": q_crawl_job_retries,
         "image_psnr_invariant": q_image_psnr_invariant,
         "jpeg_pipeline": q_jpeg_pipeline,
@@ -5263,6 +5286,12 @@ FROM first GROUP BY wave_id
         "ivf_topk": _cached_fixture("ivf_topk", _ivf_oracle_sql),
         "markdown_options": _markdown_options_sql(),
         "stream_host_rates": _stream_host_rates_sql(),
+        "cuckoo_seen_filter": """
+SELECT 'https://c.test/p' || CAST(doc_id AS VARCHAR) AS url
+FROM documents
+WHERE doc_id >= 200 AND doc_id < 500
+  AND NOT (doc_id < 400 AND doc_id % 10 <> 0)
+""",
         "crawl_job_retries": _cached_fixture("crawl_job_retries", _crawl_job_retries_fixture_sql),
         "image_pipeline": _cached_fixture("image_pipeline", _image_pipeline_fixture_sql),
         "image_near_dup": _cached_fixture("image_near_dup", _image_near_dup_fixture_sql),

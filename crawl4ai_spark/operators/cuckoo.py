@@ -1,0 +1,238 @@
+"""URL-seen set, cuckoo variant: the north star's "fallback cuckoo" next
+to the partitioned bloom (operators/dedup.py).
+
+Why a second filter: a bloom shard cannot *unlearn* a URL — recrawl
+invalidation (cache STALE verdicts, sitemap lastmod bumps) would force a
+full shard rebuild.  A cuckoo filter stores 16-bit fingerprints in
+buckets, so deletion is an O(1) slot clear, and deleting an item that was
+actually inserted NEVER introduces a false negative for the rest: two
+different URLs sharing (fingerprint, bucket pair) each inserted their own
+copy, and delete removes exactly one copy (standard partial-key cuckoo
+multiset semantics — only ever delete items known to be inserted,
+Fan et al., "Cuckoo Filter: Practically Better Than Bloom", CoNEXT'14).
+
+Same scale shape as the bloom: the hash space splits into
+``n_partitions`` shards; builds/tests are shard-local ``applyInPandas``
+(no broadcast of a 10^10-key table), keys are JVM-side xxhash64 /
+murmur3 so no URL string ever crosses into Python.  Membership tests are
+fully numpy-vectorized.  Inserts walk items in deterministic order with
+bounded eviction kicks (overflow lands in a per-shard stash checked by
+the membership test, preserving the no-false-negative guarantee at any
+load factor); shards build in parallel across executors.  The bloom
+remains the primary write-once path — the cuckoo is selected when the
+pipeline needs deletions, exactly the split the north star names.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CUCKOO_FORMAT_VERSION = 1
+_BUCKET_SIZE = 4
+_MAX_KICKS = 500
+_FP_MIX = np.uint64(0x5BD1E995)  # fingerprint → partner-bucket mix
+
+CUCKOO_SCHEMA = T.StructType(
+    [
+        T.StructField("cuckoo_part", T.IntegerType()),
+        T.StructField("table", T.BinaryType()),   # (n_buckets × 4) uint16 slots
+        T.StructField("stash", T.BinaryType()),   # overflow fingerprints, uint16
+        T.StructField("n_items", T.LongType()),
+        T.StructField("fmt_version", T.IntegerType()),
+        T.StructField("n_partitions", T.IntegerType()),
+        T.StructField("n_buckets", T.LongType()),
+    ]
+)
+
+
+def _with_cuckoo_keys(df: DataFrame, url_col: str, n_partitions: int) -> DataFrame:
+    """Shard id (murmur3 of the canonical URL, like the bloom) + one
+    xxhash64 key that yields both the fingerprint and the home bucket."""
+    url = F.col(url_col)
+    return df.withColumn(
+        "cuckoo_part", F.pmod(F.hash(url), F.lit(n_partitions))
+    ).withColumn("_ck", F.xxhash64(F.lit("cuckoo"), url))
+
+
+def _fp_and_buckets(keys: np.ndarray, n_buckets: int):
+    """fingerprint (1..65535, never the 0 empty sentinel) and both
+    candidate buckets; XOR-partner so alternation is an involution."""
+    k = keys.view(np.uint64)
+    fp = ((k & np.uint64(0xFFFF)) % np.uint64(65535) + np.uint64(1)).astype(np.uint16)
+    mask = np.uint64(n_buckets - 1)
+    i1 = ((k >> np.uint64(16)) & mask).astype(np.int64)
+    alt = ((fp.astype(np.uint64) * _FP_MIX) & mask).astype(np.int64)
+    i2 = i1 ^ alt
+    return fp, i1, i2
+
+
+def _insert_all(table: np.ndarray, stash: list, fp: np.ndarray, i1: np.ndarray, i2: np.ndarray) -> None:
+    """Deterministic insert loop: first free slot in i1 then i2, else
+    bounded eviction (victim slot = kick counter mod bucket width —
+    no RNG, so shard bytes are reproducible)."""
+    n_buckets = table.shape[0]
+    mask = np.int64(n_buckets - 1)
+    for j in range(len(fp)):
+        f = fp[j]
+        for b in (i1[j], i2[j]):
+            row = table[b]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = f
+                break
+        else:
+            b = int(i2[j])
+            cur = np.uint16(f)
+            placed = False
+            for kick in range(_MAX_KICKS):
+                slot = kick % _BUCKET_SIZE
+                cur, table[b, slot] = table[b, slot], cur
+                alt = (np.uint64(cur) * _FP_MIX) & np.uint64(mask)
+                b = int(np.int64(b) ^ np.int64(alt))
+                row = table[b]
+                empty = np.nonzero(row == 0)[0]
+                if len(empty):
+                    row[empty[0]] = cur
+                    placed = True
+                    break
+            if not placed:
+                stash.append(int(cur))
+
+
+def build_cuckoo(
+    df: DataFrame, url_col: str = "url", n_partitions: int = 32, n_buckets: int = 1 << 14
+) -> DataFrame:
+    """Per-shard cuckoo tables for the URLs in ``df`` (one wave)."""
+    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        table = np.zeros((n_buckets, _BUCKET_SIZE), np.uint16)
+        stash: list = []
+        keys = pdf["_ck"].to_numpy(np.int64)
+        # deterministic insertion order regardless of upstream partitioning
+        keys = np.sort(keys.view(np.uint64)).view(np.int64)
+        fp, i1, i2 = _fp_and_buckets(keys, n_buckets)
+        _insert_all(table, stash, fp, i1, i2)
+        return pd.DataFrame(
+            {
+                "cuckoo_part": [key[0]],
+                "table": [table.tobytes()],
+                "stash": [np.asarray(stash, np.uint16).tobytes()],
+                "n_items": [len(pdf)],
+                "fmt_version": [CUCKOO_FORMAT_VERSION],
+                "n_partitions": [n_partitions],
+                "n_buckets": [n_buckets],
+            }
+        )
+
+    with_part = _with_cuckoo_keys(df, url_col, n_partitions)
+    return with_part.groupBy("cuckoo_part").applyInPandas(build, CUCKOO_SCHEMA)
+
+
+def cuckoo_delete(
+    shards: DataFrame, urls: DataFrame, url_col: str = "url", n_partitions: int = 32
+) -> DataFrame:
+    """Remove one fingerprint copy per URL (recrawl invalidation).  Only
+    ever pass URLs that were inserted — the cuckoo deletion contract."""
+    keyed = _with_cuckoo_keys(urls, url_col, n_partitions)
+
+    def drop(key, sdf: pd.DataFrame, udf: pd.DataFrame) -> pd.DataFrame:
+        if len(sdf) == 0:
+            return sdf
+        if len(udf) == 0:
+            return sdf
+        n_buckets = int(sdf["n_buckets"].iloc[0])
+        table = np.frombuffer(sdf["table"].iloc[0], np.uint16).reshape(n_buckets, _BUCKET_SIZE).copy()
+        stash = list(np.frombuffer(sdf["stash"].iloc[0], np.uint16))
+        keys = np.sort(udf["_ck"].to_numpy(np.int64).view(np.uint64)).view(np.int64)
+        fp, i1, i2 = _fp_and_buckets(keys, n_buckets)
+        removed = 0
+        for j in range(len(fp)):
+            f = fp[j]
+            done = False
+            for b in (i1[j], i2[j]):
+                hits = np.nonzero(table[b] == f)[0]
+                if len(hits):
+                    table[b, hits[0]] = 0
+                    done = True
+                    break
+            if not done and f in stash:
+                stash.remove(int(f))
+                done = True
+            removed += int(done)
+        out = sdf.iloc[[0]].copy()
+        out["table"] = [table.tobytes()]
+        out["stash"] = [np.asarray(stash, np.uint16).tobytes()]
+        out["n_items"] = [int(sdf["n_items"].iloc[0]) - removed]
+        return out
+
+    return (
+        shards.groupBy("cuckoo_part")
+        .cogroup(keyed.groupBy("cuckoo_part"))
+        .applyInPandas(drop, CUCKOO_SCHEMA)
+    )
+
+
+def cuckoo_maybe_seen(
+    candidates: DataFrame, shards: DataFrame, url_col: str = "url", n_partitions: int = 32
+) -> DataFrame:
+    """Tag candidates with ``maybe_seen`` — fully vectorized shard-local
+    test (both buckets + stash).  No false negatives for inserted,
+    undeleted items, by cuckoo construction."""
+    cand = _with_cuckoo_keys(candidates, url_col, n_partitions)
+    out_schema = T.StructType(
+        cand.schema.fields + [T.StructField("maybe_seen", T.BooleanType())]
+    )
+
+    def test(key, cdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cdf) == 0:
+            return cdf.assign(maybe_seen=pd.Series([], dtype=bool))
+        if len(sdf) == 0:
+            return cdf.assign(maybe_seen=False)
+        hit = np.zeros(len(cdf), bool)
+        keys = cdf["_ck"].to_numpy(np.int64)
+        for _, srow in sdf.iterrows():  # unmerged wave deltas: OR of tests
+            n_buckets = int(srow["n_buckets"])
+            table = np.frombuffer(srow["table"], np.uint16).reshape(n_buckets, _BUCKET_SIZE)
+            stash = np.frombuffer(srow["stash"], np.uint16)
+            fp, i1, i2 = _fp_and_buckets(keys, n_buckets)
+            h = (table[i1] == fp[:, None]).any(axis=1)
+            h |= (table[i2] == fp[:, None]).any(axis=1)
+            if len(stash):
+                h |= np.isin(fp, stash)
+            hit |= h
+        return cdf.assign(maybe_seen=hit)
+
+    return (
+        cand.groupBy("cuckoo_part")
+        .cogroup(shards.groupBy("cuckoo_part"))
+        .applyInPandas(test, out_schema)
+        .drop("cuckoo_part", "_ck")
+    )
+
+
+def cuckoo_anti_join_seen(
+    candidates: DataFrame,
+    seen: DataFrame | None,
+    shards: DataFrame | None,
+    url_col: str = "url",
+    seen_col: str = "url",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Exact new-URL set with the cuckoo as pre-filter: definitely-new
+    rows skip the anti-join, maybe-seen rows (true dupes + ~0.01% false
+    positives at 16-bit fingerprints) pay the exact verify — identical
+    contract to dedup.anti_join_seen."""
+    if seen is None:
+        return candidates
+    seen_keys = seen.select(F.col(seen_col).alias(url_col)).distinct()
+    if shards is None:
+        return candidates.join(seen_keys, url_col, "left_anti")
+    tagged = cuckoo_maybe_seen(candidates, shards, url_col, n_partitions)
+    fresh = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    return fresh.unionByName(maybe.join(seen_keys, url_col, "left_anti"))

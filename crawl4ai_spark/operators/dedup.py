@@ -24,6 +24,10 @@ Rows that the bloom says are *definitely new* skip the anti-join against
 the giant seen table entirely; only the "maybe seen" minority (true
 dupes + ~1% false positives) pays the exact join.  No false negatives by
 construction — verified property in tests.
+
+When the pipeline needs recrawl invalidation (un-seeing URLs), use the
+deletion-capable cuckoo variant in :mod:`.cuckoo` — same shard layout and
+anti-join contract, O(1) fingerprint deletes.
 """
 
 from __future__ import annotations
