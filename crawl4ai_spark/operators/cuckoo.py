@@ -143,6 +143,12 @@ def cuckoo_delete(
     def drop(key, sdf: pd.DataFrame, udf: pd.DataFrame) -> pd.DataFrame:
         if len(sdf) == 0:
             return sdf
+        if len(sdf) > 1:
+            # deleting from unmerged wave deltas would need to know WHICH
+            # delta inserted each URL — fail loudly instead of silently
+            # dropping deltas (callers: delete against one built/merged
+            # shard set per partition)
+            raise ValueError("cuckoo_delete: merge shard deltas before deleting")
         if len(udf) == 0:
             return sdf
         n_buckets = int(sdf["n_buckets"].iloc[0])

@@ -91,3 +91,11 @@ def test_stash_overflow_keeps_guarantee(spark):
     assert stash_bytes > 0  # overflow actually exercised
     tagged = cuckoo_maybe_seen(many, shards, n_partitions=8)
     assert tagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_delete_rejects_unmerged_deltas(spark):
+    wave1 = build_cuckoo(_urls(spark, range(100)), n_partitions=4, n_buckets=1 << 10)
+    wave2 = build_cuckoo(_urls(spark, range(100, 200)), n_partitions=4, n_buckets=1 << 10)
+    deltas = wave1.unionByName(wave2)
+    with pytest.raises(Exception, match="merge shard deltas"):
+        cuckoo_delete(deltas, _urls(spark, [5]), n_partitions=4).collect()
