@@ -302,9 +302,16 @@ def main() -> None:
     print(
         json.dumps(
             {
+                # value IS the metric: frontier throughput, directly
+                # comparable to the reference's 17.09 URLs/s (BASELINE.md)
+                # and across rounds.  Total wall time still reported below
+                # (total_query_sec) — it grows with the query count each
+                # round (16 queries r1 → 47 r3) so it is NOT a cross-round
+                # performance signal.
                 "metric": "frontier URLs scheduled+deduped/sec (and fetched image rows/sec)",
-                "value": round(total, 3),
-                "unit": "sec",
+                "value": round(urls_per_sec, 1),
+                "unit": "urls/sec",
+                "total_query_sec": round(total, 3),
                 "sf": sf,
                 "cpus": cpus,
                 "frontier_n": n_frontier,

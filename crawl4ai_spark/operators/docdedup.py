@@ -56,8 +56,25 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 # ---------------------------------------------------------------------------
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Round-robin narrow inputs out to the cluster's parallelism.
+
+    Shingling + per-shingle hashing is the CPU plane of every dedup
+    operator here; a small parquet scan (few row-groups → few input
+    partitions) would otherwise pin that work to a handful of cores
+    (measured: 3 partitions at sf0.1 left 29 of 32 cores idle, 6.7 s for
+    shingling alone).  At 100-TB scale the scan already yields thousands
+    of partitions and this is a no-op — the repartition only fires when
+    the input is NARROWER than the cluster, so no shuffle is added on
+    the big-data path."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        return docs.repartition(par)
+    return docs
+
+
 def _shingled(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return docs.select(
+    return _spread(docs).select(
         F.col(id_col).alias("doc_id"), shingles_expr(F.col(text_col), n).alias("shingles")
     ).withColumn("n_shingles", F.size("shingles"))
 
@@ -154,8 +171,15 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate pairs share ≥1 LSH band of the minhash signature; each
     candidate verified with exact shingle Jaccard (so the output has no
-    false positives; banding only bounds recall)."""
-    sig = minhash_signature(docs, n_perm, n, text_col, id_col)
+    false positives; banding only bounds recall).
+
+    The signature is materialized ONCE (lazy localCheckpoint) before the
+    pair query scans it three times (banding + the two shingle-attach
+    joins) — without the pin the 16-perm md5 signature is recomputed per
+    scan (measured 25.7 s → 9 s at sf0.1).  The real scale path persists
+    signatures per wave instead (operators/dedup_state.py); this is the
+    convenience form for one-shot corpora."""
+    sig = minhash_signature(docs, n_perm, n, text_col, id_col).localCheckpoint(eager=False)
     return minhash_pairs_from_signatures(sig, threshold, n_perm, bands)
 
 
@@ -281,25 +305,31 @@ def banded_hamming_pairs(
         F.posexplode(bands).alias("band_idx", "band_val"),
     )
     a, b = banded.alias("a"), banded.alias("b")
+    # the hamming test rides INSIDE the join as an extra predicate: the
+    # equi-join still hashes/sorts only on (band_idx, band_val), but
+    # spurious band collisions are discarded in the join's output
+    # iterator instead of being materialized.  On a clustered corpus the
+    # band buckets are heavily skewed (measured: 6.7k docs → 28.2M
+    # candidate rows, one 3.3k-doc bucket alone = 5.4M) and shipping
+    # those rows into the pair dedup's shuffle was ~20 s of the operator;
+    # filtered-in-join the dedup sees only true near-dup rows (×bands).
+    ham = F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h")))
     cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a._id") < F.col("b._id")),
+            & (F.col("a._id") < F.col("b._id"))
+            & (ham <= max_hamming),
         )
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a._h").alias("_ha"),
-            F.col("b._h").alias("_hb"),
+            ham.alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
-    )
+    return cand.select("id_a", "id_b", "hamming")
 
 
 # ---------------------------------------------------------------------------
@@ -347,7 +377,10 @@ def simhash_table(
     token that codegens into ~30 MB task binaries; this shape keeps each
     expression tiny (64 scalar sums), shuffles once on doc_id with
     map-side combine, and is the scale path."""
-    toks = docs.select(
+    # _spread: the explode + 64 map-side partial sums run in the INPUT
+    # partitioning — a narrow scan would pin the whole vote plane to a
+    # few cores (measured 3/32 busy at sf0.1)
+    toks = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens_expr(F.lower(F.col(text_col))))).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
@@ -385,7 +418,7 @@ def simhash_table_md5(
     the md5 costs ~2× an xxhash64, so the xxhash64 variant stays the
     scale default.  Zero-token docs excluded (see simhash_pairs)."""
     bits = 60
-    toks = docs.select(
+    toks = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokens_expr(F.lower(F.col(text_col))))).alias("tok"),
     ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
