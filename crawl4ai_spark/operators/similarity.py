@@ -236,34 +236,49 @@ def ivf_train(
     iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    train_sample_limit: int = 1 << 18,
 ) -> list[list]:
     """Deterministic integer k-means: init = the quantized vectors of the
     `n_centroids` smallest ids; `iters` Lloyd rounds with integer sums and
-    floor-mean updates; empty cells keep their previous centroid."""
-    import math
+    floor-mean updates; empty cells keep their previous centroid.
+
+    The coarse quantizer trains on ONE deterministic sample (the
+    ``train_sample_limit`` smallest ids) collected to the driver, with
+    the Lloyd rounds in exact-int64 numpy — the standard IVF design
+    (FAISS / MLlib train on a bounded sample; only ASSIGNMENT must be
+    distributed, and it is, in :func:`ivf_topk`).  Below the cap this is
+    bit-identical to full-data training, which is what the unrolled SQL
+    oracle replays.  The previous shape — one Spark job per Lloyd round
+    over a 16-centroid × dim literal expression tree — spent ~2 s/round
+    on plan+codegen alone (fresh literals every round defeat any plan
+    cache) regardless of data size."""
+    import numpy as np
 
     q = vectors.select(
         F.col(id_col).alias("_id"), quantize_expr(F.col(vec_col)).alias("_qv")
     )
-    init_rows = q.orderBy("_id").limit(n_centroids).collect()
-    centroids = [list(r["_qv"]) for r in init_rows]
-    dim = len(centroids[0])
+    rows = q.orderBy("_id").limit(train_sample_limit).collect()
+    arr = np.array([list(r["_qv"]) for r in rows], dtype=np.int64)
+    centroids = arr[:n_centroids].copy()
     for _ in range(iters):
-        assigned = q.select(
-            _assign_struct(F.col("_qv"), centroids)["cid"].alias("_cid"), "_qv"
-        )
-        sums = (
-            assigned.select("_cid", F.posexplode("_qv").alias("_pos", "_c"))
-            .groupBy("_cid", "_pos")
-            .agg(F.sum("_c").alias("_s"), F.count("*").alias("_n"))
-            .collect()
-        )
-        new = [list(c) for c in centroids]
-        for r in sums:
-            # same floor(double/count) as the SQL oracle; exact < 2^53
-            new[r["_cid"]][r["_pos"]] = int(math.floor(r["_s"] / r["_n"]))
+        # argmin_c |a-c|² == argmin_c (|c|² − 2·a·c): int64-exact, and
+        # numpy argmin's first-minimum rule == the lower-cid tiebreak of
+        # the previous array_sort(struct(d, cid)) expression
+        cross = arr @ centroids.T
+        cnorm = (centroids * centroids).sum(axis=1)
+        cid = (cnorm[None, :] - 2 * cross).argmin(axis=1)
+        new = centroids.copy()
+        for c in range(n_centroids):
+            members = arr[cid == c]
+            if len(members):
+                # floor(double(sum)/count) — replays the SQL oracle's
+                # FLOOR(CAST(SUM AS DOUBLE)/COUNT) exactly; sums < 2^53
+                new[c] = np.floor(
+                    members.sum(axis=0, dtype=np.int64).astype(np.float64)
+                    / len(members)
+                ).astype(np.int64)
         centroids = new
-    return centroids
+    return [[int(v) for v in c] for c in centroids]
 
 
 def ivf_topk(
