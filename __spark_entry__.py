@@ -276,6 +276,24 @@ def q_minhash_incremental(spark, sf_dir):
     return pairs.select("id_a", "id_b", _e6(F.col("jaccard")).alias("jaccard_e6"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the minhash-LSH near-dup pairs →
+    (doc_id, canonical_id, cluster_size): the keep/drop decision plane
+    that turns pair lists into actionable dedup (keep canonical_id, drop
+    the rest).  Spark side = min-label propagation, one shuffle per
+    round, lineage cut per round (docdedup.dedup_components); oracle =
+    DuckDB recursive CTE over the SAME pair SQL."""
+    from pyspark.sql import Window
+
+    aug = _docs_aug(_t(spark, sf_dir, "documents"))
+    pairs = docdedup.minhash_lsh_pairs(aug, threshold=0.5, n_perm=16, bands=4, n=3)
+    comp = docdedup.dedup_components(pairs)
+    w = Window.partitionBy("canonical_id")
+    return comp.withColumn(
+        "cluster_size", F.count("*").over(w).cast("long")
+    ).select("doc_id", "canonical_id", "cluster_size")
+
+
 def q_simhash_pairs(spark, sf_dir):
     aug = _docs_aug(_t(spark, sf_dir, "documents"))
     return docdedup.simhash_pairs(aug, max_hamming=6)
@@ -3095,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_incremental": q_minhash_incremental,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "simhash_pairs_scale": q_simhash_pairs_scale,
         "simhash_pairs_portable": q_simhash_pairs_portable,
@@ -3247,6 +3266,32 @@ cand AS (
 )
 SELECT id_a, id_b, CAST(round(jaccard * 1000000) AS BIGINT) AS jaccard_e6
 FROM verified WHERE jaccard >= 0.5
+"""
+
+
+def _dedup_clusters_sql() -> str:
+    """Recursive-CTE connected components over _minhash_lsh_sql's pair
+    set: reach(id, label) closes the bidirectional edge relation, MIN
+    label per id = the component's minimum doc_id (the canonical)."""
+    base = _minhash_lsh_sql()
+    head, _tail = base.rsplit("SELECT id_a, id_b,", 1)
+    head = head.replace("WITH ", "WITH RECURSIVE ", 1).rstrip().rstrip(")") + ")"
+    return head + """,
+pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+labels AS (SELECT id AS doc_id, MIN(label) AS canonical_id FROM reach GROUP BY id),
+csize AS (SELECT canonical_id AS c, COUNT(*) AS n FROM labels GROUP BY canonical_id)
+SELECT l.doc_id, l.canonical_id, CAST(cs.n AS BIGINT) AS cluster_size
+FROM labels l JOIN csize cs ON cs.c = l.canonical_id
 """
 
 
@@ -5089,6 +5134,7 @@ FROM docs_aug GROUP BY md5(text) HAVING COUNT(*) > 1
         "minhash_signatures": _minhash_signatures_sql(),
         "minhash_lsh_pairs": _minhash_lsh_sql(),
         "minhash_incremental": _minhash_incremental_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "ann_topk": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),

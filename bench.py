@@ -182,6 +182,7 @@ ENTRY_QUERIES = [
     # every shingle a stop-shingle; minhash_lsh_pairs IS its scale path
     "minhash_lsh_pairs",
     "minhash_incremental",
+    "dedup_clusters",
     "simhash_pairs",  # recall geometry (h<=6, 8x8 bands)
     "simhash_pairs_scale",  # Manku 10^10 geometry (h<=3, 4x16 bands)
     "ann_topk",

@@ -471,3 +471,69 @@ def simhash_pairs(
         sh, max_hamming=max_hamming, band_bits=band_bits, total_bits=64,
         id_col="doc_id", hash_col="simhash",
     )
+
+
+# ---------------------------------------------------------------------------
+# pair list → dedup decision: connected components + canonical doc
+# ---------------------------------------------------------------------------
+
+
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(doc_id, canonical_id) — connected components over a near-dup pair
+    list, canonical = the component's minimum id.  This is the step that
+    turns any of this module's pair generators (minhash / simhash /
+    n-gram / embedding) into an actionable keep/drop decision: keep
+    ``canonical_id``, drop the rest.
+
+    Spark shape: min-label propagation.  Each round is ONE shuffle — a
+    join of the (bidirectional) edge list with the current labels plus a
+    min-aggregate — and converges in O(component diameter) rounds; dedup
+    clusters are dense and shallow (dups of a common original), so this
+    is 2-4 rounds in practice, vs O(n) rounds only for a pathological
+    chain.  Lineage is cut with an eager localCheckpoint per round so
+    the plan does not grow with iterations (the classic iterative-Spark
+    trap).  Docs appearing in no pair are singletons and are NOT
+    emitted — a caller wanting them can left-join and coalesce to the
+    doc's own id, without paying a full-corpus shuffle here.
+
+    Raises after ``max_iters`` non-converged rounds rather than return a
+    silently-partial labeling.
+    """
+    # pin the edge list ONCE — it is scanned every round, and without the
+    # pin each round re-runs the entire upstream pair generator (an LSH
+    # pipeline here is several jobs by itself)
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")
+            )
+    raise RuntimeError(f"dedup_components: no convergence in {max_iters} rounds")

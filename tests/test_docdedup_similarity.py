@@ -210,3 +210,46 @@ def test_minhash_lsh_empty_docs_not_banded(spark):
     pairs = docdedup.minhash_lsh_pairs(docs, threshold=0.5, n_perm=16, bands=4, n=3)
     got = pairs.collect()
     assert {(r["id_a"], r["id_b"]) for r in got} == {(9001, 9002)}
+
+
+def test_dedup_components_matches_union_find(spark):
+    import random
+
+    from crawl4ai_spark.operators.docdedup import dedup_components
+
+    rng = random.Random(7)
+    edges = sorted({tuple(sorted(rng.sample(range(60), 2))) for _ in range(80)})
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {
+        (r["doc_id"], r["canonical_id"])
+        for r in dedup_components(pairs).collect()
+    }
+    # reference union-find
+    parent = list(range(60))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comp = {}
+    for n in {v for e in edges for v in e}:
+        comp.setdefault(find(n), []).append(n)
+    want = {(n, min(ms)) for ms in comp.values() for n in ms}
+    assert got == want
+
+
+def test_dedup_components_empty_and_chain(spark):
+    from crawl4ai_spark.operators.docdedup import dedup_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_components(empty).count() == 0
+    # a 12-node chain needs O(length) label rounds — exercises convergence
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    rows = dedup_components(chain).collect()
+    assert len(rows) == 12 and all(r["canonical_id"] == 0 for r in rows)
