@@ -3275,7 +3275,11 @@ def _dedup_clusters_sql() -> str:
     label per id = the component's minimum doc_id (the canonical)."""
     base = _minhash_lsh_sql()
     head, _tail = base.rsplit("SELECT id_a, id_b,", 1)
-    head = head.replace("WITH ", "WITH RECURSIVE ", 1).rstrip().rstrip(")") + ")"
+    head = head.replace("WITH ", "WITH RECURSIVE ", 1).rstrip()
+    # the CTE list must end exactly at the close of `verified` — guard the
+    # splice so a future _minhash_lsh_sql edit cannot silently produce
+    # unbalanced SQL here
+    assert head.endswith(")"), "dedup_clusters oracle splice lost the CTE close"
     return head + """,
 pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
 edges AS (

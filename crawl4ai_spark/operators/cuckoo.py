@@ -146,9 +146,15 @@ def cuckoo_delete(
         if len(sdf) > 1:
             # deleting from unmerged wave deltas would need to know WHICH
             # delta inserted each URL — fail loudly instead of silently
-            # dropping deltas (callers: delete against one built/merged
-            # shard set per partition)
-            raise ValueError("cuckoo_delete: merge shard deltas before deleting")
+            # dropping deltas.  Cuckoo tables are NOT bitwise-mergeable
+            # (unlike the bloom's OR-merge), so the remediation is a
+            # rebuild: re-run build_cuckoo over the union of source URLs
+            # to get one consolidated shard set per partition.
+            raise ValueError(
+                "cuckoo_delete: multiple shard deltas per partition; rebuild one "
+                "consolidated cuckoo from the source URLs before deleting "
+                "(cuckoo shards are not mergeable)"
+            )
         if len(udf) == 0:
             return sdf
         n_buckets = int(sdf["n_buckets"].iloc[0])

@@ -68,6 +68,15 @@ def _spread(docs: DataFrame) -> DataFrame:
     the input is NARROWER than the cluster, so no shuffle is added on
     the big-data path."""
     par = docs.sparkSession.sparkContext.defaultParallelism
+    # Only inspect .rdd when the plan is shuffle-free: under AQE, .rdd on
+    # a plan WITH exchanges finalizes the adaptive plan and eagerly runs
+    # every upstream shuffle stage just to read a partition count (then
+    # the real action re-plans and re-runs them).  A post-shuffle df is
+    # already spark.sql.shuffle.partitions wide — nothing to spread —
+    # and a shuffle-free df's .rdd executes no jobs, so the check is free
+    # exactly when it is safe.
+    if "Exchange" in docs._jdf.queryExecution().sparkPlan().toString():
+        return docs
     if docs.rdd.getNumPartitions() < par:
         return docs.repartition(par)
     return docs
@@ -478,6 +487,22 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Free the storage blocks behind an (eager) localCheckpoint'd frame.
+
+    ``DataFrame.unpersist()`` is a no-op here — the blocks belong to the
+    internal checkpointed RDD inside the LogicalRDD node, which the
+    cache manager never registered (verified empirically: blocks survive
+    both ``df.unpersist()`` and ``toRdd().unpersist()``).  Best-effort:
+    failures are swallowed because the fallback is what happened before
+    this helper existed — the driver's ContextCleaner frees the blocks
+    at GC time."""
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def dedup_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -517,23 +542,31 @@ def dedup_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_iters):
-        prop = edges.join(labels, edges["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), F.col("label")
-        )
-        new_labels = (
-            labels.unionByName(prop).groupBy("id").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels.select(
-                F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")
+    try:
+        for _ in range(max_iters):
+            prop = edges.join(labels, edges["src"] == labels["id"]).select(
+                F.col("dst").alias("id"), F.col("label")
             )
-    raise RuntimeError(f"dedup_components: no convergence in {max_iters} rounds")
+            new_labels = (
+                labels.unionByName(prop).groupBy("id").agg(F.min("label").alias("label"))
+            ).localCheckpoint()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") < F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            # free the superseded round's checkpoint blocks now instead of
+            # waiting for driver GC — bounds storage to two generations
+            _free_local_checkpoint(labels)
+            labels = new_labels
+            if changed == 0:
+                return labels.select(
+                    F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")
+                )
+        raise RuntimeError(f"dedup_components: no convergence in {max_iters} rounds")
+    finally:
+        # the returned labels frame is already materialized in its own
+        # checkpoint blocks; the edge list is no longer needed
+        _free_local_checkpoint(edges)

@@ -254,11 +254,14 @@ def ivf_train(
     cache) regardless of data size."""
     import numpy as np
 
-    q = vectors.select(
+    q = vectors.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"), quantize_expr(F.col(vec_col)).alias("_qv")
     )
-    rows = q.orderBy("_id").limit(train_sample_limit).collect()
-    arr = np.array([list(r["_qv"]) for r in rows], dtype=np.int64)
+    # Arrow toPandas, not collect(): at the sample cap this is ~262k rows
+    # of dim-wide lists — the row-pickling path would build GBs of Python
+    # objects just to discard them after the numpy conversion
+    pdf = q.orderBy("_id").limit(train_sample_limit).toPandas()
+    arr = np.array([list(v) for v in pdf["_qv"]], dtype=np.int64)
     centroids = arr[:n_centroids].copy()
     for _ in range(iters):
         # argmin_c |a-c|² == argmin_c (|c|² − 2·a·c): int64-exact, and

@@ -97,5 +97,5 @@ def test_delete_rejects_unmerged_deltas(spark):
     wave1 = build_cuckoo(_urls(spark, range(100)), n_partitions=4, n_buckets=1 << 10)
     wave2 = build_cuckoo(_urls(spark, range(100, 200)), n_partitions=4, n_buckets=1 << 10)
     deltas = wave1.unionByName(wave2)
-    with pytest.raises(Exception, match="merge shard deltas"):
+    with pytest.raises(Exception, match="rebuild one consolidated cuckoo"):
         cuckoo_delete(deltas, _urls(spark, [5]), n_partitions=4).collect()
