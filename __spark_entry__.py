@@ -294,6 +294,34 @@ def q_dedup_clusters(spark, sf_dir):
     ).select("doc_id", "canonical_id", "cluster_size")
 
 
+def q_corpus_clean(spark, sf_dir):
+    """The end-to-end training-corpus cleaning pipeline in ONE query:
+    language gate (en) → quality gate (≥0.5) → exact-dedup survivors
+    (lowest id per md5) → near-dup survivors (drop non-canonical members
+    of minhash-LSH connected components).  Composes four already-oracled
+    planes; the near-dup clusters are computed over the FULL corpus (as
+    a real pipeline would — cluster membership must not depend on the
+    quality gate) and applied to the gated survivors."""
+    aug = _docs_aug(_t(spark, sf_dir, "documents"))
+    scored = aug.select(
+        "doc_id",
+        "text",
+        lang_id_expr(F.col("text")).alias("lang_pred"),
+        _e6(quality_score_expr(F.col("text"))).alias("quality_e6"),
+        token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
+    ).filter((F.col("lang_pred") == "en") & (F.col("quality_e6") >= 500000))
+    survivors = docdedup.exact_dedup(scored, text_col="text", id_col="doc_id")
+    pairs = docdedup.minhash_lsh_pairs(aug, threshold=0.5, n_perm=16, bands=4, n=3)
+    dropped = (
+        docdedup.dedup_components(pairs)
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id")
+    )
+    return survivors.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang_pred", "quality_e6", "n_tokens"
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     aug = _docs_aug(_t(spark, sf_dir, "documents"))
     return docdedup.simhash_pairs(aug, max_hamming=6)
@@ -3114,6 +3142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_incremental": q_minhash_incremental,
         "dedup_clusters": q_dedup_clusters,
+        "corpus_clean": q_corpus_clean,
         "simhash_pairs": q_simhash_pairs,
         "simhash_pairs_scale": q_simhash_pairs_scale,
         "simhash_pairs_portable": q_simhash_pairs_portable,
@@ -3296,6 +3325,52 @@ labels AS (SELECT id AS doc_id, MIN(label) AS canonical_id FROM reach GROUP BY i
 csize AS (SELECT canonical_id AS c, COUNT(*) AS n FROM labels GROUP BY canonical_id)
 SELECT l.doc_id, l.canonical_id, CAST(cs.n AS BIGINT) AS cluster_size
 FROM labels l JOIN csize cs ON cs.c = l.canonical_id
+"""
+
+
+def _corpus_clean_sql() -> str:
+    """Replays q_corpus_clean: the recursive-CC labels from
+    _dedup_clusters_sql's CTE chain + lang/quality/token scoring over
+    docs_aug + ROW_NUMBER exact dedup + anti-join of non-canonical
+    cluster members."""
+    base = _dedup_clusters_sql()
+    head, _tail = base.rsplit("SELECT l.doc_id", 1)
+    head = head.rstrip().rstrip(",")
+    lang_cols = ", ".join(f"{_hits_sql(lang)} AS h_{lang}" for lang in sorted(_STOPWORDS))
+    hmax = "greatest(h_de, h_en, h_es, h_fr, h_zh)"
+    toks = _TOKS_SQL.format(src="text")
+    return head + f""",
+hits2 AS (SELECT doc_id, text, {lang_cols} FROM docs_aug),
+scored AS (
+  SELECT doc_id, text,
+    CASE WHEN {hmax} = 0 THEN 'unknown'
+         WHEN h_de = {hmax} THEN 'de'
+         WHEN h_en = {hmax} THEN 'en'
+         WHEN h_es = {hmax} THEN 'es'
+         WHEN h_fr = {hmax} THEN 'fr'
+         ELSE 'zh' END AS lang_pred,
+    CAST(round((
+        least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+      + greatest(1.0 - (CAST(len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) AS DOUBLE)
+                        / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 4.0, 0.0) * 0.3
+      + (CAST({_hits_sql("en")} AS DOUBLE) / 5.0) * 0.3
+    ) * 1000000) AS BIGINT) AS quality_e6,
+    CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM hits2
+),
+gated AS (
+  SELECT * FROM scored WHERE lang_pred = 'en' AND quality_e6 >= 500000
+),
+exact AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM gated
+),
+surv AS (SELECT doc_id, lang_pred, quality_e6, n_tokens FROM exact WHERE rn = 1)
+SELECT s.doc_id, s.lang_pred, s.quality_e6, s.n_tokens
+FROM surv s
+LEFT JOIN (SELECT doc_id FROM labels WHERE doc_id <> canonical_id) d
+  ON s.doc_id = d.doc_id
+WHERE d.doc_id IS NULL
 """
 
 
@@ -5139,6 +5214,7 @@ FROM docs_aug GROUP BY md5(text) HAVING COUNT(*) > 1
         "minhash_lsh_pairs": _minhash_lsh_sql(),
         "minhash_incremental": _minhash_incremental_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        "corpus_clean": _corpus_clean_sql(),
         "ann_topk": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),

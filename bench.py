@@ -183,6 +183,7 @@ ENTRY_QUERIES = [
     "minhash_lsh_pairs",
     "minhash_incremental",
     "dedup_clusters",
+    "corpus_clean",
     "simhash_pairs",  # recall geometry (h<=6, 8x8 bands)
     "simhash_pairs_scale",  # Manku 10^10 geometry (h<=3, 4x16 bands)
     "ann_topk",
