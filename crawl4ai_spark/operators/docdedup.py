@@ -67,16 +67,35 @@ def _spread(docs: DataFrame) -> DataFrame:
     of partitions and this is a no-op — the repartition only fires when
     the input is NARROWER than the cluster, so no shuffle is added on
     the big-data path."""
+    import re
+
     par = docs.sparkSession.sparkContext.defaultParallelism
-    # Only inspect .rdd when the plan is shuffle-free: under AQE, .rdd on
-    # a plan WITH exchanges finalizes the adaptive plan and eagerly runs
-    # every upstream shuffle stage just to read a partition count (then
-    # the real action re-plans and re-runs them).  A post-shuffle df is
-    # already spark.sql.shuffle.partitions wide — nothing to spread —
-    # and a shuffle-free df's .rdd executes no jobs, so the check is free
-    # exactly when it is safe.
-    if "Exchange" in docs._jdf.queryExecution().sparkPlan().toString():
-        return docs
+    # Only inspect .rdd when the plan is provably shuffle-free: under
+    # AQE, .rdd on a plan WITH exchanges finalizes the adaptive plan and
+    # eagerly runs every upstream shuffle stage just to read a partition
+    # count (then the real action re-plans and re-runs them).  Exchanges
+    # are invisible before EnsureRequirements (sparkPlan() never shows
+    # them), so gate on the ANALYZED plan instead: probe only chains of
+    # scan/project/filter/union nodes — exactly the narrow-input shapes
+    # this helper exists for.  Anything else (joins, aggregates, windows,
+    # limits, …) is returned untouched; a post-shuffle frame is already
+    # spark.sql.shuffle.partitions wide anyway.
+    _SAFE_NODES = {
+        "Relation", "LogicalRDD", "LocalRelation", "Project", "Filter",
+        "Union", "SubqueryAlias", "View",
+    }
+    plan = docs._jdf.queryExecution().analyzed().toString()
+    for line in plan.splitlines():
+        m = re.match(r"^[\s:+|-]*'?([A-Za-z]\w*)", line)
+        if not m:
+            continue
+        node = m.group(1)
+        # coalesce() prints as "Repartition n, false" — narrow, safe to
+        # probe; a shuffling repartition(n) says "true" and is not
+        if node == "Repartition" and ", false" in line:
+            continue
+        if node not in _SAFE_NODES:
+            return docs
     if docs.rdd.getNumPartitions() < par:
         return docs.repartition(par)
     return docs
@@ -545,21 +564,26 @@ def dedup_components(
     try:
         for _ in range(max_iters):
             prop = edges.join(labels, edges["src"] == labels["id"]).select(
-                F.col("dst").alias("id"), F.col("label")
+                F.col("dst").alias("id"), F.col("label"), F.lit(None).cast("long").alias("_old")
             )
+            # the convergence signal rides in the SAME aggregation as the
+            # propagation (_old = the previous round's label, present only
+            # on the self row): min(label) < min(_old) ⇔ this id improved.
+            # One checkpoint job per round; the changed-check then reads
+            # the materialized blocks instead of paying a join job.
             new_labels = (
-                labels.unionByName(prop).groupBy("id").agg(F.min("label").alias("label"))
+                labels.select("id", "label", F.col("label").alias("_old"))
+                .unionByName(prop)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"), F.min("_old").alias("_old"))
             ).localCheckpoint()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.label") < F.col("o.label"))
-                .limit(1)
-                .count()
-            )
+            changed = new_labels.filter(F.col("label") < F.col("_old")).limit(1).count()
             # free the superseded round's checkpoint blocks now instead of
             # waiting for driver GC — bounds storage to two generations
             _free_local_checkpoint(labels)
+            # keep the RAW checkpointed frame (a .select() wrapper would be
+            # a Project node and defeat _free_local_checkpoint next round);
+            # the extra _old column is ignored by name-based access above
             labels = new_labels
             if changed == 0:
                 return labels.select(

@@ -253,3 +253,17 @@ def test_dedup_components_empty_and_chain(spark):
     )
     rows = dedup_components(chain).collect()
     assert len(rows) == 12 and all(r["canonical_id"] == 0 for r in rows)
+
+
+def test_spread_skips_shuffled_frames(spark):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.docdedup import _spread
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.createDataFrame([(i, "t") for i in range(10)], "doc_id long, text string").coalesce(1)
+    assert _spread(narrow).rdd.getNumPartitions() >= min(par, 10) or par == 1
+    # a post-shuffle frame must be returned untouched: probing .rdd there
+    # would eagerly execute the upstream shuffle under AQE
+    shuffled = narrow.groupBy("doc_id").agg(F.count("*").alias("n"))
+    assert _spread(shuffled) is shuffled
