@@ -534,12 +534,13 @@ def dedup_components(
     n-gram / embedding) into an actionable keep/drop decision: keep
     ``canonical_id``, drop the rest.
 
-    Spark shape: min-label propagation.  Each round is ONE shuffle — a
-    join of the (bidirectional) edge list with the current labels plus a
-    min-aggregate — and converges in O(component diameter) rounds; dedup
-    clusters are dense and shallow (dups of a common original), so this
-    is 2-4 rounds in practice, vs O(n) rounds only for a pathological
-    chain.  Lineage is cut with an eager localCheckpoint per round so
+    Spark shape: min-label propagation WITH pointer jumping — each round
+    joins the (bidirectional) edge list with the current labels AND lets
+    every id adopt its label's label, so labels telescope along chains:
+    O(log diameter) rounds, not O(diameter).  Dedup clusters are dense
+    and shallow (dups of a common original), so this is 2-4 rounds in
+    practice; the jump term is what keeps a pathological shingle-chain
+    cluster from turning rounds linear at 10^10.  Lineage is cut with an eager localCheckpoint per round so
     the plan does not grow with iterations (the classic iterative-Spark
     trap).  Docs appearing in no pair are singletons and are NOT
     emitted — a caller wanting them can left-join and coalesce to the
@@ -562,19 +563,40 @@ def dedup_components(
         .localCheckpoint()
     )
     try:
-        for _ in range(max_iters):
+        for _round in range(max_iters):
             prop = edges.join(labels, edges["src"] == labels["id"]).select(
                 F.col("dst").alias("id"), F.col("label"), F.lit(None).cast("long").alias("_old")
+            )
+            # pointer jumping: each id also adopts its LABEL's label, so a
+            # chain's labels telescope — O(log diameter) rounds instead of
+            # O(diameter), the property that matters when a boilerplate
+            # cluster at 10^10 is a long shingle-chain rather than a star
+            jump = (
+                labels.alias("l")
+                .join(
+                    labels.select(
+                        F.col("id").alias("_jid"), F.col("label").alias("_jlbl")
+                    ),
+                    F.col("l.label") == F.col("_jid"),
+                )
+                .select(
+                    F.col("l.id").alias("id"),
+                    F.col("_jlbl").alias("label"),
+                    F.lit(None).cast("long").alias("_old"),
+                )
             )
             # the convergence signal rides in the SAME aggregation as the
             # propagation (_old = the previous round's label, present only
             # on the self row): min(label) < min(_old) ⇔ this id improved.
             # One checkpoint job per round; the changed-check then reads
             # the materialized blocks instead of paying a join job.
+            fused = labels.select("id", "label", F.col("label").alias("_old")).unionByName(prop)
+            if _round > 0:
+                # round 0's jump is the identity (labels start as self) —
+                # pure overhead for the common shallow-cluster case
+                fused = fused.unionByName(jump)
             new_labels = (
-                labels.select("id", "label", F.col("label").alias("_old"))
-                .unionByName(prop)
-                .groupBy("id")
+                fused.groupBy("id")
                 .agg(F.min("label").alias("label"), F.min("_old").alias("_old"))
             ).localCheckpoint()
             changed = new_labels.filter(F.col("label") < F.col("_old")).limit(1).count()
