@@ -1454,10 +1454,6 @@ def q_kb_export_roundtrip(spark, sf_dir):
     (adaptive_crawler.py:1761-1875): write the export-shaped records as
     JSONL, read them back with the import schema, return the round-
     tripped rows — values must equal the source exactly."""
-    import os as _os
-    import shutil
-    import tempfile
-
     from crawl4ai_spark.operators.adaptive import (
         export_knowledge_base,
         import_knowledge_base,
@@ -1474,12 +1470,9 @@ def q_kb_export_roundtrip(spark, sf_dir):
         (F.round(d * 0.001, 3)).cast("double").alias("confidence_at_crawl"),
         F.lit(200).cast("int").alias("total_documents"),
     )
-    _tmp_base = "/dev/shm" if _os.path.isdir("/dev/shm") else None
-    if _tmp_base:
-        for x in _os.listdir(_tmp_base):
-            if x.startswith("kb_export_"):
-                shutil.rmtree(_os.path.join(_tmp_base, x), ignore_errors=True)
-    path = tempfile.mkdtemp(prefix="kb_export_", dir=_tmp_base)
+    # _shm_scratch applies the 1-hour stale-age sweep, so a concurrent
+    # bench/verify run's export is never rmtree'd mid-read (ADVICE r3)
+    path = _shm_scratch("kb_export_")
     export_knowledge_base(kb, path)
     back = import_knowledge_base(spark, path)
     return back.select(
@@ -3130,6 +3123,44 @@ def q_cuckoo_seen_filter(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- never-driver-checked before r4: first so the driver's
+        # first-50 window finally records them (VERDICT r3 item 1) ---
+        "ua_assign": q_ua_assign,
+        "ssl_cert_extract": q_ssl_cert_extract,
+        "html_preprocess": q_html_preprocess,
+        "schema_induction": q_schema_induction,
+        "head_fingerprint": q_head_fingerprint,
+        "page_metadata": q_page_metadata,
+        "pretty_html": q_pretty_html,
+        "cache_validation": q_cache_validation,
+        "ivf_topk": q_ivf_topk,
+        "markdown_options": q_markdown_options,
+        "stream_host_rates": q_stream_host_rates,
+        "cuckoo_seen_filter": q_cuckoo_seen_filter,
+        "jpeg_pipeline": q_jpeg_pipeline,
+        "jpeg_psnr_invariant": q_jpeg_psnr_invariant,
+        "jpeg_progressive": q_jpeg_progressive,
+        "webp_pipeline": q_webp_pipeline,
+        "webp_lossy_pipeline": q_webp_lossy_pipeline,
+        "webp_lossy_psnr": q_webp_lossy_psnr,
+        "image_resize": q_image_resize,
+        "image_features": q_image_features,
+        "audio_features": q_audio_features,
+        "audio_frames": q_audio_frames,
+        "video_frame_sample": q_video_frame_sample,
+        "pdf_extract": q_pdf_extract,
+        "adaptive_embedding": q_adaptive_embedding,
+        "json_xpath_items": q_json_xpath_items,
+        "head_parse": q_head_parse,
+        "sentence_chunking": q_sentence_chunking,
+        "topic_chunking": q_topic_chunking,
+        "cosine_clusters": q_cosine_clusters,
+        "sitemap_expand": q_sitemap_expand,
+        "seed_pipeline": q_seed_pipeline,
+        "url_relevance": q_url_relevance,
+        "link_preview": q_link_preview,
+        # --- new round-4 queries get inserted here (slots 35..50) ---
+        # --- already driver-green in r01-r03 ---
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -3180,51 +3211,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_extract_blocks": q_llm_extract_blocks,
         "llm_filter_markdown": q_llm_filter_markdown,
         "llm_table_extract": q_llm_table_extract,
-        "ua_assign": q_ua_assign,
-        "ssl_cert_extract": q_ssl_cert_extract,
-        "html_preprocess": q_html_preprocess,
-        "schema_induction": q_schema_induction,
-        "head_fingerprint": q_head_fingerprint,
-        "page_metadata": q_page_metadata,
-        "pretty_html": q_pretty_html,
-        "cache_validation": q_cache_validation,
-        "ivf_topk": q_ivf_topk,
-        "markdown_options": q_markdown_options,
-        "stream_host_rates": q_stream_host_rates,
-        "cuckoo_seen_filter": q_cuckoo_seen_filter,
         "crawl_job_retries": q_crawl_job_retries,
         "image_psnr_invariant": q_image_psnr_invariant,
-        "jpeg_pipeline": q_jpeg_pipeline,
-        "jpeg_psnr_invariant": q_jpeg_psnr_invariant,
-        "jpeg_progressive": q_jpeg_progressive,
-        "webp_pipeline": q_webp_pipeline,
-        "webp_lossy_pipeline": q_webp_lossy_pipeline,
-        "webp_lossy_psnr": q_webp_lossy_psnr,
-        "image_resize": q_image_resize,
-        "image_features": q_image_features,
-        "audio_features": q_audio_features,
-        "audio_frames": q_audio_frames,
-        "video_frame_sample": q_video_frame_sample,
-        "pdf_extract": q_pdf_extract,
         "adaptive_digest": q_adaptive_digest,
-        "adaptive_embedding": q_adaptive_embedding,
         "table_extraction": q_table_extraction,
         "structured_regex": q_structured_regex,
         "json_css_items": q_json_css_items,
-        "json_xpath_items": q_json_xpath_items,
         "markdown_citations": q_markdown_citations,
         "content_filter_bm25": q_content_filter_bm25,
         "pruning_scores": q_pruning_scores,
         "config_select": q_config_select,
         "cache_modes": q_cache_modes,
-        "head_parse": q_head_parse,
-        "sentence_chunking": q_sentence_chunking,
-        "topic_chunking": q_topic_chunking,
-        "cosine_clusters": q_cosine_clusters,
-        "sitemap_expand": q_sitemap_expand,
-        "seed_pipeline": q_seed_pipeline,
-        "url_relevance": q_url_relevance,
-        "link_preview": q_link_preview,
     }
 
 

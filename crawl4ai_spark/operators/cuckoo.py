@@ -49,6 +49,68 @@ CUCKOO_SCHEMA = T.StructType(
 )
 
 
+def cuckoo_version_ok(
+    shards: DataFrame | None,
+    n_partitions: int | None = None,
+    n_buckets: int | None = None,
+) -> bool:
+    """True iff every persisted shard was built by the CURRENT format AND
+    (when expected values are given) the CURRENT geometry — the mirror of
+    ``dedup.bloom_version_ok``.  A differing ``n_partitions`` routes
+    candidates to the WRONG shard (pmod with a different modulus), which
+    produces false "definitely new" rows that skip the exact anti-join;
+    a differing ``n_buckets`` probes the wrong bucket pair.  Callers must
+    rebuild from the seen table on any mismatch."""
+    if shards is None:
+        return True
+    cols = shards.columns
+    if "fmt_version" not in cols:
+        return False
+    if (n_partitions is not None or n_buckets is not None) and (
+        "n_partitions" not in cols or "n_buckets" not in cols
+    ):
+        return False  # pre-geometry-stamp shards: geometry unverifiable
+    # NULL-safe min/max pair: a MIXED shard set (current deltas + stamp-less
+    # files read as NULL) must fail — NULLs coalesce to -1 so min() sees them
+    checks = [(F.col("fmt_version"), CUCKOO_FORMAT_VERSION)]
+    if n_partitions is not None:
+        checks.append((F.col("n_partitions"), int(n_partitions)))
+    if n_buckets is not None:
+        checks.append((F.col("n_buckets").cast("long"), int(n_buckets)))
+    aggs = [F.count("*").alias("n")]
+    for i, (c, _) in enumerate(checks):
+        v = F.coalesce(c, F.lit(-1))
+        aggs += [F.min(v).alias(f"lo{i}"), F.max(v).alias(f"hi{i}")]
+    row = shards.agg(*aggs).first()
+    if int(row["n"]) == 0:
+        return True  # empty shard table
+    return all(
+        int(row[f"lo{i}"]) == int(row[f"hi{i}"]) == exp
+        for i, (_, exp) in enumerate(checks)
+    )
+
+
+def _check_shard_geometry(sdf: pd.DataFrame, n_partitions: int, fn: str) -> None:
+    """Defense-in-depth inside the cogroup kernels: the stamped geometry
+    must match the caller's ``n_partitions`` (which already routed the
+    candidates via pmod).  A mismatch means candidates were routed with a
+    different modulus than the shards were built with — silent false
+    negatives — so fail loudly and tell the caller to rebuild."""
+    fmt = sdf["fmt_version"]
+    nparts = sdf["n_partitions"]
+    if fmt.isna().any() or (fmt != CUCKOO_FORMAT_VERSION).any():
+        raise ValueError(
+            f"{fn}: shard fmt_version mismatch (expected {CUCKOO_FORMAT_VERSION}); "
+            "rebuild the cuckoo from the seen table"
+        )
+    if nparts.isna().any() or (nparts != n_partitions).any():
+        raise ValueError(
+            f"{fn}: shards stamped n_partitions={sorted(set(nparts.dropna().astype(int)))} "
+            f"but candidates were routed with n_partitions={n_partitions}; "
+            "rebuild the cuckoo with the current geometry"
+        )
+
+
 def _with_cuckoo_keys(df: DataFrame, url_col: str, n_partitions: int) -> DataFrame:
     """Shard id (murmur3 of the canonical URL, like the bloom) + one
     xxhash64 key that yields both the fingerprint and the home bucket."""
@@ -142,6 +204,17 @@ def cuckoo_delete(
 
     def drop(key, sdf: pd.DataFrame, udf: pd.DataFrame) -> pd.DataFrame:
         if len(sdf) == 0:
+            if len(udf):
+                # a delete targeting a partition with no shard row means the
+                # URL was never inserted here (or geometry drifted) — the
+                # deletion contract only covers inserted items, so fail
+                # loudly instead of silently keeping stale entries
+                raise ValueError(
+                    "cuckoo_delete: no shard for partition "
+                    f"{int(udf['cuckoo_part'].iloc[0])} but {len(udf)} delete(s) "
+                    "target it; only ever delete URLs that were inserted "
+                    "(rebuild the cuckoo if geometry changed)"
+                )
             return sdf
         if len(sdf) > 1:
             # deleting from unmerged wave deltas would need to know WHICH
@@ -155,6 +228,7 @@ def cuckoo_delete(
                 "consolidated cuckoo from the source URLs before deleting "
                 "(cuckoo shards are not mergeable)"
             )
+        _check_shard_geometry(sdf, n_partitions, "cuckoo_delete")
         if len(udf) == 0:
             return sdf
         n_buckets = int(sdf["n_buckets"].iloc[0])
@@ -176,6 +250,15 @@ def cuckoo_delete(
                 stash.remove(int(f))
                 done = True
             removed += int(done)
+        if removed != len(fp):
+            # a delete of a never-inserted URL (or one already deleted)
+            # violates the cuckoo deletion contract the module's safety
+            # argument depends on — surface it instead of no-op'ing
+            raise ValueError(
+                f"cuckoo_delete: partition {int(sdf['cuckoo_part'].iloc[0])} "
+                f"removed {removed} of {len(fp)} requested fingerprints; "
+                "deletes must target URLs that were actually inserted"
+            )
         out = sdf.iloc[[0]].copy()
         out["table"] = [table.tobytes()]
         out["stash"] = [np.asarray(stash, np.uint16).tobytes()]
@@ -205,6 +288,7 @@ def cuckoo_maybe_seen(
             return cdf.assign(maybe_seen=pd.Series([], dtype=bool))
         if len(sdf) == 0:
             return cdf.assign(maybe_seen=False)
+        _check_shard_geometry(sdf, n_partitions, "cuckoo_maybe_seen")
         hit = np.zeros(len(cdf), bool)
         keys = cdf["_ck"].to_numpy(np.int64)
         for _, srow in sdf.iterrows():  # unmerged wave deltas: OR of tests

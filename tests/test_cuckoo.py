@@ -11,10 +11,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from crawl4ai_spark.operators.cuckoo import (
+    CUCKOO_FORMAT_VERSION,
     build_cuckoo,
     cuckoo_anti_join_seen,
     cuckoo_delete,
     cuckoo_maybe_seen,
+    cuckoo_version_ok,
 )
 
 
@@ -91,6 +93,38 @@ def test_stash_overflow_keeps_guarantee(spark):
     assert stash_bytes > 0  # overflow actually exercised
     tagged = cuckoo_maybe_seen(many, shards, n_partitions=8)
     assert tagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_version_ok_accepts_current_and_rejects_drift(spark, shards):
+    assert cuckoo_version_ok(None)
+    assert cuckoo_version_ok(shards, n_partitions=8, n_buckets=1 << 10)
+    # wrong caller geometry → must fail (wrong-shard routing hazard)
+    assert not cuckoo_version_ok(shards, n_partitions=16, n_buckets=1 << 10)
+    assert not cuckoo_version_ok(shards, n_partitions=8, n_buckets=1 << 12)
+    # stale format version → must fail
+    stale = shards.withColumn("fmt_version", F.lit(CUCKOO_FORMAT_VERSION - 1))
+    assert not cuckoo_version_ok(stale, n_partitions=8, n_buckets=1 << 10)
+    # MIXED set (one NULL-stamped row among current ones) → must fail
+    nulled = shards.withColumn(
+        "n_partitions",
+        F.when(F.col("cuckoo_part") == 0, F.lit(None)).otherwise(F.col("n_partitions")),
+    )
+    assert not cuckoo_version_ok(nulled, n_partitions=8, n_buckets=1 << 10)
+
+
+def test_readers_reject_mismatched_geometry(spark, seen, shards):
+    # shards built with 8 partitions, candidates routed with 4: the cogroup
+    # kernel must raise instead of silently producing false 'definitely new'
+    with pytest.raises(Exception, match="n_partitions"):
+        cuckoo_maybe_seen(seen.limit(50), shards, n_partitions=4).collect()
+    with pytest.raises(Exception, match="n_partitions"):
+        cuckoo_delete(shards, _urls(spark, [1]), n_partitions=4).collect()
+
+
+def test_delete_of_never_inserted_url_raises(spark, shards):
+    ghost = _urls(spark, [99], prefix="https://never.test/x")
+    with pytest.raises(Exception, match="actually inserted|never inserted|no shard"):
+        cuckoo_delete(shards, ghost, n_partitions=8).collect()
 
 
 def test_delete_rejects_unmerged_deltas(spark):
