@@ -156,18 +156,77 @@ def setup_discovery_wave(spark, n_pages: int):
     return run_once, pages.unpersist
 
 
-def bench_images(spark, sf_dir: str, n_images: int):
-    """Image payload path: PNG decode + dim/pHash validation rows/sec."""
+def bench_images(spark, sf_dir: str, n_images: int, repeats: int = 3):
+    """Image payload path: PNG decode + dim/pHash validation rows/sec.
+    Median-of-N like the headline waves — the r2→r3 driver record halved
+    (4,505 → 1,804 rows/s) on IDENTICAL code and an identical PNG-only
+    corpus, a single-shot contention artifact this repairs."""
     import __spark_entry__ as em
     from crawl4ai_spark.operators.multimodal import decode_and_validate
 
     images = em._gen_images(spark, sf_dir, n=n_images).cache()
     n = images.count()  # encode (the synthetic CDN) outside the timed path
-    t0 = time.time()
-    ok = decode_and_validate(images).filter("ok AND dims_match AND phash_matches").count()
-    dt = time.time() - t0
+    runs, ok = [], 0
+    for _ in range(repeats):
+        t0 = time.time()
+        ok = decode_and_validate(images).filter("ok AND dims_match AND phash_matches").count()
+        runs.append(time.time() - t0)
     images.unpersist()
-    return dt, n, ok
+    return sorted(runs)[len(runs) // 2], runs, n, ok
+
+
+def bench_images_per_format(spark, n_per_fmt: int = 200):
+    """Per-format decode throughput over the SAME mixed-codec payload
+    plane the e2e CrawlJob ingests (corpus._encode_payload) — quantifies
+    how the pure-Python correctness-reference codecs split the image-row
+    cost (PNG vs baseline JPEG vs VP8L vs VP8).  At 100 TB the kernel
+    inside this batch swaps for libjpeg-turbo/libwebp at the single
+    ``decode_rgb`` dispatch point (multimodal.py) with zero plan changes;
+    these numbers are the before-swap baseline for that story."""
+    import numpy as np
+    import pandas as pd
+
+    from crawl4ai_spark.operators.multimodal import IMAGE_SCHEMA, decode_and_validate
+
+    def gen_fmt(pick: int):
+        def gen(batches):
+            from crawl4ai_spark.sources import corpus as C
+
+            for pdf in batches:
+                rows = []
+                for k in pdf["id"]:
+                    rng = np.random.default_rng(int(k))
+                    rgb = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+                    # same encoder dispatch as the e2e corpus, format forced
+                    orig = C._stable_int
+                    try:
+                        C._stable_int = lambda s, _p=pick: _p  # noqa: E731
+                        data, fmt, _ext, ph = C._encode_payload(str(int(k)), rgb)
+                    finally:
+                        C._stable_int = orig
+                    rows.append((str(int(k)), data, 24, 16, fmt, "c", ph))
+                yield pd.DataFrame(
+                    rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+                )
+
+        return gen
+
+    out = {}
+    labels = {0: "png", 1: "jpeg", 2: "webp_lossless", 3: "webp_lossy"}
+    base = spark.range(n_per_fmt).repartition(spark.sparkContext.defaultParallelism)
+    for pick, label in labels.items():
+        imgs = base.mapInPandas(gen_fmt(pick), IMAGE_SCHEMA).cache()
+        n = imgs.count()  # encode outside the timed decode
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            n_ok = decode_and_validate(imgs).filter("ok AND dims_match AND phash_matches").count()
+            runs.append(time.time() - t0)
+        imgs.unpersist()
+        dt = sorted(runs)[1]
+        out[label] = round(n / dt, 1)
+        log(f"  {label}: {n / dt:,.0f} rows/sec ({n_ok}/{n} valid, median {dt:.2f}s)")
+    return out
 
 
 ENTRY_QUERIES = [
@@ -279,11 +338,15 @@ def main() -> None:
     log(f"  median frontier {queries['frontier_wave']:.1f}s → {urls_per_sec:,.0f} urls/sec ({n_admitted} admitted)")
     log(f"  median discovery {queries['discovery_wave']:.1f}s → {pages_per_sec:,.0f} pages/sec scraped+canonicalized")
 
-    log(f"image payload: {n_images} rows")
-    dt, n_img, n_ok = bench_images(spark, sf_dir, n_images)
+    log(f"image payload: {n_images} rows (median of 3)")
+    dt, img_runs, n_img, n_ok = bench_images(spark, sf_dir, n_images)
     queries["image_payload"] = round(dt, 3)
     img_rows_per_sec = n_img / dt
-    log(f"  {dt:.1f}s → {img_rows_per_sec:,.0f} rows/sec ({n_ok}/{n_img} valid)")
+    log(f"  {dt:.1f}s → {img_rows_per_sec:,.0f} rows/sec ({n_ok}/{n_img} valid; runs {[round(r, 2) for r in img_runs]})")
+    img_fmt = {}
+    if not os.environ.get("BENCH_SKIP_QUERIES"):
+        log("image decode per format (mixed-codec payload plane):")
+        img_fmt = bench_images_per_format(spark)
 
     import __spark_entry__ as em
 
@@ -291,14 +354,26 @@ def main() -> None:
     if os.environ.get("BENCH_SKIP_QUERIES"):
         # scaling-pair runs need only the headline waves
         ENTRY_QUERIES.clear()
+    # per-query medians: the driver's single-shot records whipsawed
+    # (url_canonicalize 2.8s → 7.1s r2→r3 on identical code); every query
+    # runs ≥2x (3x when the first run exceeds 2s), median reported, all
+    # runs recorded so spread is visible in the BENCH artifact
+    query_runs: dict[str, list[float]] = {}
     for name in ENTRY_QUERIES:
-        t0 = time.time()
-        # noop sink: materializes EVERY column (count() would let Catalyst
-        # prune the expensive expressions right out of the measurement)
-        qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        queries[name] = round(dt, 3)
-        log(f"{name}: {dt:.1f}s")
+        runs = []
+        while True:
+            t0 = time.time()
+            # noop sink: materializes EVERY column (count() would let
+            # Catalyst prune the expensive expressions right out of the
+            # measurement)
+            qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+            if len(runs) >= (3 if runs[0] >= 2.0 else 2):
+                break
+        runs.sort()
+        queries[name] = runs[len(runs) // 2] if len(runs) % 2 else runs[len(runs) // 2 - 1]
+        query_runs[name] = runs
+        log(f"{name}: median {queries[name]:.1f}s (runs {runs})")
 
     total = time.time() - t_all
     print(
@@ -320,12 +395,17 @@ def main() -> None:
                 "frontier_urls_per_sec": round(urls_per_sec, 1),
                 "scrape_pages_per_sec": round(pages_per_sec, 1),
                 "image_rows_per_sec": round(img_rows_per_sec, 1),
+                # pure-Python codec baseline per format; the 100-TB path
+                # swaps the kernel at decode_rgb for libjpeg-turbo/libwebp
+                "image_fmt_rows_per_sec": img_fmt,
                 "headline_runs": {
                     "frontier_wave": runs_frontier,
                     "seen_dedup_bloom_path": runs_bloom,
                     "discovery_wave": runs_disc,
+                    "image_payload": [round(r, 3) for r in img_runs],
                 },
                 "queries": queries,
+                "query_runs": query_runs,
             }
         ),
         flush=True,

@@ -65,6 +65,18 @@ def decode_rgb(data: bytes, fmt: str, allow_stub: bool = False) -> np.ndarray:
     vp8.py).  With allow_stub, a corrupt JPEG stream falls through to a
     deterministic fake decode (seeded from the bytes) so plumbing tests
     can exercise the failure path end-to-end.
+
+    Scale note (the 100-TB image plane): this function is the SINGLE
+    dispatch point every image operator routes through (decode_and_
+    validate, resize, features, near-dup).  The pure-Python codecs are
+    the correctness reference — bit-pinned against real libjpeg/libwebp
+    streams in tests — and decode O(10^2–10^3) rows/s/core; a production
+    cluster swaps the per-format branches below for libjpeg-turbo /
+    libwebp / Pillow-SIMD (~10^4–10^5 rows/s/core) with ZERO changes to
+    any Spark plan, schema, or operator: the mapInPandas batch shape,
+    IMAGE_SCHEMA, and validation contract are decode-library-agnostic.
+    bench.py's ``image_fmt_rows_per_sec`` records the before-swap
+    per-format baseline.
     """
     fmt = (fmt or "").lower()
     if fmt == "png":
