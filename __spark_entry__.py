@@ -2100,6 +2100,118 @@ def q_pdf_extract(spark, sf_dir):
     )
 
 
+def _pdf_image_doc(k: int):
+    """Deterministic pages-with-images for the PDF image corpus: the
+    text/link pages of ``_pdf_doc`` plus embedded X-Objects covering
+    every extraction-ladder branch — Flate RGB, Flate DeviceGray with
+    PNG Predictor 15, and a DCTDecode JPEG (jpeg.py q92) on every third
+    doc.  Smooth gradient pixels (not noise) keep the JPEG stream small
+    and PSNR-realistic."""
+    import numpy as np
+
+    pages, title, author, created = _pdf_doc(k)
+    h, w = 8 + k % 5, 10 + k % 7
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [
+            (xx * 255 // max(w - 1, 1) + k) % 256,
+            (yy * 255 // max(h - 1, 1) + 2 * k) % 256,
+            ((xx + yy) * 255 // max(h + w - 2, 1) + 3 * k) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    gray = ((yy * 255 // max(h - 1, 1) + 5 * k) % 256).astype(np.uint8)
+    images = [
+        {"kind": "flate", "pixels": rgb},
+        {"kind": "flate", "pixels": gray, "predictor": k % 2 == 0},
+    ]
+    if k % 3 == 0:
+        from crawl4ai_spark.jpeg import encode_jpeg
+
+        images.append(
+            {"kind": "dct", "data": encode_jpeg(np.ascontiguousarray(rgb), quality=92),
+             "w": w, "h": h}
+        )
+    pages[0]["images"] = images
+    return pages, title, author, created
+
+
+def _pdf_image_rows(k: int):
+    """Driver/executor-shared pure replay: write doc k's PDF, re-parse,
+    run the extraction ladder + payload decode, and return the exported
+    row tuples — the oracle fixture and the Spark query both call this,
+    so the comparison pins write→parse→ladder→decode end-to-end."""
+    import hashlib
+
+    from crawl4ai_spark.operators.multimodal import decode_rgb
+    from crawl4ai_spark.pdf import parse_pdf, write_pdf
+    from crawl4ai_spark.png import phash64
+
+    pages, title, author, created = _pdf_image_doc(k)
+    data = write_pdf(pages, title=title, author=author, created=created,
+                     compress=(k % 2 == 0))
+    rows = []
+    for pg in parse_pdf(data)["pages"]:
+        for idx, im in enumerate(pg["images"]):
+            ph = phash64(decode_rgb(im["data"], im["format"]))
+            rows.append(
+                (str(k), pg["page_number"], idx, im["format"], im["width"],
+                 im["height"], im["color_space"], im["bits_per_component"],
+                 hashlib.md5(im["data"]).hexdigest(), ph)
+            )
+    return rows
+
+
+def q_pdf_images(spark, sf_dir):
+    """PDF image X-Object extraction (reference NaivePDFProcessorStrategy
+    ``_extract_images``, processors/pdf/processor.py:41,96,222-223,
+    234-399): per page, per image — ladder format tag, dims, color
+    space, bits, payload md5, and the decoded-pixel phash (the
+    image_emit_e2e-style validation).  Corpus embeds Flate RGB, Flate
+    gray + Predictor 15, and DCTDecode JPEG X-Objects via pdf.py's own
+    writer; every branch of the reference ladder that a self-generated
+    PDF 1.4 corpus can reach is exercised."""
+    import pandas as pd
+
+    from crawl4ai_spark.operators.pdfproc import extract_pdf_images
+
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 60)
+        .select("p_partkey")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def gen(batches):
+        from crawl4ai_spark.pdf import write_pdf
+
+        for pdf_batch in batches:
+            rows = []
+            for k in pdf_batch["p_partkey"]:
+                k = int(k)
+                pages, title, author, created = _pdf_image_doc(k)
+                rows.append(
+                    (str(k), write_pdf(pages, title=title, author=author,
+                                       created=created, compress=(k % 2 == 0)))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "bytes"])
+
+    docs = parts.mapInPandas(gen, "doc_id string, bytes binary")
+    out = extract_pdf_images(docs)
+    return out.select(
+        "doc_id",
+        F.col("page_number").cast("int").alias("page_number"),
+        F.col("img_index").cast("int").alias("img_index"),
+        "format",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "color_space",
+        F.col("bits_per_component").cast("int").alias("bits_per_component"),
+        F.md5(F.col("data")).alias("data_md5"),
+        F.col("phash").cast("long").alias("phash"),
+    )
+
+
 def q_webp_lossy_pipeline(spark, sf_dir):
     """Lossy-WebP (VP8, RFC 6386) decode/validate — the LAST image
     format to go real (vp8.py; boolean coder + header + mode layer
@@ -3160,6 +3272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_relevance": q_url_relevance,
         "link_preview": q_link_preview,
         # --- new round-4 queries get inserted here (slots 35..50) ---
+        "pdf_images": q_pdf_images,
         # --- already driver-green in r01-r03 ---
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
@@ -4777,6 +4890,32 @@ WHERE p.p_partkey < 120
 """
 
 
+def _pdf_images_fixture_sql() -> str:
+    """Expected image X-Object rows, computed driver-side via the same
+    pure write→parse→ladder→decode replay the executors run
+    (``_pdf_image_rows``)."""
+    rows = []
+    for k in range(60):
+        for r in _pdf_image_rows(k):
+            rows.append(
+                "('{}', {}, {}, '{}', {}, {}, '{}', {}, '{}', {})".format(*r)
+            )
+    vals = ",\n".join(rows)
+    return f"""
+WITH fx(doc_id, page_number, img_index, format, width, height, color_space,
+        bits_per_component, data_md5, phash) AS (VALUES
+{vals}
+)
+SELECT f.doc_id, CAST(f.page_number AS INT) AS page_number,
+       CAST(f.img_index AS INT) AS img_index, f.format,
+       CAST(f.width AS INT) AS width, CAST(f.height AS INT) AS height,
+       f.color_space, CAST(f.bits_per_component AS INT) AS bits_per_component,
+       f.data_md5, CAST(f.phash AS BIGINT) AS phash
+FROM fx f JOIN part p ON CAST(p.p_partkey AS VARCHAR) = f.doc_id
+WHERE p.p_partkey < 60
+"""
+
+
 def _audio_features_fixture_sql() -> str:
     from crawl4ai_spark.audio import audio_features_np
 
@@ -5435,6 +5574,7 @@ FROM part WHERE p_partkey < 200
         "image_resize": _cached_fixture("image_resize", _image_resize_fixture_sql),
         "image_features": _cached_fixture("image_features", _image_features_fixture_sql),
         "pdf_extract": _cached_fixture("pdf_extract", _pdf_extract_fixture_sql),
+        "pdf_images": _cached_fixture("pdf_images", _pdf_images_fixture_sql),
         "audio_features": _cached_fixture("audio_features", _audio_features_fixture_sql),
         "audio_frames": _cached_fixture("audio_frames", _audio_frames_fixture_sql),
         "video_frame_sample": _cached_fixture(

@@ -255,6 +255,7 @@ ENTRY_QUERIES = [
     "audio_features",
     "video_frame_sample",
     "pdf_extract",
+    "pdf_images",
     "quality_scores",
     "lang_id",
     # round-2 operator families

@@ -35,6 +35,68 @@ PDF_PAGE_SCHEMA = T.StructType(
 )
 
 
+PDF_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("page_number", T.IntegerType()),
+        T.StructField("img_index", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("color_space", T.StringType()),
+        T.StructField("bits_per_component", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def extract_pdf_images(docs: DataFrame) -> DataFrame:
+    """(doc_id, bytes) → one row per embedded image X-Object — the
+    reference's ``PDFPage.images`` plane (processor.py:41,222-223,
+    234-399) as a table: per page, per image, the decision-ladder format
+    tag, dimensions, color space, bits, and the re-emitted payload bytes
+    (PNG for Flate pixels, byte-identical JPEG for DCT).  ``phash`` is
+    the perceptual hash of the DECODED payload (png.py/jpeg.py), so a
+    row here pins the pixels end-to-end: PDF write → parse → ladder →
+    payload decode.  Stateless mapInPandas, linear in documents, no
+    shuffle — the same embarrassingly-parallel plane as image decode;
+    unparseable docs land as a single error row, undecodable payloads
+    keep the row with phash NULL + error."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..pdf import parse_pdf
+        from ..png import phash64
+        from .multimodal import decode_rgb
+
+        for pdf_batch in batches:
+            rows = []
+            for r in pdf_batch.itertuples(index=False):
+                try:
+                    res = parse_pdf(r.bytes)
+                except Exception as e:
+                    rows.append((r.doc_id, None, None, None, None, None,
+                                 None, None, None, None, str(e)[:200]))
+                    continue
+                for pg in res["pages"]:
+                    for idx, im in enumerate(pg["images"]):
+                        ph, err = None, None
+                        try:
+                            if im["format"] in ("png", "jpeg"):
+                                ph = phash64(decode_rgb(im["data"], im["format"]))
+                        except Exception as e:
+                            err = str(e)[:200]
+                        rows.append(
+                            (r.doc_id, pg["page_number"], idx, im["format"],
+                             im["width"], im["height"], im["color_space"],
+                             im["bits_per_component"], im["data"], ph, err)
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in PDF_IMAGE_SCHEMA.fields])
+
+    return docs.select("doc_id", "bytes").mapInPandas(gen, PDF_IMAGE_SCHEMA)
+
+
 def process_pdfs(docs: DataFrame) -> DataFrame:
     """(doc_id, bytes) → one row per page (plus a single error row for
     unparseable documents — failures land as data, never crash the

@@ -21,11 +21,19 @@ Info metadata) so every parser path is exercised by round-trip tests
 and the oracled entry corpus — the same self-generated-corpus pattern
 as jpeg.py/vp8.py.
 
+Image X-Objects are extracted per page with the reference's filter
+decision ladder (processor.py:234-399): /FlateDecode pixels (incl.
+PNG Predictor>=10 DecodeParms) re-emitted as PNG via png.py, /DCTDecode
+JPEG streams passed through byte-identical, CCITT/JPX pass-throughs,
+raw 'bin' fallback.  The writer embeds Flate (RGB + gray, with and
+without predictor) and DCT X-Objects so every ladder branch is
+exercised by self-generated corpora.
+
 Scope (documented, mirroring the reference's "Naive" label): simple
 fonts with latin-1 text (no CMap/ToUnicode), no encryption, no
-cross-reference streams (PDF 1.5 object streams), no image X-Objects.
-Parsing a PDF outside this subset raises ValueError rather than
-returning partial garbage.
+cross-reference streams (PDF 1.5 object streams).  Parsing a PDF
+outside this subset raises ValueError rather than returning partial
+garbage.
 """
 
 from __future__ import annotations
@@ -390,6 +398,158 @@ def _extract_text(content: bytes):
     return layout
 
 
+def apply_png_predictor(data: bytes, width: int, bits: int, colors: int) -> bytes:
+    """Invert the PNG row predictor on a /FlateDecode image stream with
+    /DecodeParms /Predictor >= 10 (reference utils.py:3 semantics —
+    per-scanline filter byte, filters None/Sub/Up/Average/Paeth, byte
+    arithmetic mod 256).  Own implementation over the public PNG spec
+    (RFC 2083 §6); raises on a malformed scanline structure exactly like
+    the reference."""
+    bpp = (bits * colors) // 8
+    if (bits * colors) % 8:
+        bpp += 1
+    stride = width * bpp
+    scan = stride + 1
+    if len(data) % scan:
+        raise ValueError("Invalid scanline structure")
+    out = bytearray()
+    prev = bytearray(stride)
+    for r in range(len(data) // scan):
+        row = data[r * scan : (r + 1) * scan]
+        ft, cur = row[0], bytearray(row[1:])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for j in range(bpp, stride):
+                cur[j] = (cur[j] + cur[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(stride):
+                cur[j] = (cur[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(stride):
+                left = cur[j - bpp] if j >= bpp else 0
+                cur[j] = (cur[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(stride):
+                a = cur[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[j] = (cur[j] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out += cur
+        prev = cur
+    return bytes(out)
+
+
+def png_predict_encode(raw: bytes, width: int, bits: int, colors: int) -> bytes:
+    """Forward PNG predictor for the writer (so the parser's
+    Predictor>=10 branch is exercised by self-generated corpora): rows
+    cycle None/Sub/Up filters deterministically."""
+    bpp = (bits * colors) // 8
+    if (bits * colors) % 8:
+        bpp += 1
+    stride = width * bpp
+    if len(raw) % stride:
+        raise ValueError("raw data not a whole number of rows")
+    out = bytearray()
+    prev = bytes(stride)
+    for r in range(len(raw) // stride):
+        cur = raw[r * stride : (r + 1) * stride]
+        ft = r % 3
+        out.append(ft)
+        if ft == 0:
+            out += cur
+        elif ft == 1:  # Sub
+            out += bytes(
+                (cur[j] - (cur[j - bpp] if j >= bpp else 0)) & 0xFF
+                for j in range(stride)
+            )
+        else:  # Up
+            out += bytes((cur[j] - prev[j]) & 0xFF for j in range(stride))
+        prev = cur
+    return bytes(out)
+
+
+def _extract_images(objects, pg: dict) -> list:
+    """Image X-Objects of one page — the reference's
+    ``NaivePDFProcessorStrategy._extract_images`` decision ladder
+    (processor.py:234-399): walk /Resources → /XObject, keep /Subtype
+    /Image entries, then per filter: FlateDecode → undo Predictor>=10,
+    re-emit as PNG (format 'png'); DCTDecode → pass the JPEG stream
+    through (format 'jpeg'); CCITTFaxDecode → 'tiff' and JPXDecode →
+    'jpeg2000' pass-throughs; anything else → raw bytes as 'bin'.
+    Divergences from the reference, both serialization-only: ``data``
+    is raw bytes (a Spark binary column) where the reference base64-
+    encodes, and DeviceGray pixels are PNG-encoded as equal-channel RGB
+    (png.py is an RGB8 codec) where PIL writes mode-L — pixel VALUES
+    and the stamped color_space/bits metadata are identical.  Per-image
+    failures append nothing and never raise, like the reference's
+    per-image try/except."""
+    images = []
+    res = _resolve(objects, pg.get("Resources"))
+    if not isinstance(res, dict):
+        return images
+    xobjs = _resolve(objects, res.get("XObject"))
+    if not isinstance(xobjs, dict):
+        return images
+    for name in xobjs:
+        xobj = _resolve(objects, xobjs[name])
+        if not isinstance(xobj, dict) or xobj.get("Subtype") != "Image":
+            continue
+        try:
+            filt = _resolve(objects, xobj.get("Filter"))
+            filters = [] if filt is None else (filt if isinstance(filt, list) else [filt])
+            filters = [_resolve(objects, f) for f in filters]
+            width = int(_resolve(objects, xobj.get("Width")) or 0)
+            height = int(_resolve(objects, xobj.get("Height")) or 0)
+            cspace = _resolve(objects, xobj.get("ColorSpace")) or Name("DeviceRGB")
+            bits = int(_resolve(objects, xobj.get("BitsPerComponent")) or 1)
+            raw = xobj["__stream__"]
+            fmt, data = "bin", None
+            if "FlateDecode" in filters:
+                decoded = zlib.decompress(raw)
+                parms = _resolve(objects, xobj.get("DecodeParms")) or {}
+                predictor = int(_resolve(objects, parms.get("Predictor")) or 1)
+                colors = 3 if cspace == "DeviceRGB" else 1
+                if predictor >= 10:
+                    decoded = apply_png_predictor(decoded, width, bits, colors)
+                import numpy as np
+
+                from .png import encode_png
+
+                if colors == 3:
+                    rgb = np.frombuffer(decoded, np.uint8).reshape(height, width, 3)
+                else:
+                    g = np.frombuffer(decoded, np.uint8).reshape(height, width)
+                    rgb = np.repeat(g[:, :, None], 3, axis=2)
+                fmt, data = "png", encode_png(np.ascontiguousarray(rgb))
+            elif "DCTDecode" in filters:
+                fmt, data = "jpeg", raw
+            elif "CCITTFaxDecode" in filters:
+                fmt, data = "tiff", raw
+            elif "JPXDecode" in filters:
+                fmt, data = "jpeg2000", raw
+            else:
+                data = raw  # no/unknown filter: raw bytes, format 'bin'
+            images.append(
+                {
+                    "format": fmt,
+                    "width": width,
+                    "height": height,
+                    "color_space": "/" + str(cspace),
+                    "bits_per_component": bits,
+                    "data": data,
+                }
+            )
+        except Exception:
+            continue  # per-image failure never kills the page (reference parity)
+    return images
+
+
 def parse_pdf_date(date_str):
     """``D:YYYYMMDDHHmmSS...`` → datetime (reference
     processor.py:439-452 semantics: strip prefix, first 14 digits)."""
@@ -410,8 +570,8 @@ def parse_pdf_date(date_str):
 
 def parse_pdf(data: bytes) -> dict:
     """Parse PDF bytes → {metadata: {...}, pages: [{page_number,
-    raw_text, layout, links}]} — the shape of the reference's
-    PDFProcessResult (processor.py:25-50) minus image extraction."""
+    raw_text, layout, links, images}]} — the shape of the reference's
+    PDFProcessResult (processor.py:25-50), image X-Objects included."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF file")
     objects = _load_objects(data)
@@ -453,7 +613,7 @@ def parse_pdf(data: bytes) -> dict:
                 links.append(uri.decode("latin-1") if isinstance(uri, bytes) else str(uri))
         pages.append(
             {"page_number": i + 1, "raw_text": raw_text, "layout": layout,
-             "links": links}
+             "links": links, "images": _extract_images(objects, pg)}
         )
     return {"metadata": meta, "pages": pages}
 
@@ -470,14 +630,48 @@ def _esc(s: str) -> bytes:
 
 def write_pdf(pages, title=None, author=None, created=None, compress=True) -> bytes:
     """pages: list of {"lines": [(x, y, size, text), ...],
-    "links": [uri, ...]}.  Emits PDF 1.4 with one Tm+Tj per line,
-    Helvetica, optional Flate-compressed content streams, URI link
-    annotations, and an Info dictionary."""
+    "links": [uri, ...], "images": [imgspec, ...]}.  Emits PDF 1.4 with
+    one Tm+Tj per line, Helvetica, optional Flate-compressed content
+    streams, URI link annotations, an Info dictionary, and image
+    X-Objects painted via ``cm``+``Do``.
+
+    imgspec is either
+    ``{"kind": "flate", "pixels": uint8 (h,w,3) RGB or (h,w) gray,
+       "predictor": bool}``   → /FlateDecode (+ /Predictor 15 DecodeParms
+                                 with PNG row filters when predictor)
+    or ``{"kind": "dct", "data": jpeg_bytes, "w": int, "h": int}``
+                              → /DCTDecode pass-through."""
     objs: list[bytes] = []  # 1-indexed bodies
 
     def add(body: bytes) -> int:
         objs.append(body)
         return len(objs)
+
+    def add_image(spec) -> tuple[int, int, int]:
+        """X-Object stream object; returns (obj_num, w, h)."""
+        if spec["kind"] == "dct":
+            data, w, h = spec["data"], int(spec["w"]), int(spec["h"])
+            head = (b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                    b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                    b"/Filter /DCTDecode /Length %d >>" % (w, h, len(data)))
+        else:
+            px = spec["pixels"]
+            h, w = px.shape[:2]
+            gray = px.ndim == 2
+            raw = px.tobytes()
+            parms = b""
+            if spec.get("predictor"):
+                raw = png_predict_encode(raw, w, 8, 1 if gray else 3)
+                parms = (b"/DecodeParms << /Predictor 15 /Colors %d "
+                         b"/Columns %d /BitsPerComponent 8 >> "
+                         % (1 if gray else 3, w))
+            data = zlib.compress(raw)
+            head = (b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                    b"/ColorSpace /%s /BitsPerComponent 8 "
+                    b"/Filter /FlateDecode %s/Length %d >>"
+                    % (w, h, b"DeviceGray" if gray else b"DeviceRGB",
+                       parms, len(data)))
+        return add(head + b"\nstream\n" + data + b"\nendstream"), w, h
 
     font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     page_nums = []
@@ -489,6 +683,13 @@ def write_pdf(pages, title=None, author=None, created=None, compress=True) -> by
             parts.append(b"1 0 0 1 %s %s Tm\n" % (_fmt(x), _fmt(y)))
             parts.append(b"(" + _esc(text) + b") Tj\n")
         parts.append(b"ET\n")
+        img_entries = []
+        for idx, spec in enumerate(pg.get("images", [])):
+            num, w, h = add_image(spec)
+            img_entries.append((idx, num))
+            # paint at natural size, tiled down the left margin
+            parts.append(b"q %d 0 0 %d 40 %d cm /Im%d Do Q\n"
+                         % (w, h, 60 + 40 * idx, idx))
         content = b"".join(parts)
         if compress:
             cdata = zlib.compress(content)
@@ -508,10 +709,12 @@ def write_pdf(pages, title=None, author=None, created=None, compress=True) -> by
             ))
         annots = (b" /Annots [" + b" ".join(b"%d 0 R" % n for n in annot_nums) + b"]"
                   if annot_nums else b"")
+        xobj = (b" /XObject << " + b" ".join(b"/Im%d %d 0 R" % (i, n) for i, n in img_entries)
+                + b" >>" if img_entries else b"")
         page_nums.append(add(
             b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R%s >>"
-            % (kids_placeholder, font_num, cnum, annots)
+            b"/Resources << /Font << /F1 %d 0 R >>%s >> /Contents %d 0 R%s >>"
+            % (kids_placeholder, font_num, xobj, cnum, annots)
         ))
     objs[kids_placeholder - 1] = (
         b"<< /Type /Pages /Kids [" + b" ".join(b"%d 0 R" % n for n in page_nums)

@@ -134,3 +134,96 @@ def test_process_pdfs_distributed(spark):
     assert good[0]["markdown"] == pdf.clean_pdf_text(1, good[0]["raw_text"])
     assert len(by_doc["bad"]) == 1 and by_doc["bad"][0]["error"]
     assert by_doc["bad"][0]["page_number"] is None
+
+
+# ---------------------------------------------------------------------------
+# image X-Objects (reference processor.py:234-399 ladder)
+# ---------------------------------------------------------------------------
+
+
+def _img_pages(with_dct=True):
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (7, 9, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (5, 6), dtype=np.uint8)
+    images = [
+        {"kind": "flate", "pixels": rgb},
+        {"kind": "flate", "pixels": gray, "predictor": True},
+    ]
+    if with_dct:
+        from crawl4ai_spark.jpeg import encode_jpeg
+
+        images.append({"kind": "dct", "data": encode_jpeg(np.ascontiguousarray(rgb), quality=92),
+                       "w": 9, "h": 7})
+    pages = article_pages()
+    pages[0]["images"] = images
+    return pages, rgb, gray
+
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_image_xobject_roundtrip(compress):
+    from crawl4ai_spark.png import decode_png
+
+    pages, rgb, gray = _img_pages()
+    out = pdf.parse_pdf(pdf.write_pdf(pages, compress=compress))
+    imgs = out["pages"][0]["images"]
+    assert [i["format"] for i in imgs] == ["png", "png", "jpeg"]
+    assert out["pages"][1]["images"] == []
+    # Flate RGB: exact pixel parity through the ladder's PNG re-emit
+    flate = imgs[0]
+    assert (flate["width"], flate["height"]) == (9, 7)
+    assert flate["color_space"] == "/DeviceRGB" and flate["bits_per_component"] == 8
+    assert (decode_png(flate["data"]) == rgb).all()
+    # Flate gray + Predictor 15: predictor inverted, gray expanded to RGB
+    g = imgs[1]
+    assert g["format"] == "png" and g["color_space"] == "/DeviceGray"
+    assert (decode_png(g["data"]) == np.repeat(gray[:, :, None], 3, axis=2)).all()
+    # DCTDecode: byte-identical JPEG pass-through
+    assert imgs[2]["data"] == pages[0]["images"][2]["data"]
+
+
+def test_png_predictor_encode_decode_inverse():
+    rng = np.random.default_rng(3)
+    for w, colors in [(9, 3), (6, 1), (1, 3)]:
+        raw = rng.integers(0, 256, 5 * w * colors, dtype=np.uint8).tobytes()
+        enc = pdf.png_predict_encode(raw, w, 8, colors)
+        assert pdf.apply_png_predictor(enc, w, 8, colors) == raw
+
+
+def test_apply_png_predictor_rejects_bad_scanlines():
+    with pytest.raises(ValueError, match="scanline"):
+        pdf.apply_png_predictor(b"\x00" * 7, 3, 8, 3)
+
+
+def test_corrupt_image_never_kills_the_page():
+    # truncate the Flate image stream in-place: the per-image try/except
+    # must drop the image and keep the page text (reference parity)
+    pages, _, _ = _img_pages(with_dct=False)
+    data = bytearray(pdf.write_pdf(pages, compress=False))
+    # corrupt every Flate image stream body (zlib magic 0x78)
+    idx = data.find(b"/Subtype /Image")
+    s = data.find(b"stream\n", idx) + 7
+    data[s : s + 2] = b"\xff\xff"
+    out = pdf.parse_pdf(bytes(data))
+    assert out["pages"][0]["raw_text"]  # text survived
+    assert len(out["pages"][0]["images"]) == 1  # corrupt one dropped
+
+
+def test_extract_pdf_images_distributed(spark):
+    import pandas as pd
+
+    from crawl4ai_spark.png import phash64
+
+    pages, rgb, gray = _img_pages()
+    good = pdf.write_pdf(pages)
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["good", "bad"], "bytes": [good, b"junk"]})
+    )
+    rows = pdfproc.extract_pdf_images(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r.asDict())
+    imgs = sorted(by_doc["good"], key=lambda r: r["img_index"])
+    assert [i["format"] for i in imgs] == ["png", "png", "jpeg"]
+    assert imgs[0]["phash"] == phash64(rgb)
+    assert all(i["error"] is None for i in imgs)
+    assert by_doc["bad"][0]["error"] and by_doc["bad"][0]["page_number"] is None
