@@ -3098,6 +3098,95 @@ def q_markdown_options(spark, sf_dir):
     return out
 
 
+def _mdopt_full_pages(docs: DataFrame) -> DataFrame:
+    """Option-matrix corpus: escape specials, em/strong, entities, and a
+    fixed-width wrap paragraph (doc-variable tokens are single-digit so
+    the 40-column wrap layout is constant across docs)."""
+    d = F.col("doc_id")
+    m = (d % 10).cast("string")
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), d.cast("string"),
+        F.lit("</h1><p>stars *s"), m, F.lit("* and #tag plus back\\*slash x</p>"),
+        F.lit("<p>go <em>fast"), m, F.lit("</em> and <strong>hard"), m,
+        F.lit("</strong> now</p>"),
+        F.lit("<p>em&mdash;dash caf&eacute; it&rsquo;s ok</p>"),
+        F.lit("<p>alpha bravo charlie delta echo foxtrot golf hotel india "
+              "juliet kilo lima mike november t"), m, F.lit("</p></body></html>"),
+    )
+    url = F.concat(F.lit("https://h"), d.cast("string"), F.lit(".example.com/page"))
+    return docs.select(d.cast("long").alias("doc_id"), url.alias("url"), html.alias("html"))
+
+
+def q_markdown_options_full(spark, sf_dir):
+    """Extended html2text option surface (VERDICT r3 item 5; reference
+    markdown_generation_strategy.py:46,182-194 passes the full
+    html2text_options dict through — vendored html2text/__init__.py:56-83
+    defines the flags): body_width wrapping (optwrap/skipwrap :964-1023),
+    escape_snob (:58, utils.py:222), ignore_emphasis (:76,422,443),
+    emphasis_mark/strong_mark (:81-82), unicode_snob entity unification
+    (:56, config UNIFIABLE).  Five combos per document, each combo
+    byte-identical to the vendored package (cross-executed in
+    tests/test_markdown_contentfilter.py); the oracle below is an
+    INDEPENDENT hand-derived string-algebra replay of the vendored
+    package's output shape."""
+    from crawl4ai_spark.functions.markdown import markdown_for_pages
+
+    pages = _mdopt_full_pages(_t(spark, sf_dir, "documents"))
+    outs = []
+    for combo, opts in [
+        ("h2t_default", {"emphasis_mark": "_", "unicode_snob": False}),
+        ("snob", {"escape_snob": True, "emphasis_mark": "_", "unicode_snob": False}),
+        ("noemph", {"ignore_emphasis": True, "emphasis_mark": "_", "unicode_snob": False}),
+        ("wrap40", {"body_width": 40, "emphasis_mark": "_", "unicode_snob": False}),
+        ("unicode", {"emphasis_mark": "_", "unicode_snob": True}),
+    ]:
+        md = markdown_for_pages(pages, citations=False, html2text_options=opts)
+        outs.append(
+            md.join(pages.select("doc_id", "url"), "url").select(
+                "doc_id", F.lit(combo).alias("combo"), "raw_markdown"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _markdown_options_full_sql() -> str:
+    """Hand-derived expected markdown per combo (string algebra in SQL,
+    verified against the vendored html2text's own output — not a replay
+    of the converter)."""
+    nl = "chr(10)"
+    d = "CAST(doc_id AS VARCHAR)"
+    m = "CAST(doc_id % 10 AS VARCHAR)"
+    head = f"'# Doc ' || {d} || {nl}"
+    # literal backslashes are literal in SQL strings (no escape processing)
+    esc_plain = f"'stars *s' || {m} || '* and #tag plus back\\\\*slash x' || {nl}"
+    esc_snob = f"'stars \\*s' || {m} || '\\* and \\#tag plus back\\\\\\*slash x' || {nl}"
+    emph = f"'go _fast' || {m} || '_ and **hard' || {m} || '** now' || {nl}"
+    noemph = f"'go fast' || {m} || ' and hard' || {m} || ' now' || {nl}"
+    ent_ascii = f"'em--dash cafe it''s ok' || {nl}"
+    ent_uni = f"'em—dash café it’s ok' || {nl}"
+    wrap_one = (f"'alpha bravo charlie delta echo foxtrot golf hotel india "
+                f"juliet kilo lima mike november t' || {m} || {nl}")
+    wrap_40 = (f"'alpha bravo charlie delta echo foxtrot' || {nl} || "
+               f"'golf hotel india juliet kilo lima mike' || {nl} || "
+               f"'november t' || {m} || {nl}")
+    rows = {
+        "h2t_default": f"{head} || {esc_plain} || {emph} || {ent_ascii} || {wrap_one}",
+        "snob": f"{head} || {esc_snob} || {emph} || {ent_ascii} || {wrap_one}",
+        "noemph": f"{head} || {esc_plain} || {noemph} || {ent_ascii} || {wrap_one}",
+        "wrap40": (f"{head} || {nl} || {esc_plain} || {nl} || {emph} || {nl} || "
+                   f"{ent_ascii} || {nl} || {wrap_40} || {nl}"),
+        "unicode": f"{head} || {esc_plain} || {emph} || {ent_uni} || {wrap_one}",
+    }
+    selects = [
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, '{combo}' AS combo, {expr} AS raw_markdown FROM documents"
+        for combo, expr in rows.items()
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
 def _markdown_options_sql() -> str:
     """Hand-derived expected markdown per combo — an INDEPENDENT oracle
     (string algebra in SQL, not a replay of the converter)."""
@@ -3273,6 +3362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_preview": q_link_preview,
         # --- new round-4 queries get inserted here (slots 35..50) ---
         "pdf_images": q_pdf_images,
+        "markdown_options_full": q_markdown_options_full,
         # --- already driver-green in r01-r03 ---
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
@@ -5575,6 +5665,7 @@ FROM part WHERE p_partkey < 200
         "image_features": _cached_fixture("image_features", _image_features_fixture_sql),
         "pdf_extract": _cached_fixture("pdf_extract", _pdf_extract_fixture_sql),
         "pdf_images": _cached_fixture("pdf_images", _pdf_images_fixture_sql),
+        "markdown_options_full": _markdown_options_full_sql(),
         "audio_features": _cached_fixture("audio_features", _audio_features_fixture_sql),
         "audio_frames": _cached_fixture("audio_frames", _audio_frames_fixture_sql),
         "video_frame_sample": _cached_fixture(

@@ -283,6 +283,7 @@ ENTRY_QUERIES = [
     "cache_validation",
     "ivf_topk",
     "markdown_options",
+    "markdown_options_full",
 ]
 
 

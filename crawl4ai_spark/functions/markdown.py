@@ -58,7 +58,142 @@ def fast_urljoin(base: str, url: str) -> str:
 
 
 def _collapse(text: str) -> str:
-    return re.sub(r"\s+", " ", text)
+    # every whitespace EXCEPT nbsp collapses — \xa0 is html2text's
+    # non-breaking space, surfaced (or unified to ' ') by the
+    # unicode_snob option layer below, never merged with neighbors
+    return re.sub(r"[^\S\xa0]+", " ", text)
+
+
+# ---------------------------------------------------------------------------
+# html2text option-parity layer — the escape regexes, entity unification
+# table, and paragraph wrapper of the reference's vendored html2text
+# (html2text/config.py:64-153, utils.py:6-10,162-232, __init__.py:964-1023),
+# transcribed and cross-executed byte-identical per option in
+# tests/test_markdown_contentfilter.py.
+# ---------------------------------------------------------------------------
+
+_RE_MD_CHARS = re.compile(r"([\\\[\]\(\)])")                 # escape_md set
+_RE_MD_CHARS_ALL = re.compile(r"([`\*_{}\[\]\(\)#!])")       # escape_snob set
+_RE_MD_DOT = re.compile(r"^(\s*\d+)(\.)(?=\s)", re.M)
+_RE_MD_PLUS = re.compile(r"^(\s*)(\+)(?=\s)", re.M)
+_RE_MD_DASH = re.compile(r"^(\s*)(-)(?=\s|\-)", re.M)
+_RE_MD_BACKSLASH = re.compile(r"(\\)(?=[%s])" % re.escape(r"\`*_{}[]()#+-.!"))
+_RE_LINK_IN_PARA = re.compile(r"(\[.*?\] ?\(.*?\))|(\[.*?\]:.*?)")
+_RE_TABLE_SEP = re.compile(r" \| ")
+_RE_SPACE_SIC = re.compile(r"\s\+")  # (sic — the vendored RE_SPACE pattern)
+_RE_ORDERED_LIST = re.compile(r"\d+\.\s")
+_RE_UNORDERED_LIST = re.compile(r"[-\*\+]\s")
+
+# UNIFIABLE (config.py:115-153): unicode → ascii pseudo-replacements used
+# when unicode_snob is OFF; keyed by codepoint like the vendored
+# utils.unifiable_n, plus nbsp → ' ' (finish()-time special case :176-180)
+_UNIFIABLE = {
+    "rsquo": "'", "lsquo": "'", "rdquo": '"', "ldquo": '"', "copy": "(C)",
+    "mdash": "--", "nbsp": " ", "rarr": "->", "larr": "<-", "middot": "*",
+    "ndash": "-", "oelig": "oe", "aelig": "ae",
+    "agrave": "a", "aacute": "a", "acirc": "a", "atilde": "a", "auml": "a",
+    "aring": "a", "egrave": "e", "eacute": "e", "ecirc": "e", "euml": "e",
+    "igrave": "i", "iacute": "i", "icirc": "i", "iuml": "i",
+    "ograve": "o", "oacute": "o", "ocirc": "o", "otilde": "o", "ouml": "o",
+    "ugrave": "u", "uacute": "u", "ucirc": "u", "uuml": "u",
+    "lrm": "", "rlm": "",
+}
+
+
+def _unifiable_trans() -> dict:
+    import html.entities
+
+    return {html.entities.name2codepoint[k]: v for k, v in _UNIFIABLE.items()}
+
+
+_UNIFIABLE_TRANS = _unifiable_trans()
+
+
+def escape_md(text: str) -> str:
+    """utils.escape_md — within-construct escaping (urls, alt, titles)."""
+    return _RE_MD_CHARS.sub(r"\\\1", text)
+
+
+def escape_md_section(
+    text: str,
+    snob: bool = False,
+    escape_dot: bool = False,
+    escape_plus: bool = False,
+    escape_dash: bool = False,
+) -> str:
+    """utils.escape_md_section with the vendored DEFAULTS (config.py:12-14:
+    ESCAPE_DOT/PLUS/DASH are False) — by default only a literal backslash
+    ahead of a markdown-special character is escaped; ``snob`` adds the
+    full special-character set."""
+    text = _RE_MD_BACKSLASH.sub(r"\\\1", text)
+    if snob:
+        text = _RE_MD_CHARS_ALL.sub(r"\\\1", text)
+    if escape_dot:
+        text = _RE_MD_DOT.sub(r"\1\\\2", text)
+    if escape_plus:
+        text = _RE_MD_PLUS.sub(r"\1\\\2", text)
+    if escape_dash:
+        text = _RE_MD_DASH.sub(r"\1\\\2", text)
+    return text
+
+
+def _skipwrap(para: str, wrap_links: bool, wrap_list_items: bool, wrap_tables: bool) -> bool:
+    """utils.skipwrap:162-196 — which paragraphs body_width must not touch."""
+    if not wrap_links and _RE_LINK_IN_PARA.search(para):
+        return True
+    if para[0:4] == "    " or para[0:1] == "\t":
+        return True  # code block
+    stripped = para.lstrip()
+    if stripped[0:2] == "--" and len(stripped) > 2 and stripped[2] != "-":
+        return False  # emdash
+    if stripped[0:1] in ("-", "*") and not stripped[0:2] == "**":
+        return not wrap_list_items
+    if not wrap_tables and _RE_TABLE_SEP.search(para):
+        return True
+    return bool(_RE_ORDERED_LIST.match(stripped) or _RE_UNORDERED_LIST.match(stripped))
+
+
+def _optwrap(text: str, body_width: int, ul_item_mark: str = "*") -> str:
+    """HTML2Text.optwrap:964-1023 with the vendored defaults
+    (WRAP_LINKS=True, WRAP_LIST_ITEMS/WRAP_TABLES=False): wrap each
+    paragraph at ``body_width`` columns, '> '-continue blockquotes,
+    double-indent list continuations, re-space the blank lines."""
+    from textwrap import wrap
+
+    result = ""
+    newlines = 0
+    for para in text.split("\n"):
+        if len(para) > 0:
+            if not _skipwrap(para, True, False, False):
+                indent = ""
+                if para.startswith("  " + ul_item_mark):
+                    indent = "    "  # list item continuation
+                elif para.startswith("> "):
+                    indent = "> "  # blockquote continuation
+                wrapped = wrap(para, body_width, break_long_words=False,
+                               subsequent_indent=indent)
+                result += "\n".join(wrapped)
+                if para.endswith("  "):
+                    result += "  \n"
+                    newlines = 1
+                elif indent:
+                    result += "\n"
+                    newlines = 1
+                else:
+                    result += "\n\n"
+                    newlines = 2
+            else:
+                if not _RE_SPACE_SIC.match(para):
+                    result += para + "\n"
+                    newlines = 1
+        else:
+            if newlines < 2:
+                result += "\n"
+                newlines += 1
+    return result
+
+
+_PUNCT = set("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")
 
 
 class _MdWriter:
@@ -68,6 +203,16 @@ class _MdWriter:
         ignore_links: bool = False,
         ignore_images: bool = False,
         protect_links: bool = False,
+        body_width: int = 0,
+        escape_snob: bool = False,
+        ignore_emphasis: bool = False,
+        emphasis_mark: str = "*",
+        strong_mark: str = "**",
+        ul_item_mark: str = "*",
+        unicode_snob: bool = True,
+        escape_dot: bool = False,
+        escape_plus: bool = False,
+        escape_dash: bool = False,
     ):
         self.blocks: list[str] = []
         self.cur: list[str] = []
@@ -79,12 +224,56 @@ class _MdWriter:
         self.ignore_links = ignore_links
         self.ignore_images = ignore_images
         self.protect_links = protect_links
+        # extended html2text option surface (VERDICT r3 item 5), each
+        # cross-executed byte-identical against the vendored package.
+        # Dialect-divergent DEFAULTS, both documented: emphasis_mark
+        # defaults to '*' (html2text: '_') and unicode_snob to True
+        # (html2text: False) — this engine's golden dialect predates the
+        # option layer; byte-parity holds whenever the caller passes the
+        # html2text value explicitly.
+        self.body_width = int(body_width or 0)
+        self.escape_snob = escape_snob
+        self.ignore_emphasis = ignore_emphasis
+        self.emphasis_mark = emphasis_mark
+        self.strong_mark = strong_mark
+        self.ul_item_mark = ul_item_mark
+        self.unicode_snob = unicode_snob
+        self.escape_dot = escape_dot
+        self.escape_plus = escape_plus
+        self.escape_dash = escape_dash
 
     def resolve(self, url: str) -> str:
         # html2text absolutizes with PROPER urljoin when baseurl is set
         # (html2text/__init__.py:602) — unlike the citation pass's
         # fast_urljoin quirk, which then no-ops on the absolute result
         return urljoin(self.base_url, url) if self.base_url else url
+
+    def escape(self, s: str) -> str:
+        """Text-data escape pipeline (handle_data :915-922): entity
+        unification when unicode_snob is off, then escape_md_section."""
+        if not self.unicode_snob:
+            s = s.translate(_UNIFIABLE_TRANS)
+        return escape_md_section(
+            s, snob=self.escape_snob, escape_dot=self.escape_dot,
+            escape_plus=self.escape_plus, escape_dash=self.escape_dash,
+        )
+
+    def last_char(self) -> str:
+        for part in reversed(self.cur):
+            if part:
+                return part[-1]
+        return ""
+
+    def child(self) -> "_MdWriter":
+        """Fresh writer inheriting every option (nested blockquote/list
+        rendering must keep the caller's dialect)."""
+        return _MdWriter(
+            self.base_url, self.ignore_links, self.ignore_images,
+            self.protect_links, self.body_width, self.escape_snob,
+            self.ignore_emphasis, self.emphasis_mark, self.strong_mark,
+            self.ul_item_mark, self.unicode_snob, self.escape_dot,
+            self.escape_plus, self.escape_dash,
+        )
 
     def text(self, s: str) -> None:
         self.cur.append(s)
@@ -99,7 +288,7 @@ class _MdWriter:
 def _render_inline(node: DomNode, w: _MdWriter) -> None:
     for c in node.children:
         if isinstance(c, str):
-            w.text(_collapse(c))
+            w.text(w.escape(_collapse(c)))
             continue
         _render_node(c, w)
 
@@ -125,7 +314,7 @@ def _render_node(n: DomNode, w: _MdWriter) -> None:
     if tag == "a":
         href = n.get("href") or ""
         title = n.get("title")
-        label = _collapse(n.get_text()).strip()
+        label = w.escape(_collapse(n.get_text()).strip())
         if not label:
             return
         if w.ignore_links or not href:
@@ -133,28 +322,42 @@ def _render_node(n: DomNode, w: _MdWriter) -> None:
             return
         if w.protect_links:
             href = "<" + href + ">"  # pre-join bracketing (:525)
-        href = w.resolve(href)
+        href = escape_md(w.resolve(href))  # :509 escapes the emitted url
         w.text(f'[{label}]({href} "{title}")' if title else f"[{label}]({href})")
         return
     if tag == "img":
         if w.ignore_images:
             return
-        alt = (n.get("alt") or "").strip()
+        alt = escape_md((n.get("alt") or "").strip())  # :596-598
         src = n.get("src") or ""
         title = n.get("title")
         if src:
-            src = w.resolve(src)
+            src = escape_md(w.resolve(src))  # :602
             w.text(f'![{alt}]({src} "{title}")' if title else f"![{alt}]({src})")
         return
     if tag in ("strong", "b"):
-        w.text("**")
+        if w.ignore_emphasis:  # :443 — marks dropped, text kept
+            _render_inline(n, w)
+            return
+        # :446-460: a space keeps *** renderable when the preceding char
+        # already is the mark's first char
+        if w.strong_mark and w.last_char() == w.strong_mark[0]:
+            w.text(" ")
+        w.text(w.strong_mark)
         _render_inline(n, w)
-        w.text("**")
+        w.text(w.strong_mark)
         return
-    if tag in ("em", "i"):
-        w.text("*")
+    if tag in ("em", "i", "u"):
+        if w.ignore_emphasis:  # :422 — em/i/u all under ignore_emphasis
+            _render_inline(n, w)
+            return
+        # :429-437: a space keeps _x_ renderable right after alphanumerics
+        last = w.last_char()
+        if last and not last.isspace() and last not in _PUNCT:
+            w.text(" ")
+        w.text(w.emphasis_mark)
         _render_inline(n, w)
-        w.text("*")
+        w.text(w.emphasis_mark)
         return
     if tag == "code" and (n.parent is None or n.parent.tag != "pre"):
         w.text("`" + n.get_text() + "`")
@@ -165,7 +368,7 @@ def _render_node(n: DomNode, w: _MdWriter) -> None:
         return
     if tag == "blockquote":
         w.flush()
-        inner = _MdWriter()
+        inner = w.child()
         _render_block_children(n, inner)
         inner.flush()
         for b in inner.blocks:
@@ -177,11 +380,11 @@ def _render_node(n: DomNode, w: _MdWriter) -> None:
         for c in n.element_children():
             if c.tag != "li":
                 continue
-            item = _MdWriter()
+            item = w.child()
             _render_block_children(c, item)
             item.flush()
             body = "\n".join(item.blocks)
-            marker = f"{idx}. " if tag == "ol" else "* "
+            marker = f"{idx}. " if tag == "ol" else f"{w.ul_item_mark} "
             pad = " " * len(marker)
             lines = body.split("\n")
             w.blocks.append(
@@ -213,7 +416,7 @@ def _render_node(n: DomNode, w: _MdWriter) -> None:
 def _render_block_children(n: DomNode, w: _MdWriter) -> None:
     for c in n.children:
         if isinstance(c, str):
-            w.text(_collapse(c))
+            w.text(w.escape(_collapse(c)))
         else:
             _render_node(c, w)
 
@@ -224,18 +427,32 @@ def html_to_markdown(
     ignore_links: bool = False,
     ignore_images: bool = False,
     protect_links: bool = False,
+    **options,
 ) -> str:
     """Convert HTML to markdown (single_line_break: one newline between
-    blocks, no wrapping).  With ``base_url`` link/image urls are
-    absolutized by proper urljoin, as html2text does with baseurl.
-    ``ignore_links``/``ignore_images``/``protect_links`` mirror the
-    html2text_options trio the reference exposes
-    (markdown_generation_strategy.py:182-186)."""
+    blocks; no wrapping unless ``body_width``).  With ``base_url``
+    link/image urls are absolutized by proper urljoin, as html2text does
+    with baseurl.  ``ignore_links``/``ignore_images``/``protect_links``
+    mirror the html2text_options trio the reference exposes
+    (markdown_generation_strategy.py:182-186); ``options`` passes the
+    extended surface through to :class:`_MdWriter` — body_width,
+    escape_snob, ignore_emphasis, emphasis_mark, strong_mark,
+    ul_item_mark, unicode_snob, escape_dot/plus/dash — each
+    cross-executed byte-identical against the vendored html2text.
+
+    With ``body_width`` > 0 the output switches to html2text's
+    two-newline paragraph spacing before wrapping (the vendored config
+    notes single_line_break requires body_width 0 — same coupling
+    here)."""
     root = parse_dom(html or "")
-    w = _MdWriter(base_url, ignore_links, ignore_images, protect_links)
+    w = _MdWriter(base_url, ignore_links, ignore_images, protect_links, **options)
     body = root.find("body") or root
     _render_block_children(body, w)
     w.flush()
+    if w.body_width:
+        if not w.blocks:
+            return ""
+        return _optwrap("\n\n".join(w.blocks) + "\n", w.body_width, w.ul_item_mark)
     return "\n".join(w.blocks) + ("\n" if w.blocks else "")
 
 
@@ -294,10 +511,13 @@ def generate_markdown(
     error-strings raw_markdown; a citations error keeps raw and
     error-strings references; a content-filter error keeps raw+citations
     and error-strings only fit_markdown (fit_html blanked)."""
-    opts = {
-        k: bool((html2text_options or {}).get(k, False))
-        for k in ("ignore_links", "ignore_images", "protect_links")
-    }
+    _known = (
+        "ignore_links", "ignore_images", "protect_links", "body_width",
+        "escape_snob", "ignore_emphasis", "emphasis_mark", "strong_mark",
+        "ul_item_mark", "unicode_snob", "escape_dot", "escape_plus",
+        "escape_dash",
+    )
+    opts = {k: v for k, v in (html2text_options or {}).items() if k in _known}
     try:
         try:
             raw_markdown = html_to_markdown(html or "", base_url, **opts)
