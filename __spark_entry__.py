@@ -3187,6 +3187,134 @@ def _markdown_options_full_sql() -> str:
     return "\nUNION ALL\n".join(selects)
 
 
+def _serp_html_py(k: int) -> str:
+    """Python twin of ``_serp_html_expr`` (schemas induce driver-side
+    from page k's html; extraction runs on the Spark-built pages — the
+    oracle catches any drift between the two)."""
+    org = "".join(
+        f'<div class="g"><h3 class="title">R{i} q{k}</h3>'
+        f'<a href="https://s{(k + i) % 20}.test/r{i}">go</a>'
+        f'<div class="snippet">Snip {i} doc {k}</div>'
+        f'<span class="date">o{i} {k % 12} hrs</span></div>'
+        for i in range(3)
+    )
+    stories = "".join(
+        f'<div class="story"><div class="title">S{i} d{k % 7}</div>'
+        f'<a href="https://n{k % 7}.test/s{i}">x</a>'
+        f'<span class="source">Src{i} n{k % 7}</span>'
+        f'<span class="date">t{i} {k % 5} hrs</span></div>'
+        for i in range(2)
+    )
+    sugg = (
+        f'<div class="suggestion"><span class="query">alpha {k % 9}</span></div>'
+        f'<div class="suggestion"><span class="query">beta {k % 5}</span></div>'
+    )
+    return (
+        f"<html><head><title>q{k}</title></head><body>"
+        f'<div id="search">{org}</div>'
+        f'<div id="top-stories">{stories}</div>'
+        f'<div id="also-search">{sugg}</div>'
+        f"</body></html>"
+    )
+
+
+def _serp_html_expr() -> Column:
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    org = [
+        F.concat(
+            F.lit(f'<div class="g"><h3 class="title">R{i} q'), ks,
+            F.lit(f'</h3><a href="https://s'), ((k + i) % 20).cast("string"),
+            F.lit(f'.test/r{i}">go</a><div class="snippet">Snip {i} doc '), ks,
+            F.lit(f'</div><span class="date">o{i} '), (k % 12).cast("string"),
+            F.lit(" hrs</span></div>"),
+        )
+        for i in range(3)
+    ]
+    stories = [
+        F.concat(
+            F.lit(f'<div class="story"><div class="title">S{i} d'), (k % 7).cast("string"),
+            F.lit(f'</div><a href="https://n'), (k % 7).cast("string"),
+            F.lit(f'.test/s{i}">x</a><span class="source">Src{i} n'), (k % 7).cast("string"),
+            F.lit(f'</span><span class="date">t{i} '), (k % 5).cast("string"),
+            F.lit(" hrs</span></div>"),
+        )
+        for i in range(2)
+    ]
+    sugg = F.concat(
+        F.lit('<div class="suggestion"><span class="query">alpha '), (k % 9).cast("string"),
+        F.lit('</span></div><div class="suggestion"><span class="query">beta '),
+        (k % 5).cast("string"), F.lit("</span></div>"),
+    )
+    return F.concat(
+        F.lit("<html><head><title>q"), ks, F.lit('</title></head><body><div id="search">'),
+        *org,
+        F.lit('</div><div id="top-stories">'),
+        *stories,
+        F.lit('</div><div id="also-search">'), sugg, F.lit("</div></body></html>"),
+    )
+
+
+def q_serp_extract(spark, sf_dir):
+    """Google-search crawler graft (crawlers/google_search/crawler.py:59-131):
+    schemas induced ONCE driver-side from a representative page —
+    preprocess_html_for_schema → example-guided generate_schema per
+    section (organic / top stories / suggested queries), cached like the
+    reference's schema JSON files — then ONE fused JsonCSS extraction
+    pass over all pages.  The reference's own preprocess drops href
+    (utils.py:3167), so induced schemas carry the text fields; the
+    Playwright fetch/JS plane is out of scope by contract."""
+    from crawl4ai_spark.operators.serp import build_serp_schemas, serp_extract
+
+    schemas = build_serp_schemas(_serp_html_py(0))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    pages = part.select(
+        F.col("p_partkey").cast("string").alias("url"), _serp_html_expr().alias("html")
+    )
+    out = serp_extract(pages, schemas)
+    return out.select(
+        "src_url", "section", F.col("item_idx").cast("long").alias("item_idx"), "item_json"
+    )
+
+
+def _serp_extract_sql() -> str:
+    """Independent string-algebra oracle: expected item_json per section
+    per index, derived by hand from the corpus shape."""
+    k = "CAST(p_partkey AS VARCHAR)"
+    k12 = "CAST(p_partkey % 12 AS VARCHAR)"
+    k7 = "CAST(p_partkey % 7 AS VARCHAR)"
+    k5 = "CAST(p_partkey % 5 AS VARCHAR)"
+    k9 = "CAST(p_partkey % 9 AS VARCHAR)"
+    selects = []
+    for i in range(3):
+        item = (
+            f"""'{{"date": "o{i} ' || {k12} || ' hrs", "snippet": "Snip {i} doc ' || {k} """
+            f"""|| '", "title": "R{i} q' || {k} || '"}}'"""
+        )
+        selects.append(
+            f"SELECT {k} AS src_url, 'organic_schema' AS section, "
+            f"CAST({i} AS BIGINT) AS item_idx, {item} AS item_json FROM base"
+        )
+    for i in range(2):
+        item = (
+            f"""'{{"date": "t{i} ' || {k5} || ' hrs", "source": "Src{i} n' || {k7} """
+            f"""|| '", "title": "S{i} d' || {k7} || '"}}'"""
+        )
+        selects.append(
+            f"SELECT {k}, 'top_stories_schema', CAST({i} AS BIGINT), {item} FROM base"
+        )
+    sugg0 = f"""'{{"query": "alpha ' || {k9} || '"}}'"""
+    sugg1 = f"""'{{"query": "beta ' || {k5} || '"}}'"""
+    selects.append(
+        f"SELECT {k}, 'suggested_query_schema', CAST(0 AS BIGINT), {sugg0} FROM base"
+    )
+    selects.append(
+        f"SELECT {k}, 'suggested_query_schema', CAST(1 AS BIGINT), {sugg1} FROM base"
+    )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH base AS (SELECT p_partkey FROM part WHERE p_partkey < 400)\n{body}"
+
+
 def _markdown_options_sql() -> str:
     """Hand-derived expected markdown per combo — an INDEPENDENT oracle
     (string algebra in SQL, not a replay of the converter)."""
@@ -3363,6 +3491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-4 queries get inserted here (slots 35..50) ---
         "pdf_images": q_pdf_images,
         "markdown_options_full": q_markdown_options_full,
+        "serp_extract": q_serp_extract,
         # --- already driver-green in r01-r03 ---
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
@@ -5666,6 +5795,7 @@ FROM part WHERE p_partkey < 200
         "pdf_extract": _cached_fixture("pdf_extract", _pdf_extract_fixture_sql),
         "pdf_images": _cached_fixture("pdf_images", _pdf_images_fixture_sql),
         "markdown_options_full": _markdown_options_full_sql(),
+        "serp_extract": _serp_extract_sql(),
         "audio_features": _cached_fixture("audio_features", _audio_features_fixture_sql),
         "audio_frames": _cached_fixture("audio_frames", _audio_frames_fixture_sql),
         "video_frame_sample": _cached_fixture(

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 from collections import Counter
 from typing import Callable, Iterator, Optional
 
@@ -224,13 +225,8 @@ def _sanitize_name(cls: str) -> str:
     return "".join(ch if ch.isalnum() else "_" for ch in cls.strip().lower()) or "field"
 
 
-def induce_css_schema(html: str, name: str = "induced") -> Optional[dict]:
-    """Derive a JsonCss schema from the page itself: the most repeated
-    ``(tag, class)`` signature (ties: first in document order, count >= 2)
-    becomes baseSelector; classed descendants with direct text become text
-    fields; anchors become a link attribute field; ``data-*`` attributes on
-    the container become baseFields."""
-    root = parse_dom(html)
+def _classed_signatures(root) -> tuple[list, Counter]:
+    """Repeated ``(tag, class)`` signatures in document order + counts."""
     order: list = []
     counts: Counter = Counter()
     for el in root.iter_desc():
@@ -240,13 +236,14 @@ def induce_css_schema(html: str, name: str = "induced") -> Optional[dict]:
             if sig not in counts:
                 order.append(sig)
             counts[sig] += 1
-    best = None
-    for sig in order:
-        if counts[sig] >= 2 and (best is None or counts[sig] > counts[best]):
-            best = sig
-    if best is None:
-        return None
-    tag, cls = best
+    return order, counts
+
+
+def _schema_for_signature(root, sig, name: str) -> Optional[dict]:
+    """Schema for one container signature: classed descendants with
+    direct text become text fields; anchors become a link attribute
+    field; ``data-*`` attributes on the container become baseFields."""
+    tag, cls = sig
     base_selector = tag + "".join("." + c for c in cls.split())
     first = next(
         el for el in root.iter_desc() if el.tag == tag and el.get("class") == cls
@@ -284,6 +281,76 @@ def induce_css_schema(html: str, name: str = "induced") -> Optional[dict]:
         "baseFields": base_fields,
         "fields": fields,
     }
+
+
+def induce_css_schema(html: str, name: str = "induced") -> Optional[dict]:
+    """Derive a JsonCss schema from the page itself: the most repeated
+    ``(tag, class)`` signature (ties: first in document order, count >= 2)
+    becomes baseSelector."""
+    root = parse_dom(html)
+    order, counts = _classed_signatures(root)
+    best = None
+    for sig in order:
+        if counts[sig] >= 2 and (best is None or counts[sig] > counts[best]):
+            best = sig
+    if best is None:
+        return None
+    return _schema_for_signature(root, best, name)
+
+
+def induce_css_schema_matching(
+    html: str, example_keys, name: str = "induced"
+) -> Optional[dict]:
+    """Example-guided induction (the deterministic analog of handing the
+    LLM a target_json_example, extraction_strategy.py:1356-1372): every
+    repeated signature is a candidate container; the one whose induced
+    field/baseField names best overlap the example's keys wins (ties:
+    more repeats, then document order).  Falls back to the plain
+    most-repeated rule when nothing overlaps."""
+    keys = set(example_keys)
+    root = parse_dom(html)
+    order, counts = _classed_signatures(root)
+    best, best_schema, best_score = None, None, -1
+    for sig in order:
+        if counts[sig] < 2:
+            continue
+        schema = _schema_for_signature(root, sig, name)
+        if schema is None:
+            continue
+        got = {f["name"] for f in schema["fields"]} | {
+            f["name"] for f in schema["baseFields"]
+        }
+        score = len(got & keys)
+        if score > best_score or (score == best_score and best is not None
+                                  and counts[sig] > counts[best]):
+            best, best_schema, best_score = sig, schema, score
+    # score 0 everywhere → most-repeated candidate that still yields a
+    # schema (the plain inducer can land on a field-less signature)
+    return best_schema if best_schema is not None else induce_css_schema(html, name)
+
+
+_EXAMPLE_KEY_RE = re.compile(r'"([A-Za-z_][A-Za-z0-9_]*)"\s*:')
+
+
+def example_guided_completion(prompt: str) -> str:
+    """Disclosed deterministic fake completion for schema generation with
+    a target example: re-reads the fenced HTML and the Target JSON
+    example out of the prompt, extracts the example's keys by regex (the
+    reference's inline examples carry trailing commas, so json.loads is
+    not an option — exactly what a tolerant LLM reader does), and
+    returns the best-matching induced schema."""
+    try:
+        html = prompt.split("```html\n", 1)[1].split("\n```", 1)[0]
+    except IndexError:
+        return "null"
+    keys: list = []
+    if "## Target JSON example:" in prompt:
+        ex = prompt.split("## Target JSON example:", 1)[1]
+        ex = ex.split("```json", 1)[1].split("```", 1)[0] if "```json" in ex else ex
+        keys = _EXAMPLE_KEY_RE.findall(ex)
+    if not keys:
+        return json.dumps(induce_css_schema(html))
+    return json.dumps(induce_css_schema_matching(html, keys))
 
 
 def _default_completion(prompt: str) -> str:

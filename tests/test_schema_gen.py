@@ -181,3 +181,79 @@ def test_operator_plan_is_shuffle_free(spark):
     df = spark.createDataFrame([("u1", PAGE)], ["url", "html"])
     plan = preprocess_pages(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# example-guided induction + the Google-search crawler graft (operators/serp.py,
+# reference crawlers/google_search/crawler.py:59-131)
+# ---------------------------------------------------------------------------
+
+SERP = (
+    '<html><head><title>q</title></head><body><div id="search">'
+    + "".join(
+        f'<div class="g"><h3 class="title">R{i}</h3><a href="/r{i}">go</a>'
+        f'<div class="snippet">Snip {i}</div><span class="date">o{i} hrs</span></div>'
+        for i in range(3)
+    )
+    + '</div><div id="top-stories">'
+    + "".join(
+        f'<div class="story"><div class="title">S{i}</div><a href="/s{i}">x</a>'
+        f'<span class="source">Src{i}</span><span class="date">t{i} hrs</span></div>'
+        for i in range(2)
+    )
+    + '</div><div id="also-search">'
+    '<div class="suggestion"><span class="query">alpha</span></div>'
+    '<div class="suggestion"><span class="query">beta</span></div>'
+    "</div></body></html>"
+)
+
+
+def test_example_guided_induction_picks_matching_container():
+    from crawl4ai_spark.operators.schema_gen import induce_css_schema_matching
+
+    # top-stories keys pick div.story (3 key overlap) over the MORE
+    # repeated div.g (2) — the example steers, repetition only tie-breaks
+    s = induce_css_schema_matching(SERP, ["title", "link", "source", "date"])
+    assert s["baseSelector"] == "div.story"
+    s = induce_css_schema_matching(SERP, ["title", "link", "snippet", "date"])
+    assert s["baseSelector"] == "div.g"
+    s = induce_css_schema_matching(SERP, ["query"])
+    assert s["baseSelector"] == "div.suggestion"
+    # nothing overlaps -> falls back to most-repeated
+    s = induce_css_schema_matching(SERP, ["nonexistent"])
+    assert s["baseSelector"] == "div.g"
+
+
+def test_build_serp_schemas_caches_and_sections():
+    from crawl4ai_spark.operators.serp import build_serp_schemas
+
+    cache = {}
+    schemas = build_serp_schemas(SERP, cache=cache)
+    assert set(schemas) == {"organic_schema", "top_stories_schema", "suggested_query_schema"}
+    assert schemas["organic_schema"]["baseSelector"] == "div.g"
+    assert schemas["top_stories_schema"]["baseSelector"] == "div.story"
+    assert schemas["suggested_query_schema"]["baseSelector"] == "div.suggestion"
+    # second call must reuse the cache objects (reference's file cache analog)
+    again = build_serp_schemas("<p>different page</p>", cache=cache)
+    assert again["organic_schema"] is schemas["organic_schema"]
+
+
+def test_serp_extract_distributed(spark):
+    from crawl4ai_spark.operators.serp import build_serp_schemas, serp_extract
+
+    schemas = build_serp_schemas(SERP)
+    pages = spark.createDataFrame([("u1", SERP), ("u2", "<p>empty</p>")], ["url", "html"])
+    rows = serp_extract(pages, schemas).collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r["src_url"], r["section"]), []).append(r)
+    assert len(by[("u1", "organic_schema")]) == 3
+    assert len(by[("u1", "top_stories_schema")]) == 2
+    assert [json.loads(r["item_json"])["query"]
+            for r in sorted(by[("u1", "suggested_query_schema")], key=lambda r: r["item_idx"])] == ["alpha", "beta"]
+    assert json.loads(by[("u1", "organic_schema")][0]["item_json"]) == {
+        "title": "R0", "snippet": "Snip 0", "date": "o0 hrs"}
+    assert ("u2", "organic_schema") not in by  # no matches, no rows
+
+    plan = serp_extract(pages, schemas)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # one stateless pass, all sections fused
