@@ -3417,6 +3417,105 @@ def q_stream_host_rates(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_stream_host_state(spark, sf_dir):
+    """Stateful-politeness streaming (streaming/frontier_stream.py:105,
+    ``applyInPandasWithState`` — the micro-batch twin of the batch
+    engine's update_host_state fold): a real multi-batch file-source
+    stream folds per-host RateLimiter state across triggers; the FINAL
+    state per host must equal the closed-form batch fold.
+
+    Host classes are fold-order-invariant by construction (success-only
+    hosts decay-pin at base delay; failure-only hosts follow the
+    2^min(n, max_retries) doubling-then-frozen ladder; last_request_time
+    is a max), so the result is independent of the file-trigger order
+    and a plain SQL GROUP BY oracles the whole stateful machinery —
+    state carry-over included, which the sink asserts by requiring >= 2
+    non-empty micro-batches."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from crawl4ai_spark.streaming.frontier_stream import stateful_host_politeness
+
+    d = F.col("doc_id").cast("long")
+    events = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (d % 20).cast("string"), F.lit(".test")).alias("host"),
+        F.timestamp_seconds(F.lit(_STREAM_EPOCH) + (d * 37) % 3600).alias("fetched_at"),
+        F.when(d % 20 >= 10, F.lit(429)).otherwise(F.lit(200)).alias("status_code"),
+        (d % 4).cast("int").alias("wave"),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_state_")
+    ckpt = tempfile.mkdtemp(prefix="stream_state_ckpt_")
+    try:
+        events.write.mode("overwrite").partitionBy("wave").parquet(tmp)
+        schema = T.StructType(
+            [
+                T.StructField("host", T.StringType()),
+                T.StructField("fetched_at", T.TimestampType()),
+                T.StructField("status_code", T.IntegerType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(tmp)
+        )
+        states = stateful_host_politeness(stream, base_delay=1.0, max_delay=60.0, max_retries=3)
+        final: dict = {}
+        batches = []
+
+        def sink(batch_df, batch_id):
+            rows = batch_df.collect()
+            if rows:
+                batches.append(batch_id)
+            for r in rows:
+                final[r["host"]] = r
+
+        q = (
+            states.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if len(batches) < 2:
+            raise AssertionError(
+                f"stream_host_state: expected multi-batch state carry-over, got {len(batches)} batch(es)"
+            )
+        rows = [
+            (h, float(r["last_request_time"]), float(r["current_delay"]), int(r["fail_count"]))
+            for h, r in sorted(final.items())
+        ]
+        out = spark.createDataFrame(
+            rows, "host string, last_request_time double, current_delay double, fail_count int"
+        )
+        return out.select(
+            "host",
+            F.col("last_request_time").cast("long").alias("last_request_ts"),
+            F.round(F.col("current_delay") * 1000000).cast("long").alias("delay_e6"),
+            F.col("fail_count").cast("long").alias("fail_count"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _stream_host_state_sql() -> str:
+    return f"""
+SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.test' AS host,
+       CAST(MAX({_STREAM_EPOCH} + (doc_id * 37) % 3600) AS BIGINT) AS last_request_ts,
+       CAST(CASE WHEN doc_id % 20 >= 10
+                 THEN LEAST(POWER(2, LEAST(COUNT(*), 3)), 60) * 1000000
+                 ELSE 1000000 END AS BIGINT) AS delay_e6,
+       CAST(CASE WHEN doc_id % 20 >= 10 THEN COUNT(*) ELSE 0 END AS BIGINT) AS fail_count
+FROM documents
+GROUP BY doc_id % 20
+"""
+
+
 def _stream_host_rates_sql() -> str:
     return f"""
 SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.test' AS host,
@@ -3492,6 +3591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_images": q_pdf_images,
         "markdown_options_full": q_markdown_options_full,
         "serp_extract": q_serp_extract,
+        "stream_host_state": q_stream_host_state,
         # --- already driver-green in r01-r03 ---
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
@@ -5796,6 +5896,7 @@ FROM part WHERE p_partkey < 200
         "pdf_images": _cached_fixture("pdf_images", _pdf_images_fixture_sql),
         "markdown_options_full": _markdown_options_full_sql(),
         "serp_extract": _serp_extract_sql(),
+        "stream_host_state": _stream_host_state_sql(),
         "audio_features": _cached_fixture("audio_features", _audio_features_fixture_sql),
         "audio_frames": _cached_fixture("audio_frames", _audio_frames_fixture_sql),
         "video_frame_sample": _cached_fixture(

@@ -166,9 +166,17 @@ def _insert_all(table: np.ndarray, stash: list, fp: np.ndarray, i1: np.ndarray, 
 
 
 def build_cuckoo(
-    df: DataFrame, url_col: str = "url", n_partitions: int = 32, n_buckets: int = 1 << 14
+    df: DataFrame,
+    url_col: str = "url",
+    n_partitions: int = 32,
+    n_buckets: int = 1 << 14,
+    complete: bool = False,
 ) -> DataFrame:
-    """Per-shard cuckoo tables for the URLs in ``df`` (one wave)."""
+    """Per-shard cuckoo tables for the URLs in ``df`` (one wave).
+
+    ``complete`` also emits an EMPTY shard for every partition no URL
+    hashed into, so a catalog-persisted filter can take
+    ``cuckoo_insert`` wave deltas on any partition later."""
     assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -192,7 +200,77 @@ def build_cuckoo(
         )
 
     with_part = _with_cuckoo_keys(df, url_col, n_partitions)
-    return with_part.groupBy("cuckoo_part").applyInPandas(build, CUCKOO_SCHEMA)
+    built = with_part.groupBy("cuckoo_part").applyInPandas(build, CUCKOO_SCHEMA)
+    if not complete:
+        return built
+
+    def empty(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cuckoo_part": [key[0]],
+                "table": [np.zeros((n_buckets, _BUCKET_SIZE), np.uint16).tobytes()],
+                "stash": [b""],
+                "n_items": [0],
+                "fmt_version": [CUCKOO_FORMAT_VERSION],
+                "n_partitions": [n_partitions],
+                "n_buckets": [n_buckets],
+            }
+        )
+
+    spark = df.sparkSession
+    missing = (
+        spark.range(n_partitions)
+        .select(F.col("id").cast("int").alias("cuckoo_part"))
+        .join(built.select("cuckoo_part"), "cuckoo_part", "left_anti")
+    )
+    return built.unionByName(missing.groupBy("cuckoo_part").applyInPandas(empty, CUCKOO_SCHEMA))
+
+
+def cuckoo_insert(
+    shards: DataFrame, urls: DataFrame, url_col: str = "url", n_partitions: int = 32
+) -> DataFrame:
+    """Insert a new wave's URLs into an EXISTING consolidated shard set —
+    the wave-incremental write path for a catalog-persisted cuckoo
+    (bloom deltas OR-merge; cuckoo tables instead take in-place inserts,
+    so the persisted filter is always one consolidated set per partition
+    and stays deletable).  Partitions with no shard row yet are built
+    fresh; multi-delta inputs raise like ``cuckoo_delete``."""
+    keyed = _with_cuckoo_keys(urls, url_col, n_partitions)
+
+    def put(key, sdf: pd.DataFrame, udf: pd.DataFrame) -> pd.DataFrame:
+        if len(sdf) > 1:
+            raise ValueError(
+                "cuckoo_insert: multiple shard deltas per partition; rebuild one "
+                "consolidated cuckoo before inserting (cuckoo shards are not mergeable)"
+            )
+        if len(sdf) == 0:
+            if len(udf) == 0:
+                return pd.DataFrame(columns=[f.name for f in CUCKOO_SCHEMA.fields])
+            raise ValueError(
+                "cuckoo_insert: no shard for partition "
+                f"{int(udf['cuckoo_part'].iloc[0])}; build_cuckoo the first wave "
+                "so every partition has a (possibly empty) shard row"
+            )
+        _check_shard_geometry(sdf, n_partitions, "cuckoo_insert")
+        if len(udf) == 0:
+            return sdf
+        n_buckets = int(sdf["n_buckets"].iloc[0])
+        table = np.frombuffer(sdf["table"].iloc[0], np.uint16).reshape(n_buckets, _BUCKET_SIZE).copy()
+        stash = list(np.frombuffer(sdf["stash"].iloc[0], np.uint16))
+        keys = np.sort(udf["_ck"].to_numpy(np.int64).view(np.uint64)).view(np.int64)
+        fp, i1, i2 = _fp_and_buckets(keys, n_buckets)
+        _insert_all(table, stash, fp, i1, i2)
+        out = sdf.iloc[[0]].copy()
+        out["table"] = [table.tobytes()]
+        out["stash"] = [np.asarray(stash, np.uint16).tobytes()]
+        out["n_items"] = [int(sdf["n_items"].iloc[0]) + len(udf)]
+        return out
+
+    return (
+        shards.groupBy("cuckoo_part")
+        .cogroup(keyed.groupBy("cuckoo_part"))
+        .applyInPandas(put, CUCKOO_SCHEMA)
+    )
 
 
 def cuckoo_delete(
