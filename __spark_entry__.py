@@ -3187,6 +3187,92 @@ def _markdown_options_full_sql() -> str:
     return "\nUNION ALL\n".join(selects)
 
 
+def _mdopt_links_pages(docs: DataFrame) -> DataFrame:
+    """Batch-2 option corpus: automatic/fragment links, images with and
+    without alt, strikethrough, q-tag, and a pre block."""
+    d = F.col("doc_id")
+    m = (d % 10).cast("string")
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), d.cast("string"),
+        F.lit('</h1><p>see <a href="https://x'), m, F.lit('.test/a">https://x'), m,
+        F.lit('.test/a</a> and <a href="#frag'), m, F.lit('">anchor '), m,
+        F.lit('</a> end</p><p>x <img src="/i'), m, F.lit('.png" alt="pic '), m,
+        F.lit('"> y <img src="/j'), m, F.lit('.png"> z</p><p>a <del>gone '), m,
+        F.lit("</del> b, said <q>hi "), m, F.lit("</q> ok</p><pre>code line "), m,
+        F.lit("\nsecond "), m, F.lit("</pre></body></html>"),
+    )
+    url = F.concat(F.lit("https://h"), d.cast("string"), F.lit(".example.com/page"))
+    return docs.select(d.cast("long").alias("doc_id"), url.alias("url"), html.alias("html"))
+
+
+def q_markdown_options_links(spark, sf_dir):
+    """html2text option surface, batch 2 (vendored html2text/__init__.py:
+    59-79,478-481,516-519,578-598,900-908; config OPEN_QUOTE/MARK_CODE):
+    use_automatic_links + skip_internal_links (both default ON, exactly
+    like the package), images_to_alt + default_image_alt, ~~strike~~
+    with the del/strike/s family, q-tag quote marks, and mark_code's
+    [code]-wrapped indented blocks.  Each option byte-identical to the
+    vendored package under cross-execution
+    (tests/test_markdown_contentfilter.py); this query pins four combos
+    against a hand-derived SQL oracle."""
+    from crawl4ai_spark.functions.markdown import markdown_for_pages
+
+    pages = _mdopt_links_pages(_t(spark, sf_dir, "documents"))
+    outs = []
+    for combo, opts in [
+        ("defaults", None),
+        ("manual_links", {"use_automatic_links": False, "skip_internal_links": False}),
+        ("img_alt", {"images_to_alt": True, "default_image_alt": "noimg"}),
+        ("marked_code", {"mark_code": True, "open_quote": "«", "close_quote": "»"}),
+    ]:
+        md = markdown_for_pages(pages, citations=False, html2text_options=opts)
+        outs.append(
+            md.join(pages.select("doc_id", "url"), "url").select(
+                "doc_id", F.lit(combo).alias("combo"), "raw_markdown"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _markdown_options_links_sql() -> str:
+    nl = "chr(10)"
+    d = "CAST(doc_id AS VARCHAR)"
+    m = "CAST(doc_id % 10 AS VARCHAR)"
+    head = f"'# Doc ' || {d} || {nl}"
+    base = f"'https://h' || {d} || '.example.com'"
+    link_auto = f"'see <https://x' || {m} || '.test/a> and anchor ' || {m} || ' end' || {nl}"
+    link_manual = (
+        f"'see [https://x' || {m} || '.test/a](https://x' || {m} || '.test/a) and "
+        f"[anchor ' || {m} || '](' || {base} || '/page#frag' || {m} || ') end' || {nl}"
+    )
+    img_norm = (
+        f"'x ![pic ' || {m} || '](' || {base} || '/i' || {m} || '.png) y "
+        f"![](' || {base} || '/j' || {m} || '.png) z' || {nl}"
+    )
+    img_alt = f"'x pic ' || {m} || ' y noimg z' || {nl}"
+    strike_q = f"'a ~~gone ' || {m} || '~~ b, said \"hi ' || {m} || '\" ok' || {nl}"
+    strike_q_fr = f"'a ~~gone ' || {m} || '~~ b, said «hi ' || {m} || '» ok' || {nl}"
+    pre_fence = f"'```' || {nl} || 'code line ' || {m} || {nl} || 'second ' || {m} || {nl} || '```' || {nl}"
+    pre_code = (
+        f"'[code]' || {nl} || '    code line ' || {m} || {nl} || "
+        f"'    second ' || {m} || {nl} || '[/code]' || {nl}"
+    )
+    rows = {
+        "defaults": f"{head} || {link_auto} || {img_norm} || {strike_q} || {pre_fence}",
+        "manual_links": f"{head} || {link_manual} || {img_norm} || {strike_q} || {pre_fence}",
+        "img_alt": f"{head} || {link_auto} || {img_alt} || {strike_q} || {pre_fence}",
+        "marked_code": f"{head} || {link_auto} || {img_norm} || {strike_q_fr} || {pre_code}",
+    }
+    selects = [
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, '{combo}' AS combo, {expr} AS raw_markdown FROM documents"
+        for combo, expr in rows.items()
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
 def _serp_html_py(k: int) -> str:
     """Python twin of ``_serp_html_expr`` (schemas induce driver-side
     from page k's html; extraction runs on the Spark-built pages — the
@@ -3592,6 +3678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_options_full": q_markdown_options_full,
         "serp_extract": q_serp_extract,
         "stream_host_state": q_stream_host_state,
+        "markdown_options_links": q_markdown_options_links,
         # --- already driver-green in r01-r03 ---
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
@@ -5897,6 +5984,7 @@ FROM part WHERE p_partkey < 200
         "markdown_options_full": _markdown_options_full_sql(),
         "serp_extract": _serp_extract_sql(),
         "stream_host_state": _stream_host_state_sql(),
+        "markdown_options_links": _markdown_options_links_sql(),
         "audio_features": _cached_fixture("audio_features", _audio_features_fixture_sql),
         "audio_frames": _cached_fixture("audio_frames", _audio_frames_fixture_sql),
         "video_frame_sample": _cached_fixture(

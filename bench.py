@@ -284,6 +284,7 @@ ENTRY_QUERIES = [
     "ivf_topk",
     "markdown_options",
     "markdown_options_full",
+    "markdown_options_links",
     "serp_extract",
 ]
 

@@ -83,6 +83,7 @@ _RE_TABLE_SEP = re.compile(r" \| ")
 _RE_SPACE_SIC = re.compile(r"\s\+")  # (sic — the vendored RE_SPACE pattern)
 _RE_ORDERED_LIST = re.compile(r"\d+\.\s")
 _RE_UNORDERED_LIST = re.compile(r"[-\*\+]\s")
+_RE_ABS_URL = re.compile(r"^[a-zA-Z+]+://")  # absolute_url_matcher (:96)
 
 # UNIFIABLE (config.py:115-153): unicode → ascii pseudo-replacements used
 # when unicode_snob is OFF; keyed by codepoint like the vendored
@@ -213,6 +214,13 @@ class _MdWriter:
         escape_dot: bool = False,
         escape_plus: bool = False,
         escape_dash: bool = False,
+        use_automatic_links: bool = True,
+        skip_internal_links: bool = True,
+        images_to_alt: bool = False,
+        default_image_alt: str = "",
+        open_quote: str = '"',
+        close_quote: str = '"',
+        mark_code: bool = False,
     ):
         self.blocks: list[str] = []
         self.cur: list[str] = []
@@ -241,6 +249,17 @@ class _MdWriter:
         self.escape_dot = escape_dot
         self.escape_plus = escape_plus
         self.escape_dash = escape_dash
+        # html2text DEFAULTS carried over exactly (:59-79, config.py):
+        # automatic <url> links when href == text and absolute, '#'
+        # fragment links dropped to their text — both default ON there
+        # and here (no golden relies on the old [x](#f)/[u](u) forms)
+        self.use_automatic_links = use_automatic_links
+        self.skip_internal_links = skip_internal_links
+        self.images_to_alt = images_to_alt
+        self.default_image_alt = default_image_alt
+        self.open_quote = open_quote
+        self.close_quote = close_quote
+        self.mark_code = mark_code
 
     def resolve(self, url: str) -> str:
         # html2text absolutizes with PROPER urljoin when baseurl is set
@@ -272,7 +291,10 @@ class _MdWriter:
             self.protect_links, self.body_width, self.escape_snob,
             self.ignore_emphasis, self.emphasis_mark, self.strong_mark,
             self.ul_item_mark, self.unicode_snob, self.escape_dot,
-            self.escape_plus, self.escape_dash,
+            self.escape_plus, self.escape_dash, self.use_automatic_links,
+            self.skip_internal_links, self.images_to_alt,
+            self.default_image_alt, self.open_quote, self.close_quote,
+            self.mark_code,
         )
 
     def text(self, s: str) -> None:
@@ -320,6 +342,18 @@ def _render_node(n: DomNode, w: _MdWriter) -> None:
         if w.ignore_links or not href:
             w.text(label)
             return
+        if w.skip_internal_links and href.startswith("#"):
+            w.text(label)  # fragment link dropped to its text (:516-519)
+            return
+        raw_label = _collapse(n.get_text()).strip()
+        if (
+            w.use_automatic_links
+            and raw_label == href
+            and _RE_ABS_URL.match(href)
+            and not w.protect_links
+        ):
+            w.text("<" + href + ">")  # automatic link (:900-908)
+            return
         if w.protect_links:
             href = "<" + href + ">"  # pre-join bracketing (:525)
         href = escape_md(w.resolve(href))  # :509 escapes the emitted url
@@ -328,12 +362,28 @@ def _render_node(n: DomNode, w: _MdWriter) -> None:
     if tag == "img":
         if w.ignore_images:
             return
-        alt = escape_md((n.get("alt") or "").strip())  # :596-598
+        alt = escape_md((n.get("alt") or "").strip() or w.default_image_alt)  # :592-598
         src = n.get("src") or ""
         title = n.get("title")
+        if w.images_to_alt:
+            w.text(alt)  # image collapsed to its alt text (:578-596)
+            return
         if src:
             src = escape_md(w.resolve(src))  # :602
             w.text(f'![{alt}]({src} "{title}")' if title else f"![{alt}]({src})")
+        return
+    if tag in ("del", "strike", "s"):
+        # :469-476 — '~~' strike marks, with the preceding-'~' space rule
+        if w.last_char() == "~":
+            w.text(" ")
+        w.text("~~")
+        _render_inline(n, w)
+        w.text("~~")
+        return
+    if tag == "q":
+        w.text(w.open_quote)  # :478-481 (OPEN_QUOTE/CLOSE_QUOTE config)
+        _render_inline(n, w)
+        w.text(w.close_quote)
         return
     if tag in ("strong", "b"):
         if w.ignore_emphasis:  # :443 — marks dropped, text kept
@@ -364,7 +414,15 @@ def _render_node(n: DomNode, w: _MdWriter) -> None:
         return
     if tag == "pre":
         w.flush()
-        w.blocks.append("```\n" + n.get_text().strip("\n") + "\n```")
+        body = n.get_text().strip("\n")
+        if w.mark_code:
+            # [code] wrapper around the 4-space-indented block (:252-260,
+            # config MARK_CODE); the fenced ``` form below is this
+            # engine's default dialect (documented divergence)
+            indented = "\n".join("    " + ln for ln in body.split("\n"))
+            w.blocks.append("[code]\n" + indented + "\n[/code]")
+            return
+        w.blocks.append("```\n" + body + "\n```")
         return
     if tag == "blockquote":
         w.flush()
@@ -515,7 +573,9 @@ def generate_markdown(
         "ignore_links", "ignore_images", "protect_links", "body_width",
         "escape_snob", "ignore_emphasis", "emphasis_mark", "strong_mark",
         "ul_item_mark", "unicode_snob", "escape_dot", "escape_plus",
-        "escape_dash",
+        "escape_dash", "use_automatic_links", "skip_internal_links",
+        "images_to_alt", "default_image_alt", "open_quote", "close_quote",
+        "mark_code",
     )
     opts = {k: v for k, v in (html2text_options or {}).items() if k in _known}
     try:

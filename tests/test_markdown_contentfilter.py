@@ -386,3 +386,46 @@ def test_markdown_u_tag_and_emphasis_spacing():
     # inserts the renderability space after alphanumerics
     for html in ("<p>x <u>under</u> y</p>", "<p>pre<em>em</em> y</p>"):
         assert html_to_markdown(html, emphasis_mark="_", unicode_snob=False) == ref(html)
+
+
+def test_markdown_link_image_strike_quote_options_xcheck():
+    """Batch 2 of the option surface: automatic/internal links,
+    images_to_alt + default_image_alt, strikethrough, q-tag quotes,
+    mark_code — cross-executed byte-identical against the vendored
+    package (unicode_snob pinned False = its default)."""
+    from crawl4ai_spark.functions.markdown import html_to_markdown
+
+    h2t = _ref_html2text()
+
+    def ref(html, base="", **kw):
+        h = h2t.HTML2Text(baseurl=base)
+        h.body_width = 0
+        h.single_line_break = True
+        for k, v in kw.items():
+            setattr(h, k, v)
+        return h.handle(html)
+
+    auto = '<p>see <a href="https://x.test/a">https://x.test/a</a> and <a href="#frag">anchor</a> end</p>'
+    imgs = '<p>x <img src="/i.png" alt="pic"> y <img src="/j.png"> z</p>'
+    strike = "<p>a <del>gone</del> b <s>also</s> c</p>"
+    quote = "<p>he said <q>hi there</q> ok</p>"
+    pre = "<p>before</p><pre>line1\nline2</pre><p>after</p>"
+
+    cases = [
+        (auto, "", {}, {}),  # defaults: <url> + fragment dropped, both sides
+        (auto, "", {"use_automatic_links": False, "skip_internal_links": False},
+         {"use_automatic_links": False, "skip_internal_links": False}),
+        (imgs, "", {"images_to_alt": True, "default_image_alt": "noalt"},
+         {"images_to_alt": True, "default_image_alt": "noalt"}),
+        (imgs, "https://b.test/", {"default_image_alt": "noalt"},
+         {"default_image_alt": "noalt"}),
+        (strike, "", {}, {}),
+        (quote, "", {}, {}),
+        (quote, "", {"open_quote": "«", "close_quote": "»"},
+         {"open_quote": "«", "close_quote": "»"}),
+        (pre, "", {"mark_code": True}, {"mark_code": True}),
+    ]
+    for html, base, mine_kw, ref_kw in cases:
+        got = html_to_markdown(html, base, unicode_snob=False, **mine_kw)
+        want = ref(html, base=base, **ref_kw)
+        assert got == want, (mine_kw, repr(got), repr(want))
