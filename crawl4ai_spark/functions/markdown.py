@@ -350,13 +350,17 @@ def _render_node(n: DomNode, w: _MdWriter) -> None:
             w.use_automatic_links
             and raw_label == href
             and _RE_ABS_URL.match(href)
-            and not w.protect_links
         ):
-            w.text("<" + href + ">")  # automatic link (:900-908)
+            # automatic link (:900-908) — the vendored package records
+            # maybe_automatic_link BEFORE protect_links brackets the
+            # href (:523-525), so automatic wins under protect_links too
+            w.text("<" + href + ">")
             return
         if w.protect_links:
             href = "<" + href + ">"  # pre-join bracketing (:525)
         href = escape_md(w.resolve(href))  # :509 escapes the emitted url
+        # :540-546 — titles are escaped and whitespace-only titles dropped
+        title = escape_md(title.strip()) if title and title.strip() else None
         w.text(f'[{label}]({href} "{title}")' if title else f"[{label}]({href})")
         return
     if tag == "img":
@@ -364,13 +368,13 @@ def _render_node(n: DomNode, w: _MdWriter) -> None:
             return
         alt = escape_md((n.get("alt") or "").strip() or w.default_image_alt)  # :592-598
         src = n.get("src") or ""
-        title = n.get("title")
         if w.images_to_alt:
             w.text(alt)  # image collapsed to its alt text (:578-596)
             return
         if src:
             src = escape_md(w.resolve(src))  # :602
-            w.text(f'![{alt}]({src} "{title}")' if title else f"![{alt}]({src})")
+            # the vendored handle_image never emits a title (:598-602)
+            w.text(f"![{alt}]({src})")
         return
     if tag in ("del", "strike", "s"):
         # :469-476 — '~~' strike marks, with the preceding-'~' space rule

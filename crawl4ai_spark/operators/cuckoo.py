@@ -218,10 +218,14 @@ def build_cuckoo(
         )
 
     spark = df.sparkSession
+    # which partitions exist: re-derive from the (cheap) shard-routing
+    # hash, NOT from `built` — anti-joining built would evaluate the
+    # whole applyInPandas build kernel a second time
+    occupied = _with_cuckoo_keys(df, url_col, n_partitions).select("cuckoo_part").distinct()
     missing = (
         spark.range(n_partitions)
         .select(F.col("id").cast("int").alias("cuckoo_part"))
-        .join(built.select("cuckoo_part"), "cuckoo_part", "left_anti")
+        .join(occupied, "cuckoo_part", "left_anti")
     )
     return built.unionByName(missing.groupBy("cuckoo_part").applyInPandas(empty, CUCKOO_SCHEMA))
 

@@ -29,13 +29,17 @@ import pandas as pd
 from ..png import encode_png, phash64
 
 
-def _encode_payload(image_id: str, rgb: np.ndarray):
+def _encode_payload(image_id: str, rgb: np.ndarray, pick: int | None = None):
     """Encode a corpus image in a format chosen deterministically from
     its id — the image plane of the synthetic web mixes every real
     payload format (PNG / JPEG / lossless WebP / lossy WebP), so the
     e2e CrawlJob image emit exercises all four codecs.  Stored phash is
-    the DECODED-pixel phash for lossy formats (the validate contract)."""
-    pick = _stable_int(image_id + ":fmt") % 4
+    the DECODED-pixel phash for lossy formats (the validate contract).
+    ``pick`` (0=png 1=jpeg 2=vp8l 3=vp8) forces the format — the
+    per-format bench's interface, instead of reaching into the id
+    hash."""
+    if pick is None:
+        pick = _stable_int(image_id + ":fmt") % 4
     if pick == 0:
         return encode_png(rgb), "png", "png", phash64(rgb)
     if pick == 1:

@@ -123,6 +123,14 @@ def stateful_host_politeness(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # epoch seconds JVM-side: Arrow hands the state function tz-NAIVE
+    # timestamps localized to the session timezone, and pandas
+    # .timestamp() would re-read those as UTC — wrong by the tz offset on
+    # any non-UTC driver.  A timestamp→double cast is tz-independent
+    # (same technique as windowed_host_rates' long cast).
+    if dict(fetch_stream.dtypes).get(ts_col, "").startswith("timestamp"):
+        fetch_stream = fetch_stream.withColumn(ts_col, F.col(ts_col).cast("double"))
+
     def update(key, pdfs, state: GroupState):
         host = key[0]
         if state.exists:
