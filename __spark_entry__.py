@@ -1090,6 +1090,182 @@ def q_image_emit_e2e(spark, sf_dir):
     )
 
 
+_PDF_JOB_CACHE: dict = {}
+
+
+def _run_pdf_job(spark):
+    """Run (once per session) a production CrawlJob over the with_pdfs
+    corpus with the document-emit plane on: fetched pages' .pdf links
+    resolve against the pdf store, and pdf_pages / pdf_images land in
+    the catalog alongside seen/results/images.  The .pdf URLs themselves
+    also enter the frontier and 404 (no page behind them) — exactly what
+    the sequential oracle replays."""
+    import tempfile
+
+    from crawl4ai_spark.operators.traversal import canonical_corpus_fetcher
+    from crawl4ai_spark.pipeline import CrawlJob, JobConfig
+    from crawl4ai_spark.sources.corpus import generate_corpus
+
+    key = id(spark)
+    if key in _PDF_JOB_CACHE:
+        return _PDF_JOB_CACHE[key]
+    corpus = generate_corpus(
+        seed=42, n_hosts=3, pages_per_host=8, with_images=False, with_pdfs=True
+    )
+    world_pages = spark.createDataFrame(corpus["pages"])
+    pdf_store = spark.createDataFrame(corpus["pdfs"][["pdf_id", "bytes"]])
+    cfg = JobConfig(
+        max_depth=2, wave_budget=100.0, default_delay=1.0,
+        use_bloom=True, bloom_partitions=4, bloom_bits=1 << 14,
+        emit_images=False, emit_pdfs=True,
+    )
+    import os as _os
+
+    _tmp_base = "/dev/shm" if _os.path.isdir("/dev/shm") else None
+    job = CrawlJob(
+        spark,
+        canonical_corpus_fetcher(world_pages),
+        catalog_root=tempfile.mkdtemp(prefix="crawl_pdf_", dir=_tmp_base),
+        config=cfg,
+        robots=spark.createDataFrame(corpus["robots"]),
+        pdf_store=pdf_store,
+    )
+    job.seed(spark.createDataFrame(corpus["seeds"]))
+    job.run(max_waves=6)
+    _PDF_JOB_CACHE[key] = job
+    return job
+
+
+def q_pdf_job_pages(spark, sf_dir):
+    """Document plane of the production CrawlJob (pipeline._emit_pdfs →
+    pdfproc.process_pdfs; reference NaivePDFProcessorStrategy,
+    processors/pdf/processor.py:25-50): the pdf_pages catalog table —
+    one row per page of every PDF whose linking page was actually
+    crawled, with the reference's markdown cleanup and metadata."""
+    job = _run_pdf_job(spark)
+    t = job.catalog.read("pdf_pages")
+    return t.select(
+        "pdf_id",
+        F.col("page_number").cast("int").alias("page_number"),
+        F.md5(F.col("raw_text")).alias("raw_text_md5"),
+        F.md5(F.col("markdown")).alias("markdown_md5"),
+        F.concat_ws("|", F.col("links")).alias("links_joined"),
+        "title",
+        F.col("n_pages").cast("int").alias("n_pages"),
+        F.col("wave_id").cast("int").alias("wave_id"),
+    )
+
+
+def q_pdf_job_images(spark, sf_dir):
+    """Image plane of the crawled PDFs (pipeline._emit_pdfs →
+    pdfproc.extract_pdf_images; reference processor.py:41,222-223,
+    234-399): the pdf_images catalog table — the X-Object extraction
+    ladder applied inside the production wave, decoded-pixel phash
+    included."""
+    job = _run_pdf_job(spark)
+    t = job.catalog.read("pdf_images")
+    return t.select(
+        "pdf_id",
+        F.col("page_number").cast("int").alias("page_number"),
+        F.col("img_index").cast("int").alias("img_index"),
+        "format",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.md5(F.col("data")).alias("data_md5"),
+        F.col("phash").cast("long").alias("phash"),
+        F.col("wave_id").cast("int").alias("wave_id"),
+    )
+
+
+def _pdf_job_crawled(corpus):
+    """(canonical url → wave_id) for successful fetches, via the
+    sequential CrawlJob oracle on the with_pdfs corpus."""
+    from crawl4ai_spark.oracles import corpus_fetch_fn, job_rows
+
+    seeds = list(zip(corpus["seeds"]["url"], corpus["seeds"]["priority"]))
+    robots = dict(zip(corpus["robots"]["host"], corpus["robots"]["rules"]))
+    rows = job_rows(
+        seeds, corpus_fetch_fn(corpus, canonical=True), robots=robots,
+        max_depth=2, max_waves=6, wave_budget=100.0, default_delay=1.0,
+    )
+    return {r[0]: r[5] for r in rows if r[4]}
+
+
+def _pdf_job_emitted(corpus):
+    """[(pdf_id, bytes, wave_id)] the job must emit: PDFs whose linking
+    page was crawled, stamped with that page's wave."""
+    from crawl4ai_spark.functions.urls import normalize_url_for_deep_crawl
+
+    crawled = _pdf_job_crawled(corpus)
+    out = []
+    for r in corpus["pdfs"].itertuples(index=False):
+        canon = normalize_url_for_deep_crawl(r.page_url, r.page_url)
+        if canon in crawled:
+            out.append((r.pdf_id, r.bytes, int(crawled[canon])))
+    return out
+
+
+def _pdf_job_pages_fixture_sql() -> str:
+    import hashlib
+
+    from crawl4ai_spark.oracles import rows_values_sql
+    from crawl4ai_spark.pdf import clean_pdf_text, parse_pdf
+    from crawl4ai_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(
+        seed=42, n_hosts=3, pages_per_host=8, with_images=False, with_pdfs=True
+    )
+
+    def md5(s):
+        return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+    rows = []
+    for pdf_id, data, wave in _pdf_job_emitted(corpus):
+        res = parse_pdf(data)
+        for pg in res["pages"]:
+            rows.append(
+                (pdf_id, pg["page_number"], md5(pg["raw_text"]),
+                 md5(clean_pdf_text(pg["page_number"], pg["raw_text"])),
+                 "|".join(pg["links"]), res["metadata"]["title"],
+                 res["metadata"]["pages"], wave)
+            )
+    return rows_values_sql(
+        rows,
+        [("pdf_id", "VARCHAR"), ("page_number", "INT"), ("raw_text_md5", "VARCHAR"),
+         ("markdown_md5", "VARCHAR"), ("links_joined", "VARCHAR"), ("title", "VARCHAR"),
+         ("n_pages", "INT"), ("wave_id", "INT")],
+    )
+
+
+def _pdf_job_images_fixture_sql() -> str:
+    import hashlib
+
+    from crawl4ai_spark.operators.multimodal import decode_rgb
+    from crawl4ai_spark.oracles import rows_values_sql
+    from crawl4ai_spark.pdf import parse_pdf
+    from crawl4ai_spark.png import phash64
+    from crawl4ai_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(
+        seed=42, n_hosts=3, pages_per_host=8, with_images=False, with_pdfs=True
+    )
+    rows = []
+    for pdf_id, data, wave in _pdf_job_emitted(corpus):
+        for pg in parse_pdf(data)["pages"]:
+            for idx, im in enumerate(pg["images"]):
+                ph = phash64(decode_rgb(im["data"], im["format"]))
+                rows.append(
+                    (pdf_id, pg["page_number"], idx, im["format"], im["width"],
+                     im["height"], hashlib.md5(im["data"]).hexdigest(), ph, wave)
+                )
+    return rows_values_sql(
+        rows,
+        [("pdf_id", "VARCHAR"), ("page_number", "INT"), ("img_index", "INT"),
+         ("format", "VARCHAR"), ("width", "INT"), ("height", "INT"),
+         ("data_md5", "VARCHAR"), ("phash", "BIGINT"), ("wave_id", "INT")],
+    )
+
+
 def q_sentence_chunking(spark, sf_dir):
     """Sentence chunking (NlpSentenceChunking analog) — the reference's
     list(set(...)) dedup quirk pinned via sorted-distinct output."""
@@ -3679,6 +3855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serp_extract": q_serp_extract,
         "stream_host_state": q_stream_host_state,
         "markdown_options_links": q_markdown_options_links,
+        "pdf_job_pages": q_pdf_job_pages,
+        "pdf_job_images": q_pdf_job_images,
         # --- already driver-green in r01-r03 ---
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
@@ -5985,6 +6163,8 @@ FROM part WHERE p_partkey < 200
         "serp_extract": _serp_extract_sql(),
         "stream_host_state": _stream_host_state_sql(),
         "markdown_options_links": _markdown_options_links_sql(),
+        "pdf_job_pages": _cached_fixture("pdf_job_pages", _pdf_job_pages_fixture_sql),
+        "pdf_job_images": _cached_fixture("pdf_job_images", _pdf_job_images_fixture_sql),
         "audio_features": _cached_fixture("audio_features", _audio_features_fixture_sql),
         "audio_frames": _cached_fixture("audio_frames", _audio_frames_fixture_sql),
         "video_frame_sample": _cached_fixture(

@@ -81,6 +81,7 @@ class JobConfig:
     bloom_bits: int = 1 << 20
     fairness_waves: int = 10
     emit_images: bool = True
+    emit_pdfs: bool = False  # pdf_pages/pdf_images tables per wave
     emit_markdown: bool = False  # markdown/citations/fit_markdown table per wave
     emit_doc_dedup: bool = False  # per-wave minhash/simhash signature deltas
     dedup_n_perm: int = 16
@@ -114,6 +115,7 @@ class CrawlJob:
         config: JobConfig | None = None,
         robots: DataFrame | None = None,
         image_store: DataFrame | None = None,
+        pdf_store: DataFrame | None = None,
         run_configs: list | None = None,
     ):
         self.spark = spark
@@ -122,6 +124,7 @@ class CrawlJob:
         self.catalog = SnapshotCatalog(catalog_root, spark)
         self.robots = robots
         self.image_store = image_store  # image_id → payload (the synthetic "CDN")
+        self.pdf_store = pdf_store  # pdf_id → payload (document plane CDN)
         # per-URL RunConfig selection (async_dispatcher.py:101-125); a URL
         # matching no config becomes a failed result and leaves the frontier
         self.run_configs = run_configs
@@ -324,6 +327,14 @@ class CrawlJob:
             images_delta = self._ckpt(self._emit_images(ok, wave_id), f"img_delta_{wave_id}")
             n_images = images_delta.count()
 
+        # PDF document emit: fetched pages' .pdf links resolve against the
+        # pdf store and fan out to per-page text + per-image rows — the
+        # reference's NaivePDFProcessorStrategy plane
+        # (processors/pdf/processor.py:25-50) landing as catalog tables
+        pdf_pages_delta = pdf_images_delta = None
+        if cfg.emit_pdfs and self.pdf_store is not None:
+            pdf_pages_delta, pdf_images_delta = self._emit_pdfs(ok, wave_id)
+
         # markdown emit (reference: every CrawlResult carries .markdown —
         # markdown_generation_strategy.py:55-260; fit via content filter)
         markdown_delta = None
@@ -400,6 +411,9 @@ class CrawlJob:
                 appends["bloom"] = delta_bloom
         if images_delta is not None:
             appends["images"] = images_delta
+        if pdf_pages_delta is not None:
+            appends["pdf_pages"] = pdf_pages_delta
+            appends["pdf_images"] = pdf_images_delta
         if markdown_delta is not None:
             appends["markdown"] = markdown_delta
         appends.update(dedup_deltas)
@@ -487,6 +501,30 @@ class CrawlJob:
         checks = decode_and_validate(payload)
         valid_ids = checks.filter("ok AND dims_match AND phash_matches").select("image_id")
         return payload.join(valid_ids, "image_id")
+
+    def _emit_pdfs(self, ok: DataFrame, wave_id: int):
+        """Resolve the wave's fetched ``<a href=*.pdf>`` refs against the
+        pdf store and land two validated deltas: per-page text rows
+        (process_pdfs — raw text, reference markdown cleanup, links,
+        metadata) and per-image rows (extract_pdf_images — the X-Object
+        ladder with decoded-pixel phash).  Same shape as the image plane:
+        stateless mapInPandas fan-out, linear in fetched documents."""
+        from .operators.pdfproc import extract_pdf_images, process_pdfs
+
+        refs = scrape.extract_links(ok, url_col="url", html_col="html")
+        refs = refs.withColumn(
+            "pdf_id", F.regexp_extract(F.col("href"), r"/files/([A-Za-z0-9\-]+)\.pdf$", 1)
+        ).filter(F.col("pdf_id") != "")
+        payload = (
+            refs.join(self.pdf_store, "pdf_id")
+            .select(F.col("pdf_id").alias("doc_id"), "bytes")
+            .dropDuplicates(["doc_id"])
+        )
+        payload = self._ckpt(payload, f"pdf_payload_{wave_id}")
+        pages = process_pdfs(payload).withColumnRenamed("doc_id", "pdf_id")
+        images = extract_pdf_images(payload).withColumnRenamed("doc_id", "pdf_id")
+        wid = F.lit(wave_id).cast("int").alias("wave_id")
+        return pages.select("*", wid), images.select("*", wid)
 
     def _emit_markdown(self, ok: DataFrame, wave_id: int) -> DataFrame:
         from .functions.markdown import markdown_for_pages

@@ -93,6 +93,35 @@ def child_indices(i: int, pages_per_host: int, branching: int = 3) -> list[int]:
     return [c for c in range(branching * i + 1, branching * i + branching + 1) if c < pages_per_host]
 
 
+def _pdf_payload(pdf_id: str, h: int, i: int) -> bytes:
+    """Deterministic PDF payload for the corpus: two text pages, a link
+    annot, an embedded Flate RGB X-Object, and a DCTDecode JPEG on every
+    third document — the write side of the pdf_pages/pdf_images emit."""
+    from ..pdf import write_pdf
+
+    k = _stable_int(pdf_id)
+    rng = np.random.default_rng(k)
+    rgb = rng.integers(0, 256, (6 + k % 4, 8 + k % 5, 3), dtype=np.uint8)
+    images = [{"kind": "flate", "pixels": rgb, "predictor": k % 2 == 0}]
+    if k % 3 == 0:
+        from ..jpeg import encode_jpeg
+
+        images.append(
+            {"kind": "dct", "data": encode_jpeg(np.ascontiguousarray(rgb), quality=92),
+             "w": rgb.shape[1], "h": rgb.shape[0]}
+        )
+    pages = [
+        {
+            "lines": [(72, 720, 14, f"Report {h}-{i}"),
+                      (72, 700, 10, f"Body {_WORDS[k % len(_WORDS)]} {k % 97}")],
+            "links": [f"https://ref{k % 5}.example.com/pdfcite/{i}"],
+            "images": images,
+        },
+        {"lines": [(72, 720, 10, f"Appendix {_WORDS[(k + 7) % len(_WORDS)]}")]},
+    ]
+    return write_pdf(pages, title=f"Report {h}-{i}", compress=(k % 2 == 0))
+
+
 def generate_corpus(
     seed: int = 42,
     n_hosts: int = 10,
@@ -100,10 +129,14 @@ def generate_corpus(
     images_per_page: int = 1,
     img_sizes: tuple[int, ...] = (32, 48, 64),
     with_images: bool = True,
+    with_pdfs: bool = False,
 ) -> dict[str, pd.DataFrame]:
-    """Build the five corpus tables as pandas DataFrames."""
+    """Build the corpus tables as pandas DataFrames (with_pdfs adds a
+    ``pdfs`` payload table plus on-page ``<a href=.../files/x.pdf>``
+    links — the document plane of the synthetic web; each PDF is linked
+    from exactly one page)."""
     rng = np.random.default_rng(seed)
-    pages, links, images = [], [], []
+    pages, links, images, pdfs = [], [], [], []
 
     for h in range(n_hosts):
         for i in range(pages_per_host):
@@ -158,6 +191,13 @@ def generate_corpus(
                 add_link("mailto:a@b.com", "mail", external=True)
             if rng.random() < 0.15:
                 add_link("javascript:void(0)", "js", external=True)
+
+            if with_pdfs and i % 4 == 1:
+                pdf_id = f"pdf-{h:04d}-{i:05d}"
+                pdfs.append(
+                    dict(pdf_id=pdf_id, bytes=_pdf_payload(pdf_id, h, i), page_url=url)
+                )
+                add_link(f"/files/{pdf_id}.pdf", f"PDF report {h}-{i}", cls="pdf-link")
 
             img_tags = []
             if with_images:
@@ -249,6 +289,8 @@ def generate_corpus(
     }
     if with_images:
         out["images"] = pd.DataFrame(images)
+    if with_pdfs:
+        out["pdfs"] = pd.DataFrame(pdfs)
     return out
 
 

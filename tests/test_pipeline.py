@@ -198,3 +198,51 @@ def test_job_matches_reference_bfs_oracle(spark, world, tmp_path_factory):
 
     job_seen = {r["url"] for r in job.seen_urls().collect()}
     assert job_seen == visited | {canon_start}
+
+
+def test_emit_pdfs_lands_validated_document_tables(spark, tmp_path):
+    """The document plane (JobConfig.emit_pdfs + pdf_store): fetched
+    pages' .pdf links resolve against the store and land per-page text
+    and per-image rows in the catalog, matching a direct parse of the
+    same payloads."""
+    import hashlib
+
+    from crawl4ai_spark.operators.traversal import canonical_corpus_fetcher
+    from crawl4ai_spark.pdf import parse_pdf
+    from crawl4ai_spark.pipeline import CrawlJob, JobConfig
+    from crawl4ai_spark.sources.corpus import generate_corpus
+
+    corpus = generate_corpus(seed=7, n_hosts=2, pages_per_host=6,
+                             with_images=False, with_pdfs=True)
+    assert len(corpus["pdfs"]) > 0
+    job = CrawlJob(
+        spark,
+        canonical_corpus_fetcher(spark.createDataFrame(corpus["pages"])),
+        catalog_root=str(tmp_path / "cat"),
+        config=JobConfig(max_depth=2, wave_budget=100.0, emit_images=False,
+                         emit_pdfs=True, use_bloom=False),
+        robots=spark.createDataFrame(corpus["robots"]),
+        pdf_store=spark.createDataFrame(corpus["pdfs"][["pdf_id", "bytes"]]),
+    )
+    job.seed(spark.createDataFrame(corpus["seeds"]))
+    job.run(max_waves=4)
+
+    pages = {(r["pdf_id"], r["page_number"]): r for r in job.catalog.read("pdf_pages").collect()}
+    images = [r.asDict() for r in job.catalog.read("pdf_images").collect()]
+    assert pages, "no pdf pages emitted"
+    # every emitted row matches a direct parse of the stored payload
+    payload = dict(zip(corpus["pdfs"]["pdf_id"], corpus["pdfs"]["bytes"]))
+    emitted_ids = {pid for pid, _ in pages}
+    for pid in emitted_ids:
+        res = parse_pdf(payload[pid])
+        for pg in res["pages"]:
+            row = pages[(pid, pg["page_number"])]
+            assert row["raw_text"] == pg["raw_text"]
+            assert row["n_pages"] == res["metadata"]["pages"]
+    for r in images:
+        assert r["error"] is None and r["phash"] is not None
+        res = parse_pdf(payload[r["pdf_id"]])
+        im = res["pages"][r["page_number"] - 1]["images"][r["img_index"]]
+        assert hashlib.md5(im["data"]).hexdigest() == hashlib.md5(r["data"]).hexdigest()
+    # a pdf whose linking page was never crawled must NOT be emitted
+    assert emitted_ids <= set(payload)
