@@ -1266,6 +1266,77 @@ def _pdf_job_images_fixture_sql() -> str:
     )
 
 
+_ROBOTS_NOW = 1_000_000.0
+
+
+def q_robots_ttl_refresh(spark, sf_dir):
+    """Robots-cache TTL + change-detection semantics (reference
+    RobotsParser, utils.py:252-311): hosts with a fresh cached row are
+    served from cache; stale/unknown hosts fetch, and the refreshed dim
+    table only REPLACES a row when the content md5 changed — the
+    unchanged-content row keeps its old fetch_time (reference quirk:
+    `_cache_rules` writes only on hash change, so unchanged robots.txt
+    stays stale and refetches every check until it changes)."""
+    from crawl4ai_spark.operators.scheduler import (
+        ROBOTS_CACHE_TTL,
+        robots_cache_refresh,
+        robots_stale_hosts,
+    )
+
+    d = F.col("doc_id").cast("long")
+    m = (d % 25)
+    hosts = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), m.cast("string"), F.lit(".test")).alias("host"),
+        m.alias("m"),
+    ).distinct()
+    v1 = F.concat(F.lit("User-agent: *\nDisallow: /v1-"), F.col("m").cast("string"))
+    v2 = F.concat(F.lit("User-agent: *\nDisallow: /v2-"), F.col("m").cast("string"))
+    cache = hosts.filter(F.col("m") < 15).select(
+        "host",
+        v1.alias("rules"),
+        F.when(F.col("m") % 3 == 0, F.lit(_ROBOTS_NOW - 100.0))
+        .otherwise(F.lit(_ROBOTS_NOW - ROBOTS_CACHE_TTL - 100.0)).alias("fetch_time"),
+        F.md5(v1).alias("hash"),
+    )
+    stale = robots_stale_hosts(cache, hosts.select("host"), now=_ROBOTS_NOW)
+    # fetch results for exactly the stale hosts: even m changed (v2),
+    # odd m returns byte-identical content (the unchanged-hash path)
+    fetched = stale.join(hosts, "host").select(
+        "host", F.when(F.col("m") % 2 == 0, v2).otherwise(v1).alias("rules")
+    )
+    out = robots_cache_refresh(cache, fetched, now=_ROBOTS_NOW)
+    return out.select(
+        "host",
+        F.md5(F.col("rules")).alias("rules_md5"),
+        F.col("fetch_time").cast("long").alias("fetch_time"),
+        "hash",
+    )
+
+
+def _robots_ttl_refresh_sql() -> str:
+    ttl = 7 * 24 * 60 * 60
+    now = int(_ROBOTS_NOW)
+    return f"""
+WITH m AS (SELECT DISTINCT doc_id % 25 AS m FROM documents),
+r AS (
+  SELECT 'h' || CAST(m AS VARCHAR) || '.test' AS host,
+         m,
+         'User-agent: *' || chr(10) || 'Disallow: /v1-' || CAST(m AS VARCHAR) AS v1,
+         'User-agent: *' || chr(10) || 'Disallow: /v2-' || CAST(m AS VARCHAR) AS v2
+  FROM m
+)
+SELECT host,
+       md5(CASE WHEN m < 15 AND (m % 3 = 0 OR m % 2 = 1) THEN v1
+                WHEN m % 2 = 0 THEN v2 ELSE v1 END) AS rules_md5,
+       CAST(CASE WHEN m < 15 AND m % 3 = 0 THEN {now} - 100
+                 WHEN m < 15 AND m % 2 = 1 THEN {now} - {ttl} - 100
+                 ELSE {now} END AS BIGINT) AS fetch_time,
+       md5(CASE WHEN m < 15 AND (m % 3 = 0 OR m % 2 = 1) THEN v1
+                WHEN m % 2 = 0 THEN v2 ELSE v1 END) AS hash
+FROM r
+"""
+
+
 def q_sentence_chunking(spark, sf_dir):
     """Sentence chunking (NlpSentenceChunking analog) — the reference's
     list(set(...)) dedup quirk pinned via sorted-distinct output."""
@@ -3710,7 +3781,10 @@ def q_stream_host_state(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="stream_state_")
     ckpt = tempfile.mkdtemp(prefix="stream_state_ckpt_")
     try:
-        events.write.mode("overwrite").partitionBy("wave").parquet(tmp)
+        # one file per wave → exactly 4 micro-batches; without the
+        # repartition(1) each wave dir carries one file per source
+        # partition and the per-trigger overhead dominates the query
+        events.repartition(1).write.mode("overwrite").partitionBy("wave").parquet(tmp)
         schema = T.StructType(
             [
                 T.StructField("host", T.StringType()),
@@ -3857,6 +3931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_options_links": q_markdown_options_links,
         "pdf_job_pages": q_pdf_job_pages,
         "pdf_job_images": q_pdf_job_images,
+        "robots_ttl_refresh": q_robots_ttl_refresh,
         # --- already driver-green in r01-r03 ---
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
@@ -6165,6 +6240,7 @@ FROM part WHERE p_partkey < 200
         "markdown_options_links": _markdown_options_links_sql(),
         "pdf_job_pages": _cached_fixture("pdf_job_pages", _pdf_job_pages_fixture_sql),
         "pdf_job_images": _cached_fixture("pdf_job_images", _pdf_job_images_fixture_sql),
+        "robots_ttl_refresh": _robots_ttl_refresh_sql(),
         "audio_features": _cached_fixture("audio_features", _audio_features_fixture_sql),
         "audio_frames": _cached_fixture("audio_frames", _audio_frames_fixture_sql),
         "video_frame_sample": _cached_fixture(

@@ -281,6 +281,7 @@ ENTRY_QUERIES = [
     "markdown_options",
     "markdown_options_full",
     "markdown_options_links",
+    "robots_ttl_refresh",
     "serp_extract",
 ]
 

@@ -107,6 +107,60 @@ def robots_gate(frontier: DataFrame, robots: DataFrame | None) -> DataFrame:
     )
 
 
+ROBOTS_CACHE_TTL = 7 * 24 * 60 * 60  # reference utils.py:254 default
+
+
+def robots_stale_hosts(
+    cache: DataFrame | None, hosts: DataFrame, now: float,
+    cache_ttl: int = ROBOTS_CACHE_TTL,
+) -> DataFrame:
+    """Which hosts need a robots.txt (re)fetch — the fast-path/TTL split
+    of the reference's ``RobotsParser.can_fetch`` (utils.py:277-291,
+    332-336): a host is served from cache iff a row exists AND
+    ``now - fetch_time < cache_ttl``; everything else fetches."""
+    hosts = hosts.select("host").distinct()
+    if cache is None:
+        return hosts
+    fresh = cache.filter(F.lit(float(now)) - F.col("fetch_time") < F.lit(float(cache_ttl)))
+    return hosts.join(F.broadcast(fresh.select("host")), "host", "left_anti")
+
+
+def robots_cache_refresh(
+    cache: DataFrame | None, fetched: DataFrame, now: float,
+) -> DataFrame:
+    """Merge newly fetched robots.txt bodies into the cached dim table
+    with the reference's md5 change-detection semantics
+    (``RobotsParser._cache_rules``, utils.py:293-311): a row is replaced
+    (rules + fetch_time + hash) only when the content hash CHANGED or
+    the host is new.  Quirk pinned: unchanged content keeps the OLD
+    fetch_time — the reference only writes on hash change, so an
+    unchanged robots.txt goes stale again immediately and refetches on
+    every subsequent check until it actually changes.
+
+    ``cache``: (host, rules, fetch_time, hash); ``fetched``:
+    (host, rules) — hosts whose fetch errored must not appear (the
+    reference's allow-on-error lives in can_fetch, not the cache)."""
+    new = fetched.select(
+        "host",
+        F.col("rules").alias("_new_rules"),
+        F.md5(F.col("rules")).alias("_new_hash"),
+    )
+    if cache is None:
+        return new.select(
+            "host", F.col("_new_rules").alias("rules"),
+            F.lit(float(now)).alias("fetch_time"), F.col("_new_hash").alias("hash"),
+        )
+    joined = cache.join(new, "host", "full_outer")
+    changed = F.col("rules").isNull() | (F.col("hash") != F.col("_new_hash"))
+    take_new = F.col("_new_rules").isNotNull() & changed
+    return joined.select(
+        "host",
+        F.when(take_new, F.col("_new_rules")).otherwise(F.col("rules")).alias("rules"),
+        F.when(take_new, F.lit(float(now))).otherwise(F.col("fetch_time")).alias("fetch_time"),
+        F.when(take_new, F.col("_new_hash")).otherwise(F.col("hash")).alias("hash"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # priority + aging
 # ---------------------------------------------------------------------------

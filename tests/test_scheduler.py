@@ -307,3 +307,53 @@ def test_hot_host_skew_stress(spark):
     assert hot["admitted"] == 30       # offsets < budget
     assert sum(r["n"] for r in rows.values()) == n
     assert dt < 120, dt
+
+
+def test_robots_ttl_cache_refresh_semantics(spark):
+    """Reference RobotsParser cache semantics (utils.py:252-311): fresh
+    rows skip the fetch, changed content replaces with a new fetch_time,
+    unchanged content keeps the OLD row (the write-on-hash-change quirk:
+    an unchanged robots.txt goes stale again immediately)."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.scheduler import (
+        ROBOTS_CACHE_TTL,
+        robots_cache_refresh,
+        robots_stale_hosts,
+    )
+
+    now = 1_000_000.0
+    cache = spark.createDataFrame(
+        [
+            ("fresh.test", "Disallow: /a", now - 50.0),
+            ("stale-same.test", "Disallow: /b", now - ROBOTS_CACHE_TTL - 1),
+            ("stale-changed.test", "Disallow: /c", now - ROBOTS_CACHE_TTL - 1),
+        ],
+        ["host", "rules", "fetch_time"],
+    ).withColumn("hash", F.md5(F.col("rules")))
+    hosts = spark.createDataFrame(
+        [("fresh.test",), ("stale-same.test",), ("stale-changed.test",), ("new.test",)],
+        ["host"],
+    )
+    stale = {r["host"] for r in robots_stale_hosts(cache, hosts, now).collect()}
+    assert stale == {"stale-same.test", "stale-changed.test", "new.test"}
+    # no cache at all → every host fetches
+    assert {r["host"] for r in robots_stale_hosts(None, hosts, now).collect()} == {
+        r["host"] for r in hosts.collect()
+    }
+
+    fetched = spark.createDataFrame(
+        [("stale-same.test", "Disallow: /b"),      # byte-identical content
+         ("stale-changed.test", "Disallow: /C2"),  # changed
+         ("new.test", "Disallow: /n")],
+        ["host", "rules"],
+    )
+    out = {r["host"]: r for r in robots_cache_refresh(cache, fetched, now).collect()}
+    assert set(out) == {"fresh.test", "stale-same.test", "stale-changed.test", "new.test"}
+    assert out["fresh.test"]["fetch_time"] == now - 50.0          # untouched
+    assert out["stale-same.test"]["rules"] == "Disallow: /b"
+    assert out["stale-same.test"]["fetch_time"] == now - ROBOTS_CACHE_TTL - 1  # quirk
+    assert out["stale-changed.test"]["rules"] == "Disallow: /C2"
+    assert out["stale-changed.test"]["fetch_time"] == now
+    assert out["new.test"]["rules"] == "Disallow: /n"
+    assert out["new.test"]["fetch_time"] == now
