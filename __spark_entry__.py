@@ -134,7 +134,15 @@ def _shm_scratch(prefix: str, stale_after_s: int = 3600) -> str:
 def _event_urls(ev: DataFrame) -> DataFrame:
     """Deterministic messy URL per event: mixed-case host, tracking params,
     blank query values, trailing slashes, fragments — exercising every
-    branch of the deep-crawl canonicalizer."""
+    branch of the deep-crawl canonicalizer.
+
+    The events table is a SINGLE parquet file at every sf (100k rows in
+    2 MB at sf0.1), so Spark scans it as one partition and every
+    downstream Arrow UDF would run on one core until the first shuffle —
+    the r4 pair measured the anti-join query FLAT from 8 to 32 cores
+    because of exactly this.  Spread the scan to defaultParallelism
+    first (a 2 MB round-robin shuffle, sub-0.1 s)."""
+    ev = ev.repartition(ev.sparkSession.sparkContext.defaultParallelism)
     m3 = F.col("event_id") % 3
     url = F.concat(
         F.lit("https://Host"),
@@ -517,6 +525,11 @@ def q_url_filters(spark, sf_dir):
 def q_frontier_seen_antijoin(spark, sf_dir):
     ev = _event_urls(_t(spark, sf_dir, "events"))
     canon = ev.withColumn("canon", normalize_deep_udf(F.col("url"), F.col("url")))
+    # the canonical frame feeds FOUR subtrees (frontier, seen, the bloom
+    # build, and both sides inside anti_join_seen) — pin it once or the
+    # Arrow canonicalizer re-runs per subtree (same fix as the minhash
+    # signature pin, R3.11)
+    canon = canon.localCheckpoint(eager=False)
     frontier = canon.select("canon", "event_id").dropDuplicates(["canon"])
     seen = (
         canon.filter(F.col("event_id") % 3 == 0)
