@@ -1051,13 +1051,11 @@ def _run_e2e_job(spark):
         max_depth=2, wave_budget=100.0, default_delay=1.0,
         use_bloom=True, bloom_partitions=4, bloom_bits=1 << 14,
     )
-    import os as _os
-
-    _tmp_base = "/dev/shm" if _os.path.isdir("/dev/shm") else None
     job = CrawlJob(
         spark,
         canonical_corpus_fetcher(world_pages),
-        catalog_root=tempfile.mkdtemp(prefix="crawl_e2e_", dir=_tmp_base),
+        # _shm_scratch: atexit cleanup + 1-hour stale sweep
+        catalog_root=_shm_scratch("crawl_e2e_"),
         config=cfg,
         robots=spark.createDataFrame(corpus["robots"]),
         image_store=images,
@@ -1113,8 +1111,6 @@ def _run_pdf_job(spark):
     the catalog alongside seen/results/images.  The .pdf URLs themselves
     also enter the frontier and 404 (no page behind them) — exactly what
     the sequential oracle replays."""
-    import tempfile
-
     from crawl4ai_spark.operators.traversal import canonical_corpus_fetcher
     from crawl4ai_spark.pipeline import CrawlJob, JobConfig
     from crawl4ai_spark.sources.corpus import generate_corpus
@@ -1132,13 +1128,12 @@ def _run_pdf_job(spark):
         use_bloom=True, bloom_partitions=4, bloom_bits=1 << 14,
         emit_images=False, emit_pdfs=True,
     )
-    import os as _os
-
-    _tmp_base = "/dev/shm" if _os.path.isdir("/dev/shm") else None
     job = CrawlJob(
         spark,
         canonical_corpus_fetcher(world_pages),
-        catalog_root=tempfile.mkdtemp(prefix="crawl_pdf_", dir=_tmp_base),
+        # _shm_scratch: atexit cleanup + 1-hour stale sweep (a bare
+        # mkdtemp in /dev/shm leaks RAM-backed parquet until reboot)
+        catalog_root=_shm_scratch("crawl_pdf_"),
         config=cfg,
         robots=spark.createDataFrame(corpus["robots"]),
         pdf_store=pdf_store,
@@ -1190,6 +1185,9 @@ def q_pdf_job_images(spark, sf_dir):
     )
 
 
+_PDF_EMITTED_CACHE: list | None = None
+
+
 def _pdf_job_crawled(corpus):
     """(canonical url → wave_id) for successful fetches, via the
     sequential CrawlJob oracle on the with_pdfs corpus."""
@@ -1206,7 +1204,11 @@ def _pdf_job_crawled(corpus):
 
 def _pdf_job_emitted(corpus):
     """[(pdf_id, bytes, wave_id)] the job must emit: PDFs whose linking
-    page was crawled, stamped with that page's wave."""
+    page was crawled, stamped with that page's wave.  Memoized — both
+    pdf_job fixtures replay the same multi-wave oracle crawl."""
+    global _PDF_EMITTED_CACHE
+    if _PDF_EMITTED_CACHE is not None:
+        return _PDF_EMITTED_CACHE
     from crawl4ai_spark.functions.urls import normalize_url_for_deep_crawl
 
     crawled = _pdf_job_crawled(corpus)
@@ -1215,6 +1217,7 @@ def _pdf_job_emitted(corpus):
         canon = normalize_url_for_deep_crawl(r.page_url, r.page_url)
         if canon in crawled:
             out.append((r.pdf_id, r.bytes, int(crawled[canon])))
+    _PDF_EMITTED_CACHE = out
     return out
 
 

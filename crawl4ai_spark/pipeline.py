@@ -333,7 +333,7 @@ class CrawlJob:
         # (processors/pdf/processor.py:25-50) landing as catalog tables
         pdf_pages_delta = pdf_images_delta = None
         if cfg.emit_pdfs and self.pdf_store is not None:
-            pdf_pages_delta, pdf_images_delta = self._emit_pdfs(ok, wave_id)
+            pdf_pages_delta, pdf_images_delta = self._emit_pdfs(ok, wave_id, snap)
 
         # markdown emit (reference: every CrawlResult carries .markdown —
         # markdown_generation_strategy.py:55-260; fit via content filter)
@@ -502,7 +502,7 @@ class CrawlJob:
         valid_ids = checks.filter("ok AND dims_match AND phash_matches").select("image_id")
         return payload.join(valid_ids, "image_id")
 
-    def _emit_pdfs(self, ok: DataFrame, wave_id: int):
+    def _emit_pdfs(self, ok: DataFrame, wave_id: int, snap: dict | None):
         """Resolve the wave's fetched ``<a href=*.pdf>`` refs against the
         pdf store and land two validated deltas: per-page text rows
         (process_pdfs — raw text, reference markdown cleanup, links,
@@ -520,6 +520,13 @@ class CrawlJob:
             .select(F.col("pdf_id").alias("doc_id"), "bytes")
             .dropDuplicates(["doc_id"])
         )
+        # cross-WAVE dedup: a PDF linked from pages crawled in different
+        # waves must land once — anti-join the already-emitted set, the
+        # same first-writer-wins shape as the URL seen set
+        prev = self.catalog.read("pdf_pages", snap)
+        if prev is not None:
+            emitted = prev.select(F.col("pdf_id").alias("doc_id")).distinct()
+            payload = payload.join(emitted, "doc_id", "left_anti")
         payload = self._ckpt(payload, f"pdf_payload_{wave_id}")
         pages = process_pdfs(payload).withColumnRenamed("doc_id", "pdf_id")
         images = extract_pdf_images(payload).withColumnRenamed("doc_id", "pdf_id")

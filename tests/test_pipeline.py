@@ -215,11 +215,13 @@ def test_emit_pdfs_lands_validated_document_tables(spark, tmp_path):
     corpus = generate_corpus(seed=7, n_hosts=2, pages_per_host=6,
                              with_images=False, with_pdfs=True)
     assert len(corpus["pdfs"]) > 0
+    # max_depth=1: page i=1 (depth 1) is crawled, page i=5 (depth 2) is
+    # NOT — its pdf must stay out of the catalog (real negative case)
     job = CrawlJob(
         spark,
         canonical_corpus_fetcher(spark.createDataFrame(corpus["pages"])),
         catalog_root=str(tmp_path / "cat"),
-        config=JobConfig(max_depth=2, wave_budget=100.0, emit_images=False,
+        config=JobConfig(max_depth=1, wave_budget=100.0, emit_images=False,
                          emit_pdfs=True, use_bloom=False),
         robots=spark.createDataFrame(corpus["robots"]),
         pdf_store=spark.createDataFrame(corpus["pdfs"][["pdf_id", "bytes"]]),
@@ -244,5 +246,65 @@ def test_emit_pdfs_lands_validated_document_tables(spark, tmp_path):
         res = parse_pdf(payload[r["pdf_id"]])
         im = res["pages"][r["page_number"] - 1]["images"][r["img_index"]]
         assert hashlib.md5(im["data"]).hexdigest() == hashlib.md5(r["data"]).hexdigest()
-    # a pdf whose linking page was never crawled must NOT be emitted
-    assert emitted_ids <= set(payload)
+    # the negative case for real: crawled pages are exactly depth <= 1,
+    # so the depth-2 page's pdf (i=5) must be absent while the depth-1
+    # page's pdf (i=1) is present — for every host the crawl reached
+    crawled = {r["url"] for r in job.catalog.read("results").filter("success").collect()}
+    linked_from = dict(zip(corpus["pdfs"]["pdf_id"], corpus["pdfs"]["page_url"]))
+    for pid, page_url in linked_from.items():
+        if page_url in crawled:
+            assert pid in emitted_ids, (pid, page_url)
+        else:
+            assert pid not in emitted_ids, (pid, page_url)
+    assert any(u not in crawled for u in linked_from.values()), "corpus lost its negative case"
+
+
+def test_emit_pdfs_cross_wave_dedup(spark, tmp_path):
+    """A PDF linked from pages crawled in DIFFERENT waves must land in
+    the catalog exactly once (first-writer wave wins), like the URL seen
+    set."""
+    import pandas as pd
+
+    from crawl4ai_spark.operators.traversal import canonical_corpus_fetcher
+    from crawl4ai_spark.pipeline import CrawlJob, JobConfig
+    from crawl4ai_spark.sources.corpus import _pdf_payload
+
+    root = "https://w.test/"
+    child = "https://w.test/docs/p1"
+    pdf_link = '<a href="/files/shared-0001.pdf">pdf</a>'
+    pages = pd.DataFrame(
+        [
+            dict(url=root, host="w.test", depth_hint=0,
+                 head_html="<head><title>r</title></head>",
+                 html=f'<html><body><a href="/docs/p1">c</a>{pdf_link}</body></html>',
+                 status_code=200),
+            dict(url=child, host="w.test", depth_hint=1,
+                 head_html="<head><title>c</title></head>",
+                 html=f"<html><body>{pdf_link}</body></html>",
+                 status_code=200),
+        ]
+    )
+    store = pd.DataFrame([dict(pdf_id="shared-0001", bytes=_pdf_payload("shared-0001", 0, 1))])
+    job = CrawlJob(
+        spark,
+        canonical_corpus_fetcher(spark.createDataFrame(pages)),
+        catalog_root=str(tmp_path / "cat2"),
+        config=JobConfig(max_depth=2, wave_budget=100.0, emit_images=False,
+                         emit_pdfs=True, use_bloom=False),
+        pdf_store=spark.createDataFrame(store),
+    )
+    job.seed(spark.createDataFrame([(root,)], ["url"]))
+    job.run(max_waves=4)
+    rows = job.catalog.read("pdf_pages").collect()
+    waves = {r["wave_id"] for r in rows}
+    ids = [(r["pdf_id"], r["page_number"]) for r in rows]
+    assert len(ids) == len(set(ids)), "duplicate (pdf_id, page) rows across waves"
+    assert waves == {min(waves)}, "pdf re-emitted in a later wave"
+    # both linking pages really were crawled in different waves
+    from crawl4ai_spark.functions.urls import normalize_url_for_deep_crawl
+
+    res = {r["url"]: r["wave_id"] for r in job.catalog.read("results").filter("success").collect()}
+    assert (
+        res[normalize_url_for_deep_crawl(root, root)]
+        != res[normalize_url_for_deep_crawl(child, child)]
+    )
