@@ -50,6 +50,13 @@ def get_spark(
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # JVM unified logging writes to STDOUT by default; under memory
+        # pressure [warning][gc,alloc] GCLocker lines land in the middle
+        # of bench.py's one-JSON-line stdout contract (observed during the
+        # 50M-URL holdout).  Route it off; Spark's own log4j output
+        # already goes to stderr.
+        .config("spark.driver.extraJavaOptions", "-Xlog:disable")
+        .config("spark.executor.extraJavaOptions", "-Xlog:disable")
     )
     # shuffle/spill dir: overridable — benchmarks point this at tmpfs
     # (SPARK_LOCAL_DIRS=/dev/shm/...) because the sandbox's virtio disk has
