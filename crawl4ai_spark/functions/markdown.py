@@ -154,18 +154,22 @@ def _skipwrap(para: str, wrap_links: bool, wrap_list_items: bool, wrap_tables: b
     return bool(_RE_ORDERED_LIST.match(stripped) or _RE_UNORDERED_LIST.match(stripped))
 
 
-def _optwrap(text: str, body_width: int, ul_item_mark: str = "*") -> str:
+def _optwrap(
+    text: str, body_width: int, ul_item_mark: str = "*", wrap_links: bool = True
+) -> str:
     """HTML2Text.optwrap:964-1023 with the vendored defaults
     (WRAP_LINKS=True, WRAP_LIST_ITEMS/WRAP_TABLES=False): wrap each
     paragraph at ``body_width`` columns, '> '-continue blockquotes,
-    double-indent list continuations, re-space the blank lines."""
+    double-indent list continuations, re-space the blank lines.
+    ``wrap_links=False`` exempts link-bearing paragraphs (skipwrap's
+    RE_LINK test), exactly the package's WRAP_LINKS toggle."""
     from textwrap import wrap
 
     result = ""
     newlines = 0
     for para in text.split("\n"):
         if len(para) > 0:
-            if not _skipwrap(para, True, False, False):
+            if not _skipwrap(para, wrap_links, False, False):
                 indent = ""
                 if para.startswith("  " + ul_item_mark):
                     indent = "    "  # list item continuation
@@ -221,6 +225,7 @@ class _MdWriter:
         open_quote: str = '"',
         close_quote: str = '"',
         mark_code: bool = False,
+        wrap_links: bool = True,
     ):
         self.blocks: list[str] = []
         self.cur: list[str] = []
@@ -260,6 +265,7 @@ class _MdWriter:
         self.open_quote = open_quote
         self.close_quote = close_quote
         self.mark_code = mark_code
+        self.wrap_links = wrap_links
 
     def resolve(self, url: str) -> str:
         # html2text absolutizes with PROPER urljoin when baseurl is set
@@ -294,7 +300,7 @@ class _MdWriter:
             self.escape_plus, self.escape_dash, self.use_automatic_links,
             self.skip_internal_links, self.images_to_alt,
             self.default_image_alt, self.open_quote, self.close_quote,
-            self.mark_code,
+            self.mark_code, self.wrap_links,
         )
 
     def text(self, s: str) -> None:
@@ -514,7 +520,8 @@ def html_to_markdown(
     if w.body_width:
         if not w.blocks:
             return ""
-        return _optwrap("\n\n".join(w.blocks) + "\n", w.body_width, w.ul_item_mark)
+        return _optwrap("\n\n".join(w.blocks) + "\n", w.body_width,
+                        w.ul_item_mark, w.wrap_links)
     return "\n".join(w.blocks) + ("\n" if w.blocks else "")
 
 
@@ -579,7 +586,7 @@ def generate_markdown(
         "ul_item_mark", "unicode_snob", "escape_dot", "escape_plus",
         "escape_dash", "use_automatic_links", "skip_internal_links",
         "images_to_alt", "default_image_alt", "open_quote", "close_quote",
-        "mark_code",
+        "mark_code", "wrap_links",
     )
     opts = {k: v for k, v in (html2text_options or {}).items() if k in _known}
     try:

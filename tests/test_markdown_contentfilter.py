@@ -429,3 +429,21 @@ def test_markdown_link_image_strike_quote_options_xcheck():
         got = html_to_markdown(html, base, unicode_snob=False, **mine_kw)
         want = ref(html, base=base, **ref_kw)
         assert got == want, (mine_kw, repr(got), repr(want))
+
+
+def test_markdown_wrap_links_option_xcheck():
+    """wrap_links=False exempts link-bearing paragraphs from body_width
+    wrapping (optwrap/skipwrap RE_LINK rule) — cross-executed."""
+    from crawl4ai_spark.functions.markdown import html_to_markdown
+
+    h2t = _ref_html2text()
+    src = ('<p>see <a href="/a">x</a> ' + " ".join(f"w{i}" for i in range(25)) + "</p>"
+           "<p>" + " ".join(f"v{i}" for i in range(25)) + "</p>")
+    for wl in (True, False):
+        h = h2t.HTML2Text()
+        h.body_width = 40
+        h.single_line_break = False
+        h.wrap_links = wl
+        want = h.handle(src)
+        got = html_to_markdown(src, body_width=40, unicode_snob=False, wrap_links=wl)
+        assert got == want, (wl, repr(got), repr(want))
