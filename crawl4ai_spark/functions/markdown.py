@@ -275,7 +275,20 @@ class _MdWriter:
 
     def escape(self, s: str) -> str:
         """Text-data escape pipeline (handle_data :915-922): entity
-        unification when unicode_snob is off, then escape_md_section."""
+        unification when unicode_snob is off, then escape_md_section.
+
+        Deliberate dialect divergence (pinned in
+        test_markdown_unifiable_literal_divergence): this translates
+        UNIFIABLE codepoints in ALL text, whereas the vendored html2text
+        (convert_charrefs=False) unifies only characters that arrived as
+        entities/charrefs — a LITERAL em-dash in source HTML stays
+        unicode there but becomes '--' here.  Our DOM layer decodes
+        entities before rendering, so entity-origin is unrecoverable at
+        this point; uniform translation is the consistent choice (a
+        byte-identical doc should render identically regardless of how
+        its author spelled a dash).  Byte-parity with html2text per
+        option therefore holds for entity/charref forms; literal unicode
+        chars under unicode_snob=False are the one documented exception."""
         if not self.unicode_snob:
             s = s.translate(_UNIFIABLE_TRANS)
         return escape_md_section(

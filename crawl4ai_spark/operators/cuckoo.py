@@ -96,6 +96,13 @@ def _check_shard_geometry(sdf: pd.DataFrame, n_partitions: int, fn: str) -> None
     candidates via pmod).  A mismatch means candidates were routed with a
     different modulus than the shards were built with — silent false
     negatives — so fail loudly and tell the caller to rebuild."""
+    # pre-stamp persisted shards (columns absent in old parquet) must get
+    # the same actionable message, not a raw KeyError (ADVICE r4)
+    if "fmt_version" not in sdf.columns or "n_partitions" not in sdf.columns:
+        raise ValueError(
+            f"{fn}: shards predate the geometry stamp (no fmt_version/"
+            "n_partitions columns); rebuild the cuckoo from the seen table"
+        )
     fmt = sdf["fmt_version"]
     nparts = sdf["n_partitions"]
     if fmt.isna().any() or (fmt != CUCKOO_FORMAT_VERSION).any():
@@ -316,7 +323,11 @@ def cuckoo_delete(
         n_buckets = int(sdf["n_buckets"].iloc[0])
         table = np.frombuffer(sdf["table"].iloc[0], np.uint16).reshape(n_buckets, _BUCKET_SIZE).copy()
         stash = list(np.frombuffer(sdf["stash"].iloc[0], np.uint16))
-        keys = np.sort(udf["_ck"].to_numpy(np.int64).view(np.uint64)).view(np.int64)
+        # np.unique (sorted + deduped): a delete batch naming the same URL
+        # twice — plausible in a recrawl-invalidation list — was inserted
+        # once, so it must remove one fingerprint, not fail the job
+        # demanding two (ADVICE r4)
+        keys = np.unique(udf["_ck"].to_numpy(np.int64).view(np.uint64)).view(np.int64)
         fp, i1, i2 = _fp_and_buckets(keys, n_buckets)
         removed = 0
         for j in range(len(fp)):

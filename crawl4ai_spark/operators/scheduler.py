@@ -151,7 +151,14 @@ def robots_cache_refresh(
             F.lit(float(now)).alias("fetch_time"), F.col("_new_hash").alias("hash"),
         )
     joined = cache.join(new, "host", "full_outer")
-    changed = F.col("rules").isNull() | (F.col("hash") != F.col("_new_hash"))
+    # null-safe change test: a legacy/partial cached row with a NULL hash
+    # must read as "changed" — plain `hash != _new_hash` is NULL there,
+    # which would pin the stale rules forever (ADVICE r4)
+    changed = (
+        F.col("rules").isNull()
+        | F.col("hash").isNull()
+        | ~F.col("hash").eqNullSafe(F.col("_new_hash"))
+    )
     take_new = F.col("_new_rules").isNotNull() & changed
     return joined.select(
         "host",

@@ -190,3 +190,30 @@ def test_catalog_persisted_cuckoo_resume_with_deletion(spark, tmp_path):
     assert got == exact
     # the recrawled urls are back in the frontier
     assert {f"https://s.test/p{i}" for i in range(0, 300, 30)} <= got
+
+
+def test_delete_batch_with_duplicate_urls_succeeds(spark, seen, shards):
+    """ADVICE r4: a delete batch naming the same URL twice (plausible in a
+    recrawl-invalidation list) was inserted once — the kernel dedupes the
+    fingerprint keys instead of failing the job demanding two copies."""
+    dup = _urls(spark, [7, 7, 13, 13, 13, 21])
+    pruned = cuckoo_delete(shards, dup, n_partitions=8)
+    pruned.persist().count()
+    remaining = _urls(spark, [i for i in range(2000) if i not in (7, 13, 21)])
+    tagged = cuckoo_maybe_seen(remaining, pruned, n_partitions=8)
+    assert tagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_legacy_shards_without_geometry_stamp_fail_actionably():
+    """ADVICE r4: pre-stamp persisted shards (no fmt_version/n_partitions
+    columns) must die with the actionable rebuild message, not a raw
+    KeyError inside the cogroup kernel."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from crawl4ai_spark.operators.cuckoo import _check_shard_geometry
+
+    legacy = pd.DataFrame({"cuckoo_part": [0], "n_buckets": [1024],
+                           "table": [b""], "stash": [b""], "n_items": [0]})
+    with _pytest.raises(ValueError, match="rebuild the cuckoo"):
+        _check_shard_geometry(legacy, 8, "cuckoo_delete")

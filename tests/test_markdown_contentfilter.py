@@ -369,6 +369,39 @@ def test_markdown_extended_options_xcheck():
         assert got == want, (mine_kw, repr(got), repr(want))
 
 
+def test_markdown_unifiable_literal_divergence():
+    """Pin the ONE documented dialect divergence of the option layer
+    (ADVICE r4, markdown.py escape() docstring): with unicode_snob=False
+    the vendored html2text (convert_charrefs=False) unifies only
+    characters that arrived as entities/charrefs, so a LITERAL unicode
+    em-dash in source HTML survives as '—' there; our DOM layer decodes
+    entities before rendering (entity-origin is unrecoverable), so we
+    translate UNIFIABLE codepoints uniformly and the literal em-dash
+    becomes '--'.  Entity and charref spellings are byte-identical in
+    both engines."""
+    from crawl4ai_spark.functions.markdown import html_to_markdown
+
+    h2t = _ref_html2text()
+
+    def ref(html):
+        h = h2t.HTML2Text()
+        h.body_width = 0
+        h.single_line_break = True
+        h.unicode_snob = False
+        return h.handle(html)
+
+    # entity + numeric charref forms: byte-identical, both unify to '--'
+    for src in ("<p>a&mdash;b</p>", "<p>a&#8212;b</p>"):
+        got, want = html_to_markdown(src, unicode_snob=False), ref(src)
+        assert got == want == "a--b\n", (src, repr(got), repr(want))
+    # literal unicode char: the pinned divergence
+    lit = "<p>a—b</p>"
+    assert ref(lit) == "a—b\n"  # vendored keeps the raw codepoint
+    assert html_to_markdown(lit, unicode_snob=False) == "a--b\n"  # we unify
+    # unicode_snob=True keeps the codepoint in BOTH engines
+    assert html_to_markdown(lit, unicode_snob=True) == "a—b\n"
+
+
 def test_markdown_u_tag_and_emphasis_spacing():
     from crawl4ai_spark.functions.markdown import html_to_markdown
 

@@ -357,3 +357,38 @@ def test_robots_ttl_cache_refresh_semantics(spark):
     assert out["stale-changed.test"]["fetch_time"] == now
     assert out["new.test"]["rules"] == "Disallow: /n"
     assert out["new.test"]["fetch_time"] == now
+
+
+def test_robots_refresh_null_hash_row_is_refreshed(spark):
+    """ADVICE r4: a legacy cached row with a NULL hash must count as
+    "changed" — the plain `hash != _new_hash` comparison is NULL there,
+    which silently pinned the stale rules forever."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from crawl4ai_spark.operators.scheduler import robots_cache_refresh
+
+    now = 2_000_000.0
+    schema = T.StructType(
+        [
+            T.StructField("host", T.StringType()),
+            T.StructField("rules", T.StringType()),
+            T.StructField("fetch_time", T.DoubleType()),
+            T.StructField("hash", T.StringType()),
+        ]
+    )
+    cache = spark.createDataFrame(
+        [("legacy.test", "Disallow: /old", now - 9e6, None),
+         ("legacy-null-rules.test", None, now - 9e6, None)],
+        schema,
+    )
+    fetched = spark.createDataFrame(
+        [("legacy.test", "Disallow: /old"),  # same content, but hash was NULL
+         ("legacy-null-rules.test", "Disallow: /r")],
+        ["host", "rules"],
+    )
+    out = {r["host"]: r for r in robots_cache_refresh(cache, fetched, now).collect()}
+    assert out["legacy.test"]["fetch_time"] == now
+    assert out["legacy.test"]["hash"] is not None
+    assert out["legacy-null-rules.test"]["rules"] == "Disallow: /r"
+    assert out["legacy-null-rules.test"]["fetch_time"] == now
