@@ -3664,6 +3664,139 @@ def _serp_extract_sql() -> str:
     return f"WITH base AS (SELECT p_partkey FROM part WHERE p_partkey < 400)\n{body}"
 
 
+def _amazon_html_py(k: int) -> str:
+    """Python twin of ``_amazon_html_expr`` — synthetic Amazon
+    search-result page with 4 product cards carrying every hook the
+    reference's product-card schema names (docs example :20-76): title,
+    href, image, star rating, review count behind the ``~`` sibling
+    chain, current + conditional strike-through price, sponsored badge,
+    delivery line."""
+    cards = []
+    for i in range(4):
+        sponsored = (
+            '<span class="puis-sponsored-label-text">Sponsored</span>'
+            if (k + i) % 3 == 0
+            else ""
+        )
+        orig = (
+            f'<span class="a-price a-text-price"><span class="a-offscreen">'
+            f"${k % 90 + 19}.99</span></span>"
+            if (k + i) % 2 == 0
+            else ""
+        )
+        day = ("Mon", "Tue", "Wed")[(k + i) % 3]
+        cards.append(
+            f'<div data-component-type="s-search-result" data-asin="B{k}x{i}">'
+            f'<h2><a href="/dp/B{k}x{i}"><span>Widget {k} v{i}</span></a></h2>'
+            f'<img class="s-image" src="https://img.test/{k}-{i}.jpg">'
+            f'<span class="a-icon-star-small"><span class="a-icon-alt">'
+            f"{(k + i) % 5 + 1}.0 out of 5 stars</span></span>"
+            f'<span data-csa-c-func-deps="aui-da-a-popover">r</span>'
+            f"<span><span>{(k * 7 + i) % 900}</span></span>"
+            f'<span class="a-price"><span class="a-offscreen">${k % 50 + 9}.49</span></span>'
+            f"{orig}{sponsored}"
+            f'<div data-cy="delivery-recipe"><span class="a-color-base">Get it {day}</span></div>'
+            f"</div>"
+        )
+    return f"<html><body>{''.join(cards)}</body></html>"
+
+
+def _amazon_html_expr() -> Column:
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    cards = []
+    for i in range(4):
+        day = (
+            F.when((k + i) % 3 == 0, F.lit("Mon"))
+            .when((k + i) % 3 == 1, F.lit("Tue"))
+            .otherwise(F.lit("Wed"))
+        )
+        orig = F.when(
+            (k + i) % 2 == 0,
+            F.concat(
+                F.lit('<span class="a-price a-text-price"><span class="a-offscreen">$'),
+                (k % 90 + 19).cast("string"),
+                F.lit(".99</span></span>"),
+            ),
+        ).otherwise(F.lit(""))
+        sponsored = F.when(
+            (k + i) % 3 == 0,
+            F.lit('<span class="puis-sponsored-label-text">Sponsored</span>'),
+        ).otherwise(F.lit(""))
+        cards.append(
+            F.concat(
+                F.lit('<div data-component-type="s-search-result" data-asin="B'),
+                ks, F.lit(f'x{i}"><h2><a href="/dp/B'), ks,
+                F.lit(f'x{i}"><span>Widget '), ks,
+                F.lit(f' v{i}</span></a></h2><img class="s-image" src="https://img.test/'),
+                ks, F.lit(f'-{i}.jpg">'),
+                F.lit('<span class="a-icon-star-small"><span class="a-icon-alt">'),
+                ((k + i) % 5 + 1).cast("string"),
+                F.lit('.0 out of 5 stars</span></span>'),
+                F.lit('<span data-csa-c-func-deps="aui-da-a-popover">r</span><span><span>'),
+                ((k * 7 + i) % 900).cast("string"),
+                F.lit('</span></span><span class="a-price"><span class="a-offscreen">$'),
+                (k % 50 + 9).cast("string"), F.lit(".49</span></span>"),
+                orig, sponsored,
+                F.lit('<div data-cy="delivery-recipe"><span class="a-color-base">Get it '),
+                day, F.lit("</span></div></div>"),
+            )
+        )
+    return F.concat(F.lit("<html><body>"), *cards, F.lit("</body></html>"))
+
+
+def q_amazon_extract(spark, sf_dir):
+    """Amazon product-card crawler graft (crawlers/amazon_product —
+    hub contract — + the repository's published JsonCSS product schema,
+    docs/examples/amazon_product_extraction_direct_url.py:20-76):
+    schema bundle cached driver-side like the SERP schemas, then ONE
+    fused JsonCSS extraction pass over synthetic search-result pages.
+    Quirks pinned in operators/amazon.py: empty-selector asin and
+    'exists'-type sponsored fall to their defaults exactly like the
+    reference core; 'multiple' is ignored (first match's text)."""
+    from crawl4ai_spark.operators.amazon import build_amazon_schema, extract_amazon_products
+
+    schema = build_amazon_schema()
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    pages = part.select(
+        F.col("p_partkey").cast("string").alias("url"), _amazon_html_expr().alias("html")
+    )
+    out = extract_amazon_products(pages, schema)
+    return out.select(
+        "src_url", F.col("item_idx").cast("long").alias("item_idx"), "item_json"
+    )
+
+
+def _amazon_extract_sql() -> str:
+    """Independent string-algebra oracle: expected sorted-key item_json
+    per card index, derived by hand from the corpus shape (asin and
+    sponsored are absent by the pinned reference quirks)."""
+    k = "CAST(p_partkey AS VARCHAR)"
+    selects = []
+    for i in range(4):
+        day = f"CASE (p_partkey + {i}) % 3 WHEN 0 THEN 'Mon' WHEN 1 THEN 'Tue' ELSE 'Wed' END"
+        orig = (
+            f"CASE WHEN (p_partkey + {i}) % 2 = 0 THEN "
+            f"'\"original_price\": \"$' || CAST(p_partkey % 90 + 19 AS VARCHAR) || '.99\", ' "
+            f"ELSE '' END"
+        )
+        item = (
+            f"""'{{"delivery_info": "Get it ' || {day} || '", '"""
+            f""" || '"image": "https://img.test/' || {k} || '-{i}.jpg", '"""
+            f""" || {orig}"""
+            f""" || '"price": "$' || CAST(p_partkey % 50 + 9 AS VARCHAR) || '.49", '"""
+            f""" || '"rating": "' || CAST((p_partkey + {i}) % 5 + 1 AS VARCHAR) || '.0 out of 5 stars", '"""
+            f""" || '"reviews_count": "' || CAST((p_partkey * 7 + {i}) % 900 AS VARCHAR) || '", '"""
+            f""" || '"title": "Widget ' || {k} || ' v{i}", '"""
+            f""" || '"url": "/dp/B' || {k} || 'x{i}"}}'"""
+        )
+        selects.append(
+            f"SELECT {k} AS src_url, CAST({i} AS BIGINT) AS item_idx, {item} AS item_json FROM base"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH base AS (SELECT p_partkey FROM part WHERE p_partkey < 400)\n{body}"
+
+
 def _markdown_options_sql() -> str:
     """Hand-derived expected markdown per combo — an INDEPENDENT oracle
     (string algebra in SQL, not a replay of the converter)."""
@@ -3903,8 +4036,66 @@ def q_cuckoo_seen_filter(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- never-driver-checked before r4: first so the driver's
-        # first-50 window finally records them (VERDICT r3 item 1) ---
+        # --- new round-5 queries go HERE (inside the driver's first-50 window) ---
+        "amazon_extract": q_amazon_extract,
+        # --- xxhash64 DuckDB oracle is new in r5: record the hash-green rows (VERDICT item 6) ---
+        "simhash_pairs": q_simhash_pairs,
+        "simhash_pairs_scale": q_simhash_pairs_scale,
+        # --- stalest first: latest driver row is r2 (VERDICT item 2 rotation) ---
+        "crawl_job_retries": q_crawl_job_retries,
+        "image_psnr_invariant": q_image_psnr_invariant,
+        "adaptive_digest": q_adaptive_digest,
+        "table_extraction": q_table_extraction,
+        "structured_regex": q_structured_regex,
+        "json_css_items": q_json_css_items,
+        "markdown_citations": q_markdown_citations,
+        "content_filter_bm25": q_content_filter_bm25,
+        "pruning_scores": q_pruning_scores,
+        "config_select": q_config_select,
+        "cache_modes": q_cache_modes,
+        # --- latest driver row is r3 ---
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_incremental": q_minhash_incremental,
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_clean": q_corpus_clean,
+        "simhash_pairs_portable": q_simhash_pairs_portable,
+        "ann_topk": q_ann_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "url_canonicalize": q_url_canonicalize,
+        "url_host_parts": q_url_host_parts,
+        "url_scorers": q_url_scorers,
+        "url_filters": q_url_filters,
+        "frontier_seen_antijoin": q_frontier_seen_antijoin,
+        "politeness_schedule": q_politeness_schedule,
+        "priority_topk": q_priority_topk,
+        "image_pipeline": q_image_pipeline,
+        "image_near_dup": q_image_near_dup,
+        "crawl_bfs": q_crawl_bfs,
+        "crawl_bfs_stream": q_crawl_bfs_stream,
+        "link_scores": q_link_scores,
+        "seeder_filter": q_seeder_filter,
+        "cc_seed": q_cc_seed,
+        "proxy_rotation": q_proxy_rotation,
+        "kb_export_roundtrip": q_kb_export_roundtrip,
+        "chunking": q_chunking,
+        "cache_join": q_cache_join,
+        "adaptive_term_stats": q_adaptive_term_stats,
+        "adaptive_consistency": q_adaptive_consistency,
+        "new_terms_per_wave": q_new_terms_per_wave,
+        "seo_scores": q_seo_scores,
+        "head_bm25": q_head_bm25,
+        "srcset_parse": q_srcset_parse,
+        "robots_gate": q_robots_gate,
+        "crawl_dfs": q_crawl_dfs,
+        # --- r3-recorded overflow: stable data planes that may fall just outside the 50-window ---
+        "llm_extract_blocks": q_llm_extract_blocks,
+        "llm_filter_markdown": q_llm_filter_markdown,
+        "llm_table_extract": q_llm_table_extract,
+        "image_emit_e2e": q_image_emit_e2e,
+        "crawl_job_e2e": q_crawl_job_e2e,
+        "crawl_best_first": q_crawl_best_first,
+        # --- driver-green in r4 (freshest records) ---
         "ua_assign": q_ua_assign,
         "ssl_cert_extract": q_ssl_cert_extract,
         "html_preprocess": q_html_preprocess,
@@ -3939,7 +4130,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_pipeline": q_seed_pipeline,
         "url_relevance": q_url_relevance,
         "link_preview": q_link_preview,
-        # --- new round-4 queries get inserted here (slots 35..50) ---
         "pdf_images": q_pdf_images,
         "markdown_options_full": q_markdown_options_full,
         "serp_extract": q_serp_extract,
@@ -3948,7 +4138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_job_pages": q_pdf_job_pages,
         "pdf_job_images": q_pdf_job_images,
         "robots_ttl_refresh": q_robots_ttl_refresh,
-        # --- already driver-green in r01-r03 ---
         "text_stats": q_text_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -3957,59 +4146,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": q_bm25_rank,
         "exact_dedup_groups": q_exact_dedup_groups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "minhash_incremental": q_minhash_incremental,
-        "dedup_clusters": q_dedup_clusters,
-        "corpus_clean": q_corpus_clean,
-        "simhash_pairs": q_simhash_pairs,
-        "simhash_pairs_scale": q_simhash_pairs_scale,
-        "simhash_pairs_portable": q_simhash_pairs_portable,
-        "ann_topk": q_ann_topk,
-        "embedding_near_dup": q_embedding_near_dup,
-        "url_canonicalize": q_url_canonicalize,
-        "url_host_parts": q_url_host_parts,
-        "url_scorers": q_url_scorers,
-        "url_filters": q_url_filters,
-        "frontier_seen_antijoin": q_frontier_seen_antijoin,
-        "politeness_schedule": q_politeness_schedule,
-        "priority_topk": q_priority_topk,
-        "image_pipeline": q_image_pipeline,
-        "image_near_dup": q_image_near_dup,
-        "crawl_bfs": q_crawl_bfs,
-        "crawl_bfs_stream": q_crawl_bfs_stream,
-        "link_scores": q_link_scores,
-        "seeder_filter": q_seeder_filter,
-        "cc_seed": q_cc_seed,
-        "proxy_rotation": q_proxy_rotation,
-        "kb_export_roundtrip": q_kb_export_roundtrip,
-        "chunking": q_chunking,
-        "cache_join": q_cache_join,
-        "adaptive_term_stats": q_adaptive_term_stats,
-        "adaptive_consistency": q_adaptive_consistency,
-        "new_terms_per_wave": q_new_terms_per_wave,
-        "seo_scores": q_seo_scores,
-        "head_bm25": q_head_bm25,
-        "srcset_parse": q_srcset_parse,
-        "robots_gate": q_robots_gate,
-        "crawl_best_first": q_crawl_best_first,
-        "crawl_dfs": q_crawl_dfs,
-        "crawl_job_e2e": q_crawl_job_e2e,
-        "image_emit_e2e": q_image_emit_e2e,
-        "llm_extract_blocks": q_llm_extract_blocks,
-        "llm_filter_markdown": q_llm_filter_markdown,
-        "llm_table_extract": q_llm_table_extract,
-        "crawl_job_retries": q_crawl_job_retries,
-        "image_psnr_invariant": q_image_psnr_invariant,
-        "adaptive_digest": q_adaptive_digest,
-        "table_extraction": q_table_extraction,
-        "structured_regex": q_structured_regex,
-        "json_css_items": q_json_css_items,
-        "markdown_citations": q_markdown_citations,
-        "content_filter_bm25": q_content_filter_bm25,
-        "pruning_scores": q_pruning_scores,
-        "config_select": q_config_select,
-        "cache_modes": q_cache_modes,
     }
 
 
@@ -6252,6 +6388,7 @@ FROM part WHERE p_partkey < 200
         "pdf_images": _cached_fixture("pdf_images", _pdf_images_fixture_sql),
         "markdown_options_full": _markdown_options_full_sql(),
         "serp_extract": _serp_extract_sql(),
+        "amazon_extract": _amazon_extract_sql(),
         "stream_host_state": _stream_host_state_sql(),
         "markdown_options_links": _markdown_options_links_sql(),
         "pdf_job_pages": _cached_fixture("pdf_job_pages", _pdf_job_pages_fixture_sql),

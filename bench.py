@@ -283,6 +283,8 @@ ENTRY_QUERIES = [
     "markdown_options_links",
     "robots_ttl_refresh",
     "serp_extract",
+    # round-5 grafts
+    "amazon_extract",
 ]
 
 
@@ -356,11 +358,13 @@ def main() -> None:
         # scaling-pair runs need only the headline waves
         ENTRY_QUERIES.clear()
     # per-query repeats: the driver's single-shot records whipsawed
-    # (url_canonicalize 2.8s → 7.1s r2→r3 on identical code).  Estimator,
-    # stated exactly: slow (first run ≥2s) or DISCORDANT (2 runs >30%
-    # apart) queries run 3x and report the true median; fast concordant
-    # queries run 2x and report the min (both runs agree, min sheds the
-    # residual contention).  query_runs records every run IN EXECUTION
+    # (url_canonicalize 2.8s → 7.1s r2→r3 on identical code).  Estimator
+    # — ONE rule for every query (r4 mixed min-of-2 with median-of-3,
+    # which flattered the fast branch; flagged in BENCH/BASELINE.md):
+    # the TRUE MEDIAN of the runs taken, where the even-count median is
+    # the mean of the two middle values.  Fast concordant queries (first
+    # run <2s, two runs within 30%) stop at 2 runs; slow or discordant
+    # queries take a third.  query_runs records every run IN EXECUTION
     # ORDER, so warm-up vs steady-state stays visible in the artifact.
     query_runs: dict[str, list[float]] = {}
     for name in ENTRY_QUERIES:
@@ -379,46 +383,74 @@ def main() -> None:
             ):
                 break  # fast and concordant: two runs suffice
         ordered = sorted(runs)
-        queries[name] = ordered[1] if len(runs) == 3 else min(runs)
+        queries[name] = round(
+            ordered[1] if len(runs) == 3 else (ordered[0] + ordered[1]) / 2, 3
+        )
         query_runs[name] = runs  # execution order, unsorted
-        est = "median-of-3" if len(runs) == 3 else "min-of-2"
+        est = "median-of-3" if len(runs) == 3 else "median-of-2"
         log(f"{name}: {queries[name]:.1f}s ({est}; runs {runs})")
 
     total = time.time() - t_all
-    print(
-        json.dumps(
-            {
-                # value IS the metric: frontier throughput, directly
-                # comparable to the reference's 17.09 URLs/s (BASELINE.md)
-                # and across rounds.  Total wall time still reported below
-                # (total_query_sec) — it grows with the query count each
-                # round (16 queries r1 → 47 r3) so it is NOT a cross-round
-                # performance signal.
-                "metric": "frontier URLs scheduled+deduped/sec (and fetched image rows/sec)",
-                "value": round(urls_per_sec, 1),
-                "unit": "urls/sec",
-                "total_query_sec": round(total, 3),
-                "sf": sf,
-                "cpus": cpus,
-                "frontier_n": n_frontier,
-                "frontier_urls_per_sec": round(urls_per_sec, 1),
-                "scrape_pages_per_sec": round(pages_per_sec, 1),
-                "image_rows_per_sec": round(img_rows_per_sec, 1),
-                # pure-Python codec baseline per format; the 100-TB path
-                # swaps the kernel at decode_rgb for libjpeg-turbo/libwebp
-                "image_fmt_rows_per_sec": img_fmt,
-                "headline_runs": {
-                    "frontier_wave": runs_frontier,
-                    "seen_dedup_bloom_path": runs_bloom,
-                    "discovery_wave": runs_disc,
-                    "image_payload": [round(r, 3) for r in img_runs],
-                },
-                "queries": queries,
-                "query_runs": query_runs,
-            }
-        ),
-        flush=True,
+    # ---- output contract (VERDICT r4 item 1) --------------------------
+    # The driver keeps only the LAST 2000 characters of stdout; r4's
+    # single JSON line grew past that once query_runs was added, so the
+    # headline metrics at the line's head were truncated away
+    # (BENCH_r04.json parsed:null).  Fix: the FULL record (per-query
+    # timings, raw runs, per-format decode) goes to a BENCH/ detail file;
+    # stdout gets ONE compact headline line (<1500 chars) as the FINAL
+    # line, carrying the metric, plane throughputs, and the headline-wave
+    # timings only.
+    compact = {
+        # value IS the metric: frontier throughput, directly comparable
+        # to the reference's 17.09 URLs/s (BASELINE.md) and across
+        # rounds.  total_query_sec grows with the query count each round
+        # so it is NOT a cross-round performance signal.
+        "metric": "frontier URLs scheduled+deduped/sec (and fetched image rows/sec)",
+        "value": round(urls_per_sec, 1),
+        "unit": "urls/sec",
+        "total_query_sec": round(total, 3),
+        "sf": sf,
+        "cpus": cpus,
+        "frontier_n": n_frontier,
+        "frontier_urls_per_sec": round(urls_per_sec, 1),
+        "scrape_pages_per_sec": round(pages_per_sec, 1),
+        "image_rows_per_sec": round(img_rows_per_sec, 1),
+        "n_entry_queries": len(query_runs),
+        "queries": {
+            k: queries[k]
+            for k in ("frontier_wave", "seen_dedup_bloom_path", "discovery_wave", "image_payload")
+        },
+    }
+    detail = dict(compact)
+    detail.update(
+        {
+            # pure-Python codec baseline per format; the 100-TB path
+            # swaps the kernel at decode_rgb for libjpeg-turbo/libwebp
+            "image_fmt_rows_per_sec": img_fmt,
+            "headline_runs": {
+                "frontier_wave": runs_frontier,
+                "seen_dedup_bloom_path": runs_bloom,
+                "discovery_wave": runs_disc,
+                "image_payload": [round(r, 3) for r in img_runs],
+            },
+            "queries": queries,
+            "query_runs": query_runs,
+        }
     )
+    detail_file = os.environ.get(
+        "BENCH_DETAIL_FILE", f"BENCH/bench_detail_sf{sf}_local{cpus}.json"
+    )
+    try:
+        os.makedirs(os.path.dirname(detail_file) or ".", exist_ok=True)
+        with open(detail_file, "w") as fh:
+            json.dump(detail, fh, indent=1)
+        compact["detail_file"] = detail_file
+    except OSError as e:  # read-only checkout must not kill the headline
+        log(f"detail file write failed ({e}); full record kept on stderr")
+        log(json.dumps(detail))
+    line = json.dumps(compact)
+    assert len(line) < 1500, f"headline line grew to {len(line)} chars"
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -250,17 +250,46 @@ class _Simple:
         return True
 
 
+_COMBINATORS = {">": "child", "~": "sib", "+": "adj"}
+
+
+def _selector_tokens(part: str) -> list[str]:
+    """Split one selector group into simple-selector and combinator
+    tokens, bracket-aware: whitespace and combinator characters inside
+    ``[attr='a > b']`` belong to the attribute value, not the chain."""
+    toks: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for ch in part:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+        if depth == 0 and (ch.isspace() or ch in _COMBINATORS):
+            if buf:
+                toks.append("".join(buf))
+                buf = []
+            if ch in _COMBINATORS:
+                toks.append(ch)
+            continue
+        buf.append(ch)
+    if buf:
+        toks.append("".join(buf))
+    return toks
+
+
 def _compile_selector(selector: str) -> list[list[tuple[str, _Simple]]]:
     """Returns selector groups; each group is [(combinator, simple)] where
-    combinator is 'desc' or 'child' ('desc' for the first unit)."""
+    combinator is 'desc', 'child', 'sib' (~) or 'adj' (+) — 'desc' for
+    the first unit."""
     groups = []
     for part in selector.split(","):
-        toks = part.replace(">", " > ").split()
+        toks = _selector_tokens(part)
         units: list[tuple[str, _Simple]] = []
         comb = "desc"
         for tok in toks:
-            if tok == ">":
-                comb = "child"
+            if tok in _COMBINATORS:
+                comb = _COMBINATORS[tok]
                 continue
             units.append((comb, _Simple(tok)))
             comb = "desc"
@@ -301,6 +330,15 @@ def _matches_chain(node: DomNode, units: list[tuple[str, _Simple]], scope: DomNo
         if p is None:
             return False
         return _matches_chain(p, rest, scope)
+    if comb in ("sib", "adj"):
+        p = node.parent
+        if p is None:
+            return False
+        sibs = p.element_children()
+        i = sibs.index(node)
+        if comb == "adj":
+            return i > 0 and _matches_chain(sibs[i - 1], rest, scope)
+        return any(_matches_chain(s, rest, scope) for s in sibs[:i])
     # descendant: ancestors are unrestricted (scope included) — only the
     # final matched node is scope-bounded, by the caller's iteration
     p = node.parent
