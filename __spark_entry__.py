@@ -3536,6 +3536,113 @@ def _markdown_options_links_sql() -> str:
     return "\nUNION ALL\n".join(selects)
 
 
+def _mdopt_tables_pages(docs: DataFrame) -> DataFrame:
+    """Table-mode corpus: caption + th header + ragged-width cells + a
+    stressed (bold) cell, framed by paragraphs so the soft-break and
+    pad-spacing adjacency rules are exercised.  Doc-variable tokens are
+    single-digit so the padded column widths are constant across docs."""
+    d = F.col("doc_id")
+    m = (d % 10).cast("string")
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), d.cast("string"),
+        F.lit("</h1><p>before "), m, F.lit("</p>"),
+        F.lit("<table><caption>cap "), m, F.lit("</caption>"),
+        F.lit("<tr><th>name</th><th>v"), m, F.lit("</th></tr>"),
+        F.lit("<tr><td>alpha "), m, F.lit("</td><td>1"), m, F.lit("</td></tr>"),
+        F.lit("<tr><td>b</td><td>x<b>y"), m, F.lit("</b></td></tr>"),
+        F.lit("</table><p>after "), m, F.lit("</p></body></html>"),
+    )
+    url = F.concat(F.lit("https://h"), d.cast("string"), F.lit(".example.com/page"))
+    return docs.select(d.cast("long").alias("doc_id"), url.alias("url"), html.alias("html"))
+
+
+def q_markdown_options_tables(spark, sf_dir):
+    """html2text table-family options (VERDICT r4 item 4; vendored
+    html2text/__init__.py:680-733 dispatch, utils.py:237-311 padding):
+    ignore_tables strips tags and soft-breaks rows, bypass_tables
+    re-emits literal table tags around converted cells, pad_tables
+    buffers rows and reformats into width-aligned pipe tables, and
+    pad_tables=False selects the package's plain 'c1| c2' + '---|---'
+    stream.  Captions prefix the first row (with the cross-boundary
+    stress-space), empty trs and block cells follow the probed vendored
+    shapes.  Every combo is byte-identical to the vendored package under
+    cross-execution (tests/test_markdown_contentfilter.py:
+    test_markdown_table_modes_xcheck); the oracle is an independent
+    hand-derived string-algebra replay."""
+    from crawl4ai_spark.functions.markdown import markdown_for_pages
+
+    pages = _mdopt_tables_pages(_t(spark, sf_dir, "documents"))
+    outs = []
+    for combo, opts in [
+        ("ignore", {"ignore_tables": True, "unicode_snob": False}),
+        ("bypass", {"bypass_tables": True, "unicode_snob": False}),
+        ("padded", {"pad_tables": True, "unicode_snob": False}),
+        ("plain", {"pad_tables": False, "unicode_snob": False}),
+    ]:
+        md = markdown_for_pages(pages, citations=False, html2text_options=opts)
+        outs.append(
+            md.join(pages.select("doc_id", "url"), "url").select(
+                "doc_id", F.lit(combo).alias("combo"), "raw_markdown"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _markdown_options_tables_sql() -> str:
+    """Hand-derived expected markdown per table mode (string algebra in
+    SQL, verified against the vendored html2text's own output)."""
+    nl = "chr(10)"
+    d = "CAST(doc_id AS VARCHAR)"
+    m = "CAST(doc_id % 10 AS VARCHAR)"
+    head = f"'# Doc ' || {d} || {nl}"
+    before = f"'before ' || {m} || {nl}"
+    before_soft = f"'before ' || {m} || '  ' || {nl}"
+    after = f"'after ' || {m} || {nl}"
+    ignore_body = (
+        f"'cap ' || {m} || 'namev' || {m} || '  ' || {nl} || "
+        f"'alpha ' || {m} || '1' || {m} || '  ' || {nl} || "
+        f"'bx**y' || {m} || '**  ' || {nl}"
+    )
+    bypass_body = (
+        f"'<table>cap ' || {m} || '  ' || {nl} || '<tr>  ' || {nl} || "
+        f"'<th>' || {nl} || {nl} || 'name' || {nl} || '</th>  ' || {nl} || "
+        f"'<th>' || {nl} || {nl} || 'v' || {m} || {nl} || '</th></tr>  ' || {nl} || "
+        f"'<tr>  ' || {nl} || "
+        f"'<td>' || {nl} || {nl} || 'alpha ' || {m} || {nl} || '</td>  ' || {nl} || "
+        f"'<td>' || {nl} || {nl} || '1' || {m} || {nl} || '</td></tr>  ' || {nl} || "
+        f"'<tr>  ' || {nl} || "
+        f"'<td>' || {nl} || {nl} || 'b' || {nl} || '</td>  ' || {nl} || "
+        f"'<td>' || {nl} || {nl} || 'x**y' || {m} || '**' || {nl} || "
+        f"'</td></tr></table>' || {nl}"
+    )
+    padded_body = (
+        f"'| cap ' || {m} || 'name | v' || {m} || '      |' || {nl} || "
+        f"'|-----------|---------|' || {nl} || "
+        f"'| alpha ' || {m} || '   | 1' || {m} || '      |' || {nl} || "
+        f"'| b         | x**y' || {m} || '** |' || {nl} || {nl} || {nl}"
+    )
+    plain_body = (
+        f"'cap ' || {m} || 'name| v' || {m} || '  ' || {nl} || "
+        f"'---|---  ' || {nl} || "
+        f"'alpha ' || {m} || '| 1' || {m} || '  ' || {nl} || "
+        f"'b| x**y' || {m} || '**  ' || {nl}"
+    )
+    rows = {
+        "ignore": f"{head} || {before} || {ignore_body} || {after}",
+        "bypass": f"{head} || {before_soft} || {bypass_body} || {after}",
+        "padded": f"{head} || {before} || {padded_body} || {after}",
+        "plain": f"{head} || {before} || {plain_body} || {after}",
+    }
+    selects = [
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, '{combo}' AS combo, {expr} AS raw_markdown FROM documents"
+        for combo, expr in rows.items()
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
 def _serp_html_py(k: int) -> str:
     """Python twin of ``_serp_html_expr`` (schemas induce driver-side
     from page k's html; extraction runs on the Spark-built pages — the
@@ -4038,6 +4145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new round-5 queries go HERE (inside the driver's first-50 window) ---
         "amazon_extract": q_amazon_extract,
+        "markdown_options_tables": q_markdown_options_tables,
         # --- xxhash64 DuckDB oracle is new in r5: record the hash-green rows (VERDICT item 6) ---
         "simhash_pairs": q_simhash_pairs,
         "simhash_pairs_scale": q_simhash_pairs_scale,
@@ -6391,6 +6499,7 @@ FROM part WHERE p_partkey < 200
         "amazon_extract": _amazon_extract_sql(),
         "stream_host_state": _stream_host_state_sql(),
         "markdown_options_links": _markdown_options_links_sql(),
+        "markdown_options_tables": _markdown_options_tables_sql(),
         "pdf_job_pages": _cached_fixture("pdf_job_pages", _pdf_job_pages_fixture_sql),
         "pdf_job_images": _cached_fixture("pdf_job_images", _pdf_job_images_fixture_sql),
         "robots_ttl_refresh": _robots_ttl_refresh_sql(),

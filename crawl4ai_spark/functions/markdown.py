@@ -199,6 +199,12 @@ def _optwrap(
 
 
 _PUNCT = set("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")
+# whitespace set for the em-mark space rule — string.whitespace exactly
+# (html2text :431: `not in string.whitespace`), NOT str.isspace (which
+# would also catch \xa0 and friends the vendored rule lets through)
+_WHITESPACE = set(" \t\n\r\x0b\x0c")
+# first-char test for the preceding_stressed space (:889-892)
+_STRESS_NEXT_RE = re.compile(r"[^][(){}\s.!?]")
 
 
 class _MdWriter:
@@ -226,6 +232,9 @@ class _MdWriter:
         close_quote: str = '"',
         mark_code: bool = False,
         wrap_links: bool = True,
+        pad_tables: bool | None = None,
+        bypass_tables: bool | None = None,
+        ignore_tables: bool | None = None,
     ):
         self.blocks: list[str] = []
         self.cur: list[str] = []
@@ -266,6 +275,29 @@ class _MdWriter:
         self.close_quote = close_quote
         self.mark_code = mark_code
         self.wrap_links = wrap_links
+        # html2text table-family options (:77-90, 680-733).  Passing ANY
+        # of them (True or False) switches table rendering to the
+        # vendored package's forms — plain 'c1| c2' soft-broken rows with
+        # a '---|---' underline after the first tr, padded pipe tables,
+        # literal <table> tag bypass, or tag-stripped rows — each
+        # cross-executed byte-identical.  Default None keeps this
+        # engine's golden pipe-table dialect (same precedent as the
+        # emphasis_mark/unicode_snob dialect defaults).
+        self.h2t_tables = any(v is not None for v in (pad_tables, bypass_tables, ignore_tables))
+        self.pad_tables = bool(pad_tables)
+        self.bypass_tables = bool(bypass_tables)
+        self.ignore_tables = bool(ignore_tables)
+        # stressed-data machinery (html2text/__init__.py:138-139,441-476,
+        # 875-896): the first data chunk inside em/strong/del is stripped;
+        # the next data chunk after it gets a space prefix unless it
+        # starts with bracket/space/sentence punctuation or sits in an
+        # a/code/pre/heading context.  preceding_data is the last DATA
+        # emitted (marks excluded) — the vendored mark-space rules test
+        # it, not the last output character.
+        self.stressed = False
+        self.preceding_stressed = False
+        self.preceding_data = ""
+        self.current_tag: str | None = None
 
     def resolve(self, url: str) -> str:
         # html2text absolutizes with PROPER urljoin when baseurl is set
@@ -314,10 +346,50 @@ class _MdWriter:
             self.skip_internal_links, self.images_to_alt,
             self.default_image_alt, self.open_quote, self.close_quote,
             self.mark_code, self.wrap_links,
+            self.pad_tables if self.h2t_tables else None,
+            self.bypass_tables if self.h2t_tables else None,
+            self.ignore_tables if self.h2t_tables else None,
         )
 
     def text(self, s: str) -> None:
         self.cur.append(s)
+
+    def emit_data(self, raw: str) -> None:
+        """handle_data analog (:875-922): stressed strip, then the
+        preceding_stressed space rule, then unification + escaping."""
+        s = _collapse(raw)
+        if self.stressed:
+            s = s.strip()
+            self.stressed = False
+            self.preceding_stressed = True
+        elif self.preceding_stressed:
+            self.preceding_stressed = False
+            if (
+                s
+                and _STRESS_NEXT_RE.match(s[0])
+                and self.current_tag not in ("a", "code", "pre")
+                and self.current_tag not in _HEADINGS
+                # the vendored space travels via o()'s space flag, which
+                # drops it right after a newline (lastWasNL, :838-841);
+                # at a block start nothing precedes either
+                and self.last_char() not in ("", "\n")
+            ):
+                s = " " + s
+        out = self.escape(s)
+        self.preceding_data = out
+        if out:
+            self.cur.append(out)
+
+    def note_data(self, s: str) -> None:
+        """Data that reaches the vendored handle_data under an excluded
+        current_tag (link labels, code text): the stressed flags advance
+        and preceding_data updates, but no space is inserted."""
+        if self.stressed:
+            self.stressed = False
+            self.preceding_stressed = True
+        elif self.preceding_stressed:
+            self.preceding_stressed = False
+        self.preceding_data = s
 
     def flush(self) -> None:
         block = "".join(self.cur).strip()
@@ -329,7 +401,7 @@ class _MdWriter:
 def _render_inline(node: DomNode, w: _MdWriter) -> None:
     for c in node.children:
         if isinstance(c, str):
-            w.text(w.escape(_collapse(c)))
+            w.emit_data(c)
             continue
         _render_node(c, w)
 
@@ -338,6 +410,17 @@ def _render_node(n: DomNode, w: _MdWriter) -> None:
     tag = n.tag
     if tag in _SKIP_TAGS:
         return
+    # current_tag follows the vendored tag stream (handle_tag sets it on
+    # BOTH the start and end call): mark it on entry, and again after the
+    # subtree renders so data following our close sees this tag
+    w.current_tag = tag
+    try:
+        _render_node_inner(n, w, tag)
+    finally:
+        w.current_tag = tag
+
+
+def _render_node_inner(n: DomNode, w: _MdWriter, tag: str) -> None:
     if tag in _HEADINGS:
         w.flush()
         w.text("#" * _HEADINGS[tag] + " ")
@@ -358,6 +441,9 @@ def _render_node(n: DomNode, w: _MdWriter) -> None:
         label = w.escape(_collapse(n.get_text()).strip())
         if not label:
             return
+        # the label reaches the vendored handle_data under current_tag='a'
+        # (:890-892): flags advance, no space, preceding_data updates
+        w.note_data(label)
         if w.ignore_links or not href:
             w.text(label)
             return
@@ -397,9 +483,12 @@ def _render_node(n: DomNode, w: _MdWriter) -> None:
         return
     if tag in ("del", "strike", "s"):
         # :469-476 — '~~' strike marks, with the preceding-'~' space rule
-        if w.last_char() == "~":
+        # (tested against preceding_data, the last DATA, not last output)
+        if w.preceding_data and w.preceding_data[-1] == "~":
             w.text(" ")
+            w.preceding_data += " "
         w.text("~~")
+        w.stressed = True  # :475
         _render_inline(n, w)
         w.text("~~")
         return
@@ -412,11 +501,13 @@ def _render_node(n: DomNode, w: _MdWriter) -> None:
         if w.ignore_emphasis:  # :443 — marks dropped, text kept
             _render_inline(n, w)
             return
-        # :446-460: a space keeps *** renderable when the preceding char
-        # already is the mark's first char
-        if w.strong_mark and w.last_char() == w.strong_mark[0]:
+        # :446-460: a space keeps *** renderable when the preceding DATA
+        # already ends with the mark's first char
+        if w.strong_mark and w.preceding_data and w.preceding_data[-1] == w.strong_mark[0]:
             w.text(" ")
+            w.preceding_data += " "
         w.text(w.strong_mark)
+        w.stressed = True  # :463
         _render_inline(n, w)
         w.text(w.strong_mark)
         return
@@ -425,15 +516,20 @@ def _render_node(n: DomNode, w: _MdWriter) -> None:
             _render_inline(n, w)
             return
         # :429-437: a space keeps _x_ renderable right after alphanumerics
-        last = w.last_char()
-        if last and not last.isspace() and last not in _PUNCT:
+        # in the preceding DATA (marks emitted in between don't count)
+        last = w.preceding_data[-1:] if w.preceding_data else ""
+        if last and last not in _WHITESPACE and last not in _PUNCT:
             w.text(" ")
+            w.preceding_data += " "
         w.text(w.emphasis_mark)
+        w.stressed = True  # :441
         _render_inline(n, w)
         w.text(w.emphasis_mark)
         return
     if tag == "code" and (n.parent is None or n.parent.tag != "pre"):
-        w.text("`" + n.get_text() + "`")
+        code_text = n.get_text()
+        w.note_data(code_text)  # data under current_tag='code' (:890-892)
+        w.text("`" + code_text + "`")
         return
     if tag == "pre":
         w.flush()
@@ -474,7 +570,12 @@ def _render_node(n: DomNode, w: _MdWriter) -> None:
             idx += 1
         return
     if tag in ("table", "thead", "tbody"):
-        # rows become pipe lines; header separator after a thead row
+        if w.h2t_tables:
+            w.flush()
+            _render_table_h2t(n, w)
+            return
+        # golden dialect: rows become pipe lines; header separator after
+        # a thead row
         w.flush()
         for tr in n.find_all("tr"):
             cells = [c for c in tr.element_children() if c.tag in ("td", "th")]
@@ -494,10 +595,237 @@ def _render_node(n: DomNode, w: _MdWriter) -> None:
     _render_inline(n, w)
 
 
+class _SoftTailBlock(str):
+    """Block whose LAST line takes the html2text soft-break tail ('  ')
+    when any block follows it — the vendored br_toggle (:832-835) emits
+    the pending '  ' only when further output arrives, so a table's last
+    row ends bare at document end but soft-broken mid-document."""
+
+
+class _PadTableBlock(str):
+    """A pad_tables table already reformatted.  The vendored pipeline
+    runs ``pad_tables_in_text`` (utils.py:281-311) over the marker-framed
+    stream: each table is replaced by its padded rows plus ONE appended
+    blank line, and the closing marker's own trailing newline survives as
+    a second blank unless the next line is another table's opening
+    marker.  Net byte shapes (probed against the package): table→table =
+    one blank line, table→text and table→EOF = two."""
+
+
+def _edge_is_block(cell: DomNode, last: bool) -> bool:
+    """Whether the first (or last) meaningful child of a cell is a
+    block-level element — in bypass mode a block child fires the p-break
+    machinery against the literal '<td>\\n\\n' / '\\n</td>' tag output,
+    adding one newline on that side (probed: '<td><p>a</p>x</td>' →
+    '<td>\\n\\n\\na\\nx\\n</td>', '<td>x<p>a</p></td>' →
+    '<td>\\n\\nx\\na\\n\\n</td>')."""
+    kids = reversed(cell.children) if last else cell.children
+    for k in kids:
+        if isinstance(k, str):
+            if k.strip():
+                return False
+            continue
+        return k.tag in _BLOCK_TAGS
+    return False
+
+
+def _reformat_table(lines: list[str], right_margin: int = 1) -> list[str]:
+    """Transcription of the vendored ``reformat_table``
+    (html2text/utils.py:237-279), cross-executed byte-identical in
+    tests: per-column max widths (rstripped cell + margin), ragged rows
+    padded or width-extended, separator rows (chars ⊆ '-|') refilled
+    with dashes behind a '|-' gutter, text rows space-filled behind
+    '| '."""
+    max_width = [len(x.rstrip()) + right_margin for x in lines[0].split("|")]
+    max_cols = len(max_width)
+    for line in lines:
+        cols = [x.rstrip() for x in line.split("|")]
+        num_cols = len(cols)
+        if num_cols < max_cols:
+            cols += [""] * (max_cols - num_cols)
+        elif max_cols < num_cols:
+            max_width += [len(x) + right_margin for x in cols[-(num_cols - max_cols):]]
+            max_cols = num_cols
+        max_width = [max(len(x) + right_margin, old) for x, old in zip(cols, max_width)]
+    new_lines = []
+    for line in lines:
+        cols = [x.rstrip() for x in line.split("|")]
+        if set(line.strip()) == set("-|"):
+            new_lines.append(
+                "|-" + "|".join(x + "-" * (m - len(x)) for x, m in zip(cols, max_width)) + "|"
+            )
+        else:
+            new_lines.append(
+                "| " + "|".join(x + " " * (m - len(x)) for x, m in zip(cols, max_width)) + "|"
+            )
+    return new_lines
+
+
+def _h2t_row_writer(w: _MdWriter) -> _MdWriter:
+    """Fresh writer for one table row — the stressed flags flow WITHIN
+    the row (that is how 'x<b>y</b></td><td>12' earns its '|  12' double
+    space) but reset at row boundaries, where the vendored soft break's
+    newline would swallow any pending space anyway."""
+    return w.child()
+
+
+def _render_table_h2t(n: DomNode, w: _MdWriter) -> None:
+    """html2text table modes (:680-733), precedence as in the vendored
+    dispatch: ignore_tables strips the tags and soft-breaks each row's
+    concatenated cell text; bypass_tables re-emits literal
+    table/tr/td/th tags around the converted cell content; pad_tables
+    buffers the plain rows and reformats them into aligned pipe tables
+    (utils.py:281-311); otherwise the plain 'c1| c2' rows with a
+    '---|---' underline after the FIRST tr (th or td alike).  Plain/pad
+    cells swallow paragraph breaks ('<td><p>a</p><p>b</p>' → 'ab',
+    probed) while ignore/bypass keep them; captions and other
+    non-row children prefix the first row.  Scope note: LISTS inside
+    cells render in this engine's golden list dialect ('* i'), not the
+    vendored '  * i' + double-break — the same documented dialect
+    divergence as at document level (see emphasis_mark/unicode_snob
+    notes), so those cells are excluded from the byte-parity matrix."""
+    trs = n.find_all("tr")
+    # children the vendored dispatch does NOT special-case (caption,
+    # stray text, …) flow as ordinary data at the point encountered —
+    # before the first row that means they prefix the first row's line
+    # ('<caption>cap <b>b</b></caption><tr><td>a</td>' → 'cap **b** a',
+    # stress-space included), and in bypass mode they sit between
+    # '<table>' and the first soft break
+    stray = [
+        c for c in n.children
+        if isinstance(c, str)
+        or c.tag not in ("tr", "thead", "tbody", "tfoot", "colgroup", "col")
+    ]
+
+    def render_stray(rw):
+        for s in stray:
+            if isinstance(s, str):
+                rw.emit_data(s)
+            else:
+                _render_node(s, rw)
+
+    def cell_text(c, rw):
+        rw.current_tag = c.tag
+        _render_inline(c, rw)
+
+    def first_row_writer():
+        rw = _h2t_row_writer(w)
+        render_stray(rw)
+        return rw
+
+    if w.ignore_tables:
+        emitted = False
+        for ri, tr in enumerate(trs):
+            rw = first_row_writer() if ri == 0 else _h2t_row_writer(w)
+            for c in tr.element_children():
+                if c.tag in ("td", "th"):
+                    cell_text(c, rw)
+            rw.flush()
+            # block children inside cells keep their paragraph breaks
+            # (probed: '<td><p>a</p><p>b</p></td><td>c</td>' → 'a\nb\nc')
+            line = "\n".join(rw.blocks)
+            if line:
+                w.blocks.append(_SoftTailBlock(line))
+                emitted = True
+        if not trs and stray:
+            rw = first_row_writer()
+            rw.flush()
+            line = "\n".join(rw.blocks)
+            if line:
+                w.blocks.append(_SoftTailBlock(line))
+                emitted = True
+        if trs and not emitted and w.blocks:
+            # an all-empty table leaves its pending soft break on the
+            # preceding block (probed: '<p>x</p><table><tr></tr></table>
+            # <p>y</p>' → 'x  \ny')
+            w.blocks[-1] = _SoftTailBlock(str(w.blocks[-1]))
+        return
+
+    if w.bypass_tables:
+        if w.blocks:
+            # table start soft_br (:692) lands the pending '  ' on the
+            # preceding block's last line
+            w.blocks[-1] = str(w.blocks[-1]) + "  "
+        # every tag START is preceded by a soft break (:691-692); ends
+        # are not, so an empty <tr></tr> closes on its own line and the
+        # final '</td></tr></table>' run together
+        parts = ["<table>"]
+        if stray:
+            rw = _h2t_row_writer(w)
+            render_stray(rw)
+            rw.flush()
+            parts.append("\n".join(rw.blocks))
+        for tr in trs:
+            parts.append("  \n<tr>")
+            for c in tr.element_children():
+                if c.tag not in ("td", "th"):
+                    continue
+                rw = _h2t_row_writer(w)
+                cell_text(c, rw)
+                rw.flush()
+                core = "\n".join(rw.blocks)
+                lead = "\n" if _edge_is_block(c, last=False) else ""
+                trail = "\n" if _edge_is_block(c, last=True) else ""
+                parts.append(f"  \n<{c.tag}>\n\n{lead}{core}{trail}\n</{c.tag}>")
+            parts.append("</tr>")
+        parts.append("</table>")
+        w.blocks.append("".join(parts))
+        return
+
+    # plain rows — also the pad-mode buffer
+    lines: list[str] = []
+    first = True
+    if not trs and stray:
+        rw = first_row_writer()
+        line = "".join(rw.blocks) + "".join(rw.cur)
+        if line:
+            lines.append(line)
+    for ri, tr in enumerate(trs):
+        cells = [c for c in tr.element_children() if c.tag in ("td", "th")]
+        rw = first_row_writer() if ri == 0 else _h2t_row_writer(w)
+        for j, c in enumerate(cells):
+            if j:
+                rw.text("| ")  # split_next_td marker (:718-720)
+            cell_text(c, rw)
+        line = "".join(rw.blocks) + "".join(rw.cur)
+        if line:
+            lines.append(line)
+        elif first and w.pad_tables:
+            # an empty FIRST tr leaves a bare soft-break line in the pad
+            # buffer (its pending '  \n' flushes against the next row or
+            # the closing marker) → a '|   |' padded row; empty non-first
+            # trs merge their pending break into the previous row's and
+            # vanish, as in plain mode (probed)
+            lines.append("")
+        if first:
+            # underline always follows the FIRST tr (:727-731) — even an
+            # all-td row, and an empty first tr consumes it silently
+            underline = "|".join(["---"] * len(cells))
+            if underline:
+                lines.append(underline)
+            first = False
+    if not lines:
+        if trs and not w.pad_tables and w.blocks:
+            # all-empty table: pending soft break lands on the previous
+            # block (same rule as ignore mode)
+            w.blocks[-1] = _SoftTailBlock(str(w.blocks[-1]))
+        return
+    if w.pad_tables:
+        # the pad buffer is the plain lines WITH their soft tails (the
+        # marker always follows them in the vendored stream); block
+        # spacing around the padded table is applied at join time by
+        # _PadTableBlock
+        w.blocks.append(
+            _PadTableBlock("\n".join(_reformat_table([ln + "  " for ln in lines], 1)))
+        )
+        return
+    w.blocks.append(_SoftTailBlock("  \n".join(lines)))
+
+
 def _render_block_children(n: DomNode, w: _MdWriter) -> None:
     for c in n.children:
         if isinstance(c, str):
-            w.text(w.escape(_collapse(c)))
+            w.emit_data(c)
         else:
             _render_node(c, w)
 
@@ -535,7 +863,25 @@ def html_to_markdown(
             return ""
         return _optwrap("\n\n".join(w.blocks) + "\n", w.body_width,
                         w.ul_item_mark, w.wrap_links)
-    return "\n".join(w.blocks) + ("\n" if w.blocks else "")
+    parts = []
+    for i, b in enumerate(w.blocks):
+        if isinstance(b, _SoftTailBlock) and i < len(w.blocks) - 1:
+            parts.append(b + "  ")
+        elif isinstance(b, _PadTableBlock):
+            # one blank line before the next padded table, two before
+            # anything else (including end-of-document) — see
+            # _PadTableBlock
+            nxt = w.blocks[i + 1] if i + 1 < len(w.blocks) else None
+            parts.append(str(b) + ("\n" if isinstance(nxt, _PadTableBlock) else "\n\n"))
+        else:
+            parts.append(str(b))
+    if not w.blocks:
+        # the vendored finish() always ends with a newline, so an
+        # empty/only-empty-tables document is '\n' — reproduced when a
+        # table-mode option selects the vendored dialect; the golden
+        # dialect keeps '' for empty input
+        return "\n" if w.h2t_tables else ""
+    return "\n".join(parts) + "\n"
 
 
 def convert_links_to_citations(markdown: str, base_url: str = "") -> tuple[str, str]:
@@ -599,7 +945,8 @@ def generate_markdown(
         "ul_item_mark", "unicode_snob", "escape_dot", "escape_plus",
         "escape_dash", "use_automatic_links", "skip_internal_links",
         "images_to_alt", "default_image_alt", "open_quote", "close_quote",
-        "mark_code", "wrap_links",
+        "mark_code", "wrap_links", "pad_tables", "bypass_tables",
+        "ignore_tables",
     )
     opts = {k: v for k, v in (html2text_options or {}).items() if k in _known}
     try:

@@ -480,3 +480,73 @@ def test_markdown_wrap_links_option_xcheck():
         want = h.handle(src)
         got = html_to_markdown(src, body_width=40, unicode_snob=False, wrap_links=wl)
         assert got == want, (wl, repr(got), repr(want))
+
+
+def test_markdown_table_modes_xcheck():
+    """html2text table-family options (vendored __init__.py:680-733,
+    utils.py:237-311): ignore_tables, bypass_tables, pad_tables True and
+    False — each cross-executed byte-identical against the vendored
+    package over headers, raggedness, empty rows, captions, block cell
+    content, and adjacency (table→table, table→text, doc-end).  Lists
+    inside cells are excluded: they render in this engine's golden list
+    dialect (documented divergence, see _render_table_h2t)."""
+    from crawl4ai_spark.functions.markdown import html_to_markdown
+
+    h2t = _ref_html2text()
+    base = "https://t.example.com/p"
+
+    def ref(html, **kw):
+        h = h2t.HTML2Text(baseurl=base)
+        h.body_width = 0
+        h.single_line_break = True
+        for k, v in kw.items():
+            setattr(h, k, v)
+        return h.handle(html)
+
+    T1 = "<table><tr><th>h1</th><th>h2</th></tr><tr><td>a</td><td>b</td></tr></table>"
+    cases = {
+        "header": T1,
+        "sandwich": "<p>before</p><table><tr><td>x1</td><td>x2</td></tr>"
+                    "<tr><td>longer cell</td><td>y</td></tr></table><p>after</p>",
+        "single": "<table><tr><td>only</td></tr></table>",
+        "sections": "<table><thead><tr><th>A</th><th>B</th></tr></thead>"
+                    "<tbody><tr><td>1</td><td>2</td></tr><tr><td>3</td><td>4</td></tr></tbody></table>",
+        "stress": "<table><tr><td>x<b>y</b></td><td>12</td></tr></table>",
+        "linkimg": "<table><tr><td><a href='/l'>link</a></td>"
+                   "<td><img src='/i.png' alt='im'></td></tr></table>",
+        "empty_first_tr": "<table><tr></tr><tr><td>a</td><td>b</td></tr></table>",
+        "two_tables_text": T1 + "<p>mid</p>" + T1,
+        "two_tables_adjacent": T1 + T1,
+        "doc_end": "<table><tr><td>a</td></tr></table>",
+        "para_cells": "<table><tr><td><p>a</p><p>b</p></td><td>c</td></tr></table>",
+        "empty_mid_tr": "<table><tr><td>a</td></tr><tr></tr><tr><td>b</td></tr></table>",
+        "empty_table": "<table><tr></tr></table>",
+        "empty_table_mid": "<p>x</p><table><tr></tr></table><p>y</p>",
+        "mixed_block_tail": "<table><tr><td>x<p>a</p></td></tr></table>",
+        "mixed_block_head": "<table><tr><td><p>a</p>x</td></tr></table>",
+        "ragged": "<table><tr><td>c1</td><td>c2</td><td>c3</td></tr>"
+                  "<tr><td>1</td><td>2</td></tr>"
+                  "<tr><td>1</td><td>2</td><td>3</td><td>4</td></tr></table>",
+        "caption": "<p>x</p><table><caption>cap <b>b</b></caption>"
+                   "<tr><td>a</td><td>c</td></tr><tr><td>d</td><td>e</td></tr></table>",
+        "caption_only": "<table><caption>c</caption></table>",
+        "nested_div": "<div><table><tr><td>a</td></tr></table></div>",
+        "th_only": "<table><tr><th>only th</th></tr></table>",
+        "dashes": "<table><tr><td>a-b|c</td><td>d</td></tr>"
+                  "<tr><td>-</td><td>--</td></tr></table>",
+        "entities": "<table><tr><td>multi  space</td><td>x&amp;y</td></tr></table>",
+        "blank_cells": "<table><tr><td></td><td></td></tr>"
+                       "<tr><td>a</td><td>b</td></tr></table>",
+        "headings_around": "<h2>head</h2><table><tr><td>a</td></tr></table><h2>tail</h2>",
+    }
+    modes = [
+        {"ignore_tables": True},
+        {"bypass_tables": True},
+        {"pad_tables": True},
+        {"pad_tables": False},
+    ]
+    for mode in modes:
+        for name, src in cases.items():
+            want = ref(src, **mode)
+            got = html_to_markdown(src, base, **mode)
+            assert got == want, (name, mode, repr(got), repr(want))
