@@ -386,6 +386,140 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
 """
 
 
+# ---------------------------------------------------------------------------
+# XXH64 in pure DuckDB SQL (VERDICT r4 item 6): Spark's xxhash64(string)
+# is XXH64 (Cyan4973 spec) over the UTF-8 bytes with seed 42.  DuckDB has
+# no xxhash64 and its connection is the driver's (no Python UDF
+# registration), so the oracle computes it in SQL: HUGEINT arithmetic
+# mod 2^64, with every 64x64-bit multiply split 32/32 so no intermediate
+# exceeds INT128 (a*b: al*b < 2^96, (ah*b mod 2^32)<<32 < 2^64).
+# Validated against F.xxhash64 on fixed + fuzz vectors covering the
+# <32-byte small path, the >=32-byte 4-accumulator path, multi-byte
+# UTF-8, and the empty string (tests/test_docdedup_similarity.py).
+# ---------------------------------------------------------------------------
+
+_XXH_M = "18446744073709551616"  # 2^64
+_XXH_P = (11400714785074694791, 14029467366897019727, 1609587929392839161,
+          9650029242287828579, 2870177450012600261)
+
+
+def _xxh_mul(a: str, p: int) -> str:
+    return (f"((({a}) % 4294967296) * {p} + "
+            f"((({a}) // 4294967296) * {p} % 4294967296) * 4294967296) % {_XXH_M}")
+
+
+def _xxh_rot(x: str, r: int) -> str:
+    return f"((({x}) * {1 << r}) % {_XXH_M} + ({x}) // {1 << (64 - r)})"
+
+
+def _xxh_xor(a: str, b: str) -> str:
+    return f"xor(({a})::HUGEINT, ({b})::HUGEINT)"
+
+
+def _xxh64_sql_chain(base: str) -> str:
+    """Wrap ``base`` (a SELECT producing a ``tok`` VARCHAR column, other
+    columns passed through) in a projection chain that appends ``hu``
+    (the unsigned XXH64, HUGEINT) and ``xxh64`` (the signed BIGINT Spark
+    returns)."""
+    P1, P2, P3, P4, P5 = _XXH_P
+    M = _XXH_M
+    bs = ("list_transform(range(1, octet_length(encode(tok)) + 1), "
+          "i -> ('0x' || substr(hex(encode(tok)), (i - 1) * 2 + 1, 2))::BIGINT::HUGEINT)")
+    lane8 = lambda off: " + ".join(f"bs[{off}+{t + 1}] * {256 ** t}" for t in range(8))
+    blocks = ("list_transform(range(0, n // 32), j -> ["
+              + ", ".join(lane8(f"j*32+{8 * k}") for k in range(4)) + "])")
+    v_init = [(42 + P1 + P2) % (1 << 64), (42 + P2) % (1 << 64), 42,
+              (42 - P1) % (1 << 64)]
+    rnd = lambda acc, inp: _xxh_mul(
+        _xxh_rot(f"(({acc}) + {_xxh_mul(inp, P2)}) % {M}", 31), P1)
+    accs = (f"list_reduce(list_prepend({v_init}::HUGEINT[], {blocks}), "
+            f"(a, b) -> [" + ", ".join(rnd(f"a[{k}]", f"b[{k}]") for k in (1, 2, 3, 4))
+            + "])")
+    merge_rnd = lambda h, v: (
+        f"({_xxh_mul(_xxh_xor(h, _xxh_mul(_xxh_rot(_xxh_mul(v, P2), 31), P1)), P1)}"
+        f" + {P4}) % {M}")
+    h_big = (f"({_xxh_rot('accs[1]', 1)} + {_xxh_rot('accs[2]', 7)} + "
+             f"{_xxh_rot('accs[3]', 12)} + {_xxh_rot('accs[4]', 18)}) % {M}")
+    h_big = merge_rnd(merge_rnd(merge_rnd(merge_rnd(
+        h_big, "accs[1]"), "accs[2]"), "accs[3]"), "accs[4]")
+    h0 = (f"(CASE WHEN n >= 32 THEN {h_big} "
+          f"ELSE {(42 + P5) % (1 << 64)}::HUGEINT END + n) % {M}")
+    lanes8 = f"list_transform(range(0, (n - p) // 8), j -> {lane8('p+j*8')})"
+    fold8 = (f"list_reduce(list_prepend(h0, {lanes8}), (a, l) -> "
+             f"({_xxh_mul(_xxh_rot(_xxh_xor('a', _xxh_mul(_xxh_rot(_xxh_mul('l', P2), 31), P1)), 27), P1)}"
+             f" + {P4}) % {M})")
+    lane4 = " + ".join(f"bs[q+{t + 1}] * {256 ** t}" for t in range(4))
+    h4 = (f"CASE WHEN n - q >= 4 THEN "
+          f"({_xxh_mul(_xxh_rot(_xxh_xor('h8', _xxh_mul(f'({lane4})', P1)), 23), P2)} + {P3}) % {M} "
+          f"ELSE h8 END")
+    fold1 = (f"list_reduce(list_prepend(h4c, list_transform(range(q2, n), j -> bs[j+1])), "
+             f"(a, b) -> {_xxh_mul(_xxh_rot(_xxh_xor('a', _xxh_mul('b', P5)), 11), P1)})")
+    stages = [
+        f"octet_length(encode(tok)) AS n, {bs} AS bs",
+        f"32 * (n // 32) AS p, CASE WHEN n >= 32 THEN {accs} ELSE NULL END AS accs",
+        f"({h0}) AS h0",
+        f"p + 8 * ((n - p) // 8) AS q, ({fold8}) AS h8",
+        f"({h4}) AS h4c, CASE WHEN n - q >= 4 THEN q + 4 ELSE q END AS q2",
+        f"({fold1}) AS hb",
+        f"({_xxh_mul(_xxh_xor('hb', 'hb // 8589934592'), P2)}) AS ha1",
+        f"({_xxh_mul(_xxh_xor('ha1', 'ha1 // 536870912'), P3)}) AS ha2",
+        f"({_xxh_xor('ha2', 'ha2 // 4294967296')}) AS hu",
+        f"CASE WHEN hu >= 9223372036854775808 THEN (hu - {_XXH_M})::BIGINT "
+        f"ELSE hu::BIGINT END AS xxh64",
+    ]
+    sql = base
+    for i, cols in enumerate(stages):
+        sql = f"SELECT *, {cols} FROM ({sql}) xs{i}"
+    return sql
+
+
+def _simhash_xxh_sql(max_hamming: int, band_bits: int) -> str:
+    """DuckDB oracle for the xxhash64 SimHash pair queries — mirrors
+    simhash_table (docdedup.py:398: distinct lowercase tokens, per-bit
+    ±1 votes over xxhash64, signed 64-bit pack, zero-token docs excluded)
+    and banded_hamming_pairs (docdedup.py: total_bits // band_bits bands,
+    hamming inside the band join, pair-distinct)."""
+    hs = _xxh64_sql_chain("SELECT doc_id, tok FROM toks")
+    votes = ", ".join(
+        f"SUM(((hu // {1 << i}) % 2) * 2 - 1) AS v{i}" for i in range(64)
+    )
+    pack_u = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END)"
+        for i in range(64)
+    )
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH {_DOCS_AUG_SQL},
+toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> ''))) AS tok
+  FROM docs_aug
+), hs AS (
+  SELECT doc_id, hu FROM ({hs}) xxh
+), votes AS (
+  SELECT doc_id, {votes} FROM hs GROUP BY doc_id
+), sim AS (
+  SELECT doc_id, shu,
+         CASE WHEN shu >= 9223372036854775808::HUGEINT
+              THEN (shu - {_XXH_M})::BIGINT ELSE shu::BIGINT END AS simhash
+  FROM (SELECT doc_id, ({pack_u}) AS shu FROM votes) pv
+), banded AS (
+  SELECT doc_id, simhash, bb.b AS band_idx,
+         ((shu // power(2, bb.b * {band_bits})::HUGEINT) % {mask + 1})::BIGINT AS band_val
+  FROM sim, (SELECT unnest(range({n_bands})) AS b) bb
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
+
+
 def q_ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
@@ -6510,9 +6644,11 @@ FROM part WHERE p_partkey < 200
         "adaptive_digest": _cached_fixture("adaptive_digest", _adaptive_digest_fixture_sql),
         "adaptive_embedding": _cached_fixture("adaptive_embedding", _adaptive_embedding_fixture_sql),
         "simhash_pairs_portable": _simhash_portable_sql(),
-        # simhash_pairs: xxhash64-based (the scale default) — hash not
-        # portable to DuckDB, rows-only; its md5 twin above carries the
-        # hash-checked verdict for the operator shape
+        # xxhash64 SimHash pairs: XXH64 computed IN DuckDB SQL (HUGEINT
+        # mod-2^64 arithmetic, split multiplies) — see _xxh64_sql_chain;
+        # closes the last two rows-only gaps (VERDICT r4 item 6)
+        "simhash_pairs": _simhash_xxh_sql(max_hamming=6, band_bits=8),
+        "simhash_pairs_scale": _simhash_xxh_sql(max_hamming=3, band_bits=16),
     }
 
 

@@ -267,3 +267,39 @@ def test_spread_skips_shuffled_frames(spark):
     # would eagerly execute the upstream shuffle under AQE
     shuffled = narrow.groupBy("doc_id").agg(F.count("*").alias("n"))
     assert _spread(shuffled) is shuffled
+
+
+def test_xxh64_duckdb_sql_matches_spark(spark):
+    """The oracle-side XXH64 (pure DuckDB SQL, HUGEINT mod-2^64 with
+    split multiplies — __spark_entry__._xxh64_sql_chain) must equal
+    Spark's xxhash64 (seed 42 over UTF-8 bytes) bit-for-bit: fixed
+    vectors covering the empty string, every tail combination (8/4/1
+    byte steps), the >=32-byte four-accumulator path, multi-byte UTF-8,
+    plus seeded random ASCII/unicode fuzz."""
+    import random
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+
+    rng = random.Random(4242)
+    toks = ["", "a", "ab", "abc", "abcd", "abcde", "abcdefg", "abcdefgh",
+            "abcdefghi", "abcdefghijkl", "abcdefghijklm", "x" * 31, "y" * 32,
+            "z" * 33, "w" * 39, "v" * 40, "u" * 100, "café", "naïve—dash",
+            "日本語テキスト", "mixed café 42 日本"]
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789éü—日本 "
+    toks += ["".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 70)))
+             for _ in range(40)]
+
+    sdf = spark.createDataFrame([(t,) for t in toks], "tok string")
+    want = {r.tok: r.h for r in sdf.select("tok", F.xxhash64("tok").alias("h")).collect()}
+
+    con = duckdb.connect()
+    vals = ", ".join("('" + t.replace("'", "''") + "')" for t in toks)
+    sql = em._xxh64_sql_chain(f"SELECT tok FROM (VALUES {vals}) v(tok)")
+    got = {tok: h for tok, h in con.sql(f"SELECT tok, xxh64 FROM ({sql}) q").fetchall()}
+    assert len(got) == len(toks) == len(want)
+    for t in toks:
+        assert got[t] == want[t], (repr(t), got[t], want[t])
