@@ -210,18 +210,31 @@ def bench_images_per_format(spark, n_per_fmt: int = 200):
     out = {}
     labels = {0: "png", 1: "jpeg", 2: "webp_lossless", 3: "webp_lossy"}
     base = spark.range(n_per_fmt).repartition(spark.sparkContext.defaultParallelism)
+    from crawl4ai_spark.operators.multimodal import native_image_module
+
+    # pure = the correctness-reference codecs (cross-round comparable
+    # keys); when a native library is importable on the driver AND
+    # workers (local mode: same process tree) a *_native key records the
+    # after-swap throughput next to it
+    engines = ["pure"] + (["native"] if native_image_module() is not None else [])
     for pick, label in labels.items():
         imgs = base.mapInPandas(gen_fmt(pick), IMAGE_SCHEMA).cache()
         n = imgs.count()  # encode outside the timed decode
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            n_ok = decode_and_validate(imgs).filter("ok AND dims_match AND phash_matches").count()
-            runs.append(time.time() - t0)
+        for engine in engines:
+            runs = []
+            for _ in range(3):
+                t0 = time.time()
+                n_ok = (
+                    decode_and_validate(imgs, engine=engine)
+                    .filter("ok AND dims_match AND phash_matches")
+                    .count()
+                )
+                runs.append(time.time() - t0)
+            dt = sorted(runs)[1]
+            key = label if engine == "pure" else f"{label}_native"
+            out[key] = round(n / dt, 1)
+            log(f"  {key}: {n / dt:,.0f} rows/sec ({n_ok}/{n} valid, median {dt:.2f}s)")
         imgs.unpersist()
-        dt = sorted(runs)[1]
-        out[label] = round(n / dt, 1)
-        log(f"  {label}: {n / dt:,.0f} rows/sec ({n_ok}/{n} valid, median {dt:.2f}s)")
     return out
 
 

@@ -58,7 +58,51 @@ DECODE_RESULT_SCHEMA = T.StructType(
 )
 
 
-def decode_rgb(data: bytes, fmt: str, allow_stub: bool = False) -> np.ndarray:
+_NATIVE_UNSET = object()
+_native_image_module = _NATIVE_UNSET
+# test seam: when set, used as the native decode fn regardless of PIL
+_native_decode_override = None
+
+
+def native_image_module():
+    """The optional native image library (Pillow), resolved once per
+    process.  None when not importable — this container ships no image
+    libs, so the pure-Python codecs are the default engine here; a
+    production cluster that installs Pillow/libjpeg-turbo/libwebp gets
+    the native path with zero Spark-plan, schema, or operator changes."""
+    global _native_image_module
+    if _native_image_module is _NATIVE_UNSET:
+        try:
+            from PIL import Image  # noqa: PLC0415
+
+            _native_image_module = Image
+        except ImportError:
+            _native_image_module = None
+    return _native_image_module
+
+
+def _decode_rgb_native(data: bytes, fmt: str) -> np.ndarray:
+    import io
+
+    Image = native_image_module()
+    im = Image.open(io.BytesIO(data))
+    im.load()
+    if im.mode != "RGB":
+        im = im.convert("RGB")
+    return np.asarray(im, dtype=np.uint8)
+
+
+def _native_decode_fn():
+    if _native_decode_override is not None:
+        return _native_decode_override
+    if native_image_module() is not None:
+        return _decode_rgb_native
+    return None
+
+
+def decode_rgb(
+    data: bytes, fmt: str, allow_stub: bool = False, engine: str = "auto"
+) -> np.ndarray:
     """Decode image bytes to (h, w, 3) uint8.
 
     All real decodes (pure-Python codecs png.py / jpeg.py / webp.py /
@@ -77,8 +121,35 @@ def decode_rgb(data: bytes, fmt: str, allow_stub: bool = False) -> np.ndarray:
     IMAGE_SCHEMA, and validation contract are decode-library-agnostic.
     bench.py's ``image_fmt_rows_per_sec`` records the before-swap
     per-format baseline.
+
+    The swap is CODE, not prose: ``engine="auto"`` (the default) uses
+    the native library when Pillow is importable and falls back to the
+    pure codecs otherwise (or when the native decode raises — e.g. a
+    Pillow built without webp); ``engine="native"`` forces it (raising
+    when unavailable); ``engine="pure"`` forces the reference codecs.
+    tests/test_images.py::test_native_decode_swap_phash_identical
+    asserts both engines produce phash-identical rows on the fixture
+    corpus whenever a native library is present, and proves the dispatch
+    with a registered fake otherwise.
     """
     fmt = (fmt or "").lower()
+    if engine not in ("auto", "native", "pure"):
+        raise ValueError(f"unknown decode engine: {engine}")
+    if engine != "pure":
+        fn = _native_decode_fn()
+        if fn is None:
+            if engine == "native":
+                raise RuntimeError(
+                    "engine='native' but no native image library is importable (PIL)"
+                )
+        else:
+            try:
+                return fn(data, fmt)
+            except Exception:
+                if engine == "native":
+                    raise
+                # auto: fall back to the pure codecs — same error surface
+                # (a genuinely corrupt stream fails there too)
     if fmt == "png":
         return decode_png(data)
     if fmt in ("jpeg", "jpg"):
@@ -102,16 +173,20 @@ def decode_rgb(data: bytes, fmt: str, allow_stub: bool = False) -> np.ndarray:
     raise ValueError(f"unknown image format: {fmt}")
 
 
-def decode_and_validate(images: DataFrame, allow_stub: bool = False) -> DataFrame:
+def decode_and_validate(
+    images: DataFrame, allow_stub: bool = False, engine: str = "auto"
+) -> DataFrame:
     """Decode every payload row, recompute the perceptual hash, and check
-    the stored metadata (dims + phash).  One pass, no shuffle."""
+    the stored metadata (dims + phash).  One pass, no shuffle.  ``engine``
+    forwards to :func:`decode_rgb` (auto/native/pure — bench.py times the
+    available engines side by side)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 try:
-                    rgb = decode_rgb(r.bytes, r.fmt, allow_stub=allow_stub)
+                    rgb = decode_rgb(r.bytes, r.fmt, allow_stub=allow_stub, engine=engine)
                     ph = phash64(rgb)
                     rows.append(
                         (
