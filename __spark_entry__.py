@@ -3777,6 +3777,91 @@ def _markdown_options_tables_sql() -> str:
     return "\nUNION ALL\n".join(selects)
 
 
+def _mdopt_google_pages(docs: DataFrame) -> DataFrame:
+    """Google-Docs-export-shaped corpus: a <style> class sheet, styled
+    spans (bold/italic/line-through), height-styled paragraphs, and the
+    flat margin-left list export — the shapes google_doc mode exists
+    for.  Doc-variable tokens are single-digit so the oracle is pure
+    string algebra."""
+    d = F.col("doc_id")
+    m = (d % 10).cast("string")
+    html = F.concat(
+        F.lit(
+            "<html><head><style>.b{font-weight:700}.i{font-style:italic}"
+            ".st{text-decoration:line-through}.h{height:11pt}"
+            ".l0{margin-left:36pt}.l1{margin-left:72pt}"
+            ".u{list-style-type:disc}</style></head><body><h1><span>Doc "
+        ),
+        d.cast("string"),
+        F.lit("</span></h1><p class=h><span>alpha "), m,
+        F.lit(" </span><span class=b>bold "), m,
+        F.lit("</span><span> tail</span></p><p class=h><span class=i>lean "), m,
+        F.lit("</span><span> after</span></p><p class=h><span>keep </span>"
+              "<span class=st>cut "), m,
+        F.lit("</span><span> end</span></p><ul><li class=l0><span>item "), m,
+        F.lit("</span></li></ul><ul><li class=l1><span>sub "), m,
+        F.lit("</span></li></ul><ul class=u><li class=l0><span>dot "), m,
+        F.lit("</span></li></ul></body></html>"),
+    )
+    url = F.concat(F.lit("https://h"), d.cast("string"), F.lit(".example.com/page"))
+    return docs.select(d.cast("long").alias("doc_id"), url.alias("url"), html.alias("html"))
+
+
+def q_markdown_options_google(spark, sf_dir):
+    """google_doc mode + hide_strikethrough (VERDICT r4 'what's missing'
+    item 2; vendored html2text/__init__.py:79,237-307,331-347,373-377,
+    477-480,637-668; utils.py:21-160): style-class emphasis with parent
+    suppression, soft p/div boundaries with the space-after-marks and
+    drop-white-space quirks, flat-list re-nesting from li margin-left
+    (36pt per level), list-style-type ul detection (absent → ol), and
+    hide_strikethrough silencing line-through runs.  Byte-identical to
+    the vendored package under cross-execution
+    (tests/test_markdown_contentfilter.py::test_markdown_google_doc_xcheck);
+    the oracle is an independent hand-derived string-algebra replay."""
+    from crawl4ai_spark.functions.markdown import markdown_for_pages
+
+    pages = _mdopt_google_pages(_t(spark, sf_dir, "documents"))
+    outs = []
+    for combo, opts in [
+        ("google", {"google_doc": True}),
+        ("google_hide", {"google_doc": True, "hide_strikethrough": True}),
+    ]:
+        md = markdown_for_pages(pages, citations=False, html2text_options=opts)
+        outs.append(
+            md.join(pages.select("doc_id", "url"), "url").select(
+                "doc_id", F.lit(combo).alias("combo"), "raw_markdown"
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def _markdown_options_google_sql() -> str:
+    """Hand-derived google_doc markdown (verified against the vendored
+    html2text's own google output, incl. the literal space-after-marks
+    doubles and the '  \\n' soft paragraph tails)."""
+    nl = "chr(10)"
+    d = "CAST(doc_id AS VARCHAR)"
+    m = "CAST(doc_id % 10 AS VARCHAR)"
+    head = f"'# Doc ' || {d} || {nl}"
+    bold_p = f"'alpha ' || {m} || ' **bold ' || {m} || '**  tail  ' || {nl}"
+    ital_p = f"'*lean ' || {m} || '*  after  ' || {nl}"
+    strike_show = f"'keep cut ' || {m} || ' end  ' || {nl}"
+    strike_hide = f"'keep  end  ' || {nl}"
+    lists = (
+        f"'  1. item ' || {m} || {nl} || '    1. sub ' || {m} || {nl} || "
+        f"'  * dot ' || {m} || {nl}"
+    )
+    rows = {
+        "google": f"{head} || {bold_p} || {ital_p} || {strike_show} || {lists}",
+        "google_hide": f"{head} || {bold_p} || {ital_p} || {strike_hide} || {lists}",
+    }
+    selects = [
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, '{combo}' AS combo, {expr} AS raw_markdown FROM documents"
+        for combo, expr in rows.items()
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
 def _serp_html_py(k: int) -> str:
     """Python twin of ``_serp_html_expr`` (schemas induce driver-side
     from page k's html; extraction runs on the Spark-built pages — the
@@ -4280,6 +4365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-5 queries go HERE (inside the driver's first-50 window) ---
         "amazon_extract": q_amazon_extract,
         "markdown_options_tables": q_markdown_options_tables,
+        "markdown_options_google": q_markdown_options_google,
         # --- xxhash64 DuckDB oracle is new in r5: record the hash-green rows (VERDICT item 6) ---
         "simhash_pairs": q_simhash_pairs,
         "simhash_pairs_scale": q_simhash_pairs_scale,
@@ -6634,6 +6720,7 @@ FROM part WHERE p_partkey < 200
         "stream_host_state": _stream_host_state_sql(),
         "markdown_options_links": _markdown_options_links_sql(),
         "markdown_options_tables": _markdown_options_tables_sql(),
+        "markdown_options_google": _markdown_options_google_sql(),
         "pdf_job_pages": _cached_fixture("pdf_job_pages", _pdf_job_pages_fixture_sql),
         "pdf_job_images": _cached_fixture("pdf_job_images", _pdf_job_images_fixture_sql),
         "robots_ttl_refresh": _robots_ttl_refresh_sql(),

@@ -298,6 +298,8 @@ ENTRY_QUERIES = [
     "serp_extract",
     # round-5 grafts
     "amazon_extract",
+    "markdown_options_tables",
+    "markdown_options_google",
 ]
 
 

@@ -25,6 +25,7 @@ mapInPandas pass, stateless, linear at any scale.
 from __future__ import annotations
 
 import re
+import string
 from typing import Callable, Iterator
 from urllib.parse import urljoin
 
@@ -235,6 +236,9 @@ class _MdWriter:
         pad_tables: bool | None = None,
         bypass_tables: bool | None = None,
         ignore_tables: bool | None = None,
+        ignore_mailto_links: bool = False,
+        images_as_html: bool = False,
+        images_with_size: bool = False,
     ):
         self.blocks: list[str] = []
         self.cur: list[str] = []
@@ -275,6 +279,13 @@ class _MdWriter:
         self.close_quote = close_quote
         self.mark_code = mark_code
         self.wrap_links = wrap_links
+        # html2text image/mailto extras (:71-75,516-521,562-580), each
+        # cross-executed byte-identical: mailto links drop to their text,
+        # images_as_html re-emits the raw <img .../> form, and
+        # images_with_size does so only when width/height attrs exist
+        self.ignore_mailto_links = ignore_mailto_links
+        self.images_as_html = images_as_html
+        self.images_with_size = images_with_size
         # html2text table-family options (:77-90, 680-733).  Passing ANY
         # of them (True or False) switches table rendering to the
         # vendored package's forms — plain 'c1| c2' soft-broken rows with
@@ -349,6 +360,8 @@ class _MdWriter:
             self.pad_tables if self.h2t_tables else None,
             self.bypass_tables if self.h2t_tables else None,
             self.ignore_tables if self.h2t_tables else None,
+            self.ignore_mailto_links, self.images_as_html,
+            self.images_with_size,
         )
 
     def text(self, s: str) -> None:
@@ -450,6 +463,9 @@ def _render_node_inner(n: DomNode, w: _MdWriter, tag: str) -> None:
         if w.skip_internal_links and href.startswith("#"):
             w.text(label)  # fragment link dropped to its text (:516-519)
             return
+        if w.ignore_mailto_links and href.startswith("mailto:"):
+            w.text(label)  # mailto dropped to its text (:516-521)
+            return
         raw_label = _collapse(n.get_text()).strip()
         if (
             w.use_automatic_links
@@ -470,6 +486,25 @@ def _render_node_inner(n: DomNode, w: _MdWriter, tag: str) -> None:
         return
     if tag == "img":
         if w.ignore_images:
+            return
+        # raw-html image branch (:562-580): images_as_html always, or
+        # images_with_size when a width/height ATTR is present.  Wins
+        # over images_to_alt, requires src, and emits src/alt RAW
+        # (unresolved, unescaped, unstripped) — exactly the vendored form
+        raw_src = n.get("src")
+        if raw_src is not None and (
+            w.images_as_html
+            or (w.images_with_size and ("width" in n.attrs or "height" in n.attrs))
+        ):
+            raw_alt = (n.get("alt") or "") or w.default_image_alt
+            out = "<img src='" + raw_src + "' "
+            if "width" in n.attrs and n.get("width") is not None:
+                out += "width='" + n.get("width") + "' "
+            if "height" in n.attrs and n.get("height") is not None:
+                out += "height='" + n.get("height") + "' "
+            if raw_alt:
+                out += "alt='" + raw_alt + "' "
+            w.text(out + "/>")
             return
         alt = escape_md((n.get("alt") or "").strip() or w.default_image_alt)  # :592-598
         src = n.get("src") or ""
@@ -852,7 +887,18 @@ def html_to_markdown(
     With ``body_width`` > 0 the output switches to html2text's
     two-newline paragraph spacing before wrapping (the vendored config
     notes single_line_break requires body_width 0 — same coupling
-    here)."""
+    here).
+
+    ``google_doc=True`` switches to the Google-Docs-export dialect
+    (style-driven emphasis, margin-left list nesting, soft paragraph
+    breaks) rendered by :class:`_GoogleWriter` — a separate linear
+    emitter because google marks can legally straddle line breaks,
+    which the block writer cannot express."""
+    if options.get("google_doc"):
+        return _google_markdown(
+            html or "", base_url, ignore_links, ignore_images,
+            protect_links, options,
+        )
     root = parse_dom(html or "")
     w = _MdWriter(base_url, ignore_links, ignore_images, protect_links, **options)
     body = root.find("body") or root
@@ -882,6 +928,684 @@ def html_to_markdown(
         # dialect keeps '' for empty input
         return "\n" if w.h2t_tables else ""
     return "\n".join(parts) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# google_doc mode (html2text/__init__.py:79,331-347,477-480,637-668,776-783;
+# utils.py:21-160) — the Google-Docs-HTML-export dialect: <style> classes
+# resolved per element with parent inheritance, emphasis driven by
+# font-weight/font-style/text-decoration/font-family rather than tags,
+# paragraph boundaries soft ('  \n') unless the style carries a height,
+# flat exported lists re-nested from li margin-left, hide_strikethrough
+# silencing line-through runs.  Emphasis marks may straddle pending line
+# breaks (e.g. bold-styled <p> closes its '**' AFTER the break its own
+# boundary queued), so this mode renders through a linear o()-stream
+# emitter with the vendored pending-break/space/drop-white-space state
+# rather than the block writer above.  Every behavior here is pinned by
+# cross-execution against the vendored package
+# (tests/test_markdown_contentfilter.py::test_markdown_google_doc_xcheck).
+# ---------------------------------------------------------------------------
+
+_BOLD_STYLE_VALUES = ("bold", "700", "800", "900")  # config.py:45
+
+
+def _dumb_property_dict(style: str) -> dict:
+    """utils.py:21-28 — 'a:b;c:d' → lowercased property map."""
+    out = {}
+    for part in style.split(";"):
+        if ":" in part:
+            k, v = part.split(":", 1)
+            out[k.strip().lower()] = v.strip().lower()
+    return out
+
+
+def _dumb_css_parser(data: str) -> dict:
+    """utils.py:31-54 — selector → property-map, @imports stripped."""
+    data += ";"
+    idx = data.find("@import")
+    while idx != -1:
+        data = data[:idx] + data[data.find(";", idx) + 1:]
+        idx = data.find("@import")
+    pairs = [x.split("{") for x in data.split("}") if "{" in x.strip()]
+    try:
+        return {a.strip(): _dumb_property_dict(b) for a, b in pairs}
+    except ValueError:
+        return {}  # malformed css is non-fatal there too
+
+
+def _element_style(attrs: dict, style_def: dict, parent_style: dict) -> dict:
+    """utils.py:57-81 — parent style + matched .classes + inline style."""
+    style = parent_style.copy()
+    for css_class in (attrs.get("class") or "").split():
+        style.update(style_def.get("." + css_class, {}))
+    if attrs.get("style"):
+        style.update(_dumb_property_dict(attrs["style"]))
+    return style
+
+
+def _google_list_style(style: dict) -> str:
+    """utils.py:84-97 — ol unless list-style-type names a bullet form."""
+    if style.get("list-style-type") in ("disc", "circle", "square", "none"):
+        return "ul"
+    return "ol"
+
+
+def _google_text_emphasis(style: dict) -> list:
+    """utils.py:112-127."""
+    return [
+        style[k]
+        for k in ("text-decoration", "font-style", "font-weight")
+        if k in style
+    ]
+
+
+def _google_fixed_width_font(style: dict) -> bool:
+    """utils.py:130-141."""
+    return style.get("font-family", "") in ("courier new", "consolas")
+
+
+def _list_numbering_start(attrs: dict) -> int:
+    """utils.py:144-159."""
+    try:
+        return int(attrs.get("start")) - 1
+    except (TypeError, ValueError):
+        return 0
+
+
+class _GList:
+    __slots__ = ("name", "num")
+
+    def __init__(self, name: str, num: int):
+        self.name = name
+        self.num = num
+
+
+class _GoogleWriter:
+    """Linear o()-stream emitter for google_doc mode.  State and branch
+    order transcribed from the vendored handle_tag/handle_data/o trio
+    (disclosed transcription, cross-executed byte-identical); dialect
+    defaults (emphasis_mark '*', unicode_snob True) and the
+    entity-vs-literal UNIFIABLE divergence match the block writer."""
+
+    def __init__(
+        self,
+        base_url: str = "",
+        ignore_links: bool = False,
+        ignore_images: bool = False,
+        protect_links: bool = False,
+        body_width: int = 0,
+        escape_snob: bool = False,
+        ignore_emphasis: bool = False,
+        emphasis_mark: str = "*",
+        strong_mark: str = "**",
+        ul_item_mark: str = "*",
+        unicode_snob: bool = True,
+        escape_dot: bool = False,
+        escape_plus: bool = False,
+        escape_dash: bool = False,
+        use_automatic_links: bool = True,
+        skip_internal_links: bool = True,
+        ignore_mailto_links: bool = False,
+        images_to_alt: bool = False,
+        default_image_alt: str = "",
+        images_as_html: bool = False,
+        images_with_size: bool = False,
+        open_quote: str = '"',
+        close_quote: str = '"',
+        mark_code: bool = False,
+        hide_strikethrough: bool = False,
+        google_list_indent: int = 36,  # config.py:42
+    ):
+        self.base_url = base_url
+        self.ignore_links = ignore_links
+        self.ignore_images = ignore_images
+        self.protect_links = protect_links
+        self.body_width = int(body_width or 0)
+        self.escape_snob = escape_snob
+        self.ignore_emphasis = ignore_emphasis
+        self.emphasis_mark = emphasis_mark
+        self.strong_mark = strong_mark
+        self.ul_item_mark = ul_item_mark
+        self.unicode_snob = unicode_snob
+        self.escape_dot = escape_dot
+        self.escape_plus = escape_plus
+        self.escape_dash = escape_dash
+        self.use_automatic_links = use_automatic_links
+        self.skip_internal_links = skip_internal_links
+        self.ignore_mailto_links = ignore_mailto_links
+        self.images_to_alt = images_to_alt
+        self.default_image_alt = default_image_alt
+        self.images_as_html = images_as_html
+        self.images_with_size = images_with_size
+        self.open_quote = open_quote
+        self.close_quote = close_quote
+        self.mark_code = mark_code
+        self.hide_strikethrough = hide_strikethrough
+        self.google_list_indent = google_list_indent
+        # o()-stream state (vendored __init__:100-150)
+        self.parts: list[str] = []
+        self.lastWasNL = False
+        self.p_p = 0
+        self.br_toggle = ""
+        self.space = False
+        self.start = True
+        self.quiet = 0
+        self.code = False
+        self.pre = False
+        self.startpre = False
+        self.quote = False
+        self.drop_white_space = 0
+        self.emphasis = 0
+        self.list: list[_GList] = []
+        self.lastWasList = False
+        self.blockquote = 0
+        self.inheader = False
+        self.stressed = False
+        self.preceding_stressed = False
+        self.preceding_data = ""
+        self.current_tag: str | None = None
+        self.maybe_automatic_link: str | None = None
+        self.empty_link = False
+        self.astack: list[dict | None] = []
+        self.style_def: dict = {}
+        self.tag_styles: list[dict] = []
+        self.split_next_td = False
+        self.td_count = 0
+        self.table_start = False
+
+    # -- output core (vendored o()/out, :765-876) ---------------------------
+    def out(self, d: str) -> None:
+        self.parts.append(d)
+        if d:
+            self.lastWasNL = d[-1] == "\n"
+
+    def pbr(self) -> None:
+        if self.p_p == 0:
+            self.p_p = 1
+
+    def p(self) -> None:
+        self.p_p = 1  # single_line_break dialect (vendored p() :756-758)
+
+    def soft_br(self) -> None:
+        self.pbr()
+        self.br_toggle = "  "
+
+    def o(self, data: str, puredata: bool = False, force=False) -> None:
+        if self.quiet:
+            return
+        # google drop_white_space: data after an emphasis-start mark is
+        # lstripped; ANY non-white output re-arms (:776-783)
+        lstripped = data.lstrip()
+        if self.drop_white_space and not (self.pre or self.code):
+            data = lstripped
+        if lstripped != "":
+            self.drop_white_space = 0
+        if puredata and not self.pre:
+            data = re.sub(r"\s+", " ", data)
+            if data and data[0] == " ":
+                self.space = True
+                data = data[1:]
+        if not data and not force:
+            return
+        if self.startpre:
+            if not data.startswith("\n") and not data.startswith("\r\n"):
+                data = "\n" + data
+            if self.mark_code:
+                self.out("\n[code]")
+                self.p_p = 0
+        bq = ">" * self.blockquote
+        if not (force and data and data[0] == ">") and self.blockquote:
+            bq += " "
+        if self.pre:
+            if not self.list:
+                bq += "    "
+            bq += "    " * len(self.list)
+            data = data.replace("\n", "\n" + bq)
+        if self.startpre:
+            self.startpre = False
+            if self.list:
+                data = data.lstrip("\n")
+        if self.start:
+            self.space = False
+            self.p_p = 0
+            self.start = False
+        if force == "end":
+            self.p_p = 0
+            self.out("\n")
+            self.space = False
+        if self.p_p:
+            self.out((self.br_toggle + "\n" + bq) * self.p_p)
+            self.space = False
+            self.br_toggle = ""
+        if self.space:
+            if not self.lastWasNL:
+                self.out(" ")
+            self.space = False
+        self.p_p = 0
+        self.out(data)
+
+    # -- style-driven emphasis (vendored handle_emphasis :237-307) ----------
+    def handle_emphasis(self, start: bool, tag_style: dict, parent_style: dict) -> None:
+        tag_emphasis = _google_text_emphasis(tag_style)
+        parent_emphasis = _google_text_emphasis(parent_style)
+        strikethrough = "line-through" in tag_emphasis and self.hide_strikethrough
+        bold = False
+        for marker in _BOLD_STYLE_VALUES:
+            bold = marker in tag_emphasis and marker not in parent_emphasis
+            if bold:
+                break
+        italic = "italic" in tag_emphasis and "italic" not in parent_emphasis
+        fixed = (
+            _google_fixed_width_font(tag_style)
+            and not _google_fixed_width_font(parent_style)
+            and not self.pre
+        )
+        if start:
+            if bold or italic or fixed:
+                self.emphasis += 1
+            if strikethrough:
+                self.quiet += 1
+            if italic:
+                self.o(self.emphasis_mark)
+                self.drop_white_space += 1
+            if bold:
+                self.o(self.strong_mark)
+                self.drop_white_space += 1
+            if fixed:
+                self.o("`")
+                self.drop_white_space += 1
+                self.code = True
+        else:
+            if bold or italic or fixed:
+                self.emphasis -= 1
+                self.space = False
+            if fixed:
+                if self.drop_white_space:
+                    self.drop_white_space -= 1  # empty emphasis dropped
+                else:
+                    self.o("`")
+                self.code = False
+            if bold:
+                if self.drop_white_space:
+                    self.drop_white_space -= 1
+                else:
+                    self.o(self.strong_mark)
+            if italic:
+                if self.drop_white_space:
+                    self.drop_white_space -= 1
+                else:
+                    self.o(self.emphasis_mark)
+            if (bold or italic) and not self.emphasis:
+                self.o(" ")  # space only after ALL marks close (:305-306)
+            if strikethrough:
+                self.quiet -= 1
+
+    def google_nest_count(self, style: dict) -> int:
+        """vendored :950-961 — margin-left pts // google_list_indent."""
+        if "margin-left" in style:
+            return int(style["margin-left"][:-2]) // self.google_list_indent
+        return 0
+
+    # -- tag dispatch (vendored handle_tag :309-749, google branches) -------
+    def handle_tag(self, n: DomNode, tag: str, start: bool,
+                   tag_style: dict, parent_style: dict) -> None:
+        self.current_tag = tag
+        # first thing inside an anchor is a mark-producing tag (:320-328)
+        if (
+            start
+            and self.maybe_automatic_link is not None
+            and tag not in ("p", "div", "style", "dl", "dt")
+            and (tag != "img" or self.ignore_images)
+        ):
+            self.o("[")
+            self.maybe_automatic_link = None
+            self.empty_link = False
+
+        hn_ = _HEADINGS.get(tag, 0)
+        if hn_:
+            if self.astack:  # header inside a link, found in the wild (:349)
+                if start:
+                    self.inheader = True
+                    if self.parts and self.parts[-1] == "[":
+                        self.parts.pop()
+                        self.space = False
+                        self.o(hn_ * "#" + " ")
+                        self.o("[")
+                else:
+                    self.p_p = 0
+                    self.inheader = False
+                    return
+            else:
+                self.p()
+                if start:
+                    self.inheader = True
+                    self.o(hn_ * "#" + " ")
+                else:
+                    self.inheader = False
+                    return  # headers never carry google emphasis (:479)
+
+        if tag in ("p", "div"):
+            # google boundary: real break only when the START style has a
+            # height; everything else (incl. every close) is soft (:373-377)
+            if start and "height" in tag_style:
+                self.p()
+            else:
+                self.soft_br()
+
+        if tag == "br" and start:
+            self.o("  \n> " if self.blockquote > 0 else "  \n")
+
+        if tag == "hr" and start:
+            self.p()
+            self.o("* * *")
+            self.p()
+
+        if tag == "body":
+            self.quiet = 0  # :409-410
+
+        if tag == "blockquote":
+            if start:
+                self.p()
+                self.o("> ", force=True)
+                self.start = True
+                self.blockquote += 1
+            else:
+                self.blockquote -= 1
+                self.p()
+
+        if tag in ("em", "i", "u") and not self.ignore_emphasis:
+            if (
+                start
+                and self.preceding_data
+                and self.preceding_data[-1] not in string.whitespace
+                and self.preceding_data[-1] not in string.punctuation
+            ):
+                emphasis = " " + self.emphasis_mark
+                self.preceding_data += " "
+            else:
+                emphasis = self.emphasis_mark
+            self.o(emphasis)
+            if start:
+                self.stressed = True
+
+        if tag in ("strong", "b") and not self.ignore_emphasis:
+            if (
+                start
+                and self.preceding_data
+                and len(self.strong_mark) > 0
+                and self.preceding_data[-1] == self.strong_mark[0]
+            ):
+                strong = " " + self.strong_mark
+                self.preceding_data += " "
+            else:
+                strong = self.strong_mark
+            self.o(strong)
+            if start:
+                self.stressed = True
+
+        if tag in ("del", "strike", "s"):
+            if start and self.preceding_data and self.preceding_data[-1] == "~":
+                strike = " ~~"
+                self.preceding_data += " "
+            else:
+                strike = "~~"
+            self.o(strike)
+            if start:
+                self.stressed = True
+
+        if not self.inheader:
+            self.handle_emphasis(start, tag_style, parent_style)
+
+        if tag in ("kbd", "code", "tt") and not self.pre:
+            self.o("`")
+            self.code = not self.code
+
+        if tag == "q":
+            self.o(self.open_quote if not self.quote else self.close_quote)
+            self.quote = not self.quote
+
+        if tag == "a" and not self.ignore_links:
+            if start:
+                href = n.get("href")
+                if (
+                    "href" in n.attrs
+                    and href is not None
+                    and not (self.skip_internal_links and href.startswith("#"))
+                    and not (self.ignore_mailto_links and href.startswith("mailto:"))
+                ):
+                    a_props = dict(n.attrs)
+                    self.astack.append(a_props)
+                    self.maybe_automatic_link = href  # pre-protect (:523-525)
+                    self.empty_link = True
+                    if self.protect_links:
+                        a_props["href"] = "<" + href + ">"
+                else:
+                    self.astack.append(None)
+            else:
+                if self.astack:
+                    a = self.astack.pop()
+                    if self.maybe_automatic_link and not self.empty_link:
+                        self.maybe_automatic_link = None
+                    elif a:
+                        if self.empty_link:
+                            self.o("[")
+                            self.empty_link = False
+                            self.maybe_automatic_link = None
+                        # inline link form (:541-546)
+                        self.p_p = 0
+                        title = escape_md(a.get("title") or "")
+                        title = ' "{}"'.format(title) if title.strip() else ""
+                        url = urljoin(self.base_url, a["href"])
+                        self.o("](" + escape_md(url) + title + ")")
+
+        if tag == "img" and start and not self.ignore_images:
+            src = n.get("src")
+            if "src" in n.attrs and src is not None:
+                img_href = src
+                alt = n.get("alt") or self.default_image_alt
+                if self.images_as_html or (
+                    self.images_with_size
+                    and ("width" in n.attrs or "height" in n.attrs)
+                ):
+                    self.o("<img src='" + src + "' ")
+                    if "width" in n.attrs and n.get("width") is not None:
+                        self.o("width='" + n.get("width") + "' ")
+                    if "height" in n.attrs and n.get("height") is not None:
+                        self.o("height='" + n.get("height") + "' ")
+                    if alt:
+                        self.o("alt='" + alt + "' ")
+                    self.o("/>")
+                    return
+                if self.maybe_automatic_link is not None:
+                    href = self.maybe_automatic_link
+                    if (
+                        self.images_to_alt
+                        and escape_md(alt) == href
+                        and _RE_ABS_URL.match(href)
+                    ):
+                        self.o("<" + escape_md(alt) + ">")
+                        self.empty_link = False
+                        return
+                    self.o("[")
+                    self.maybe_automatic_link = None
+                    self.empty_link = False
+                if self.images_to_alt:
+                    self.o(escape_md(alt))
+                else:
+                    self.o("![" + escape_md(alt) + "]")
+                    self.o("(" + escape_md(urljoin(self.base_url, img_href)) + ")")
+
+        if tag in ("ol", "ul"):
+            # google exports flat sibling lists; lastWasList suppresses
+            # the blank line between them (:637-646)
+            if not self.list and not self.lastWasList:
+                self.p()
+            if start:
+                self.list.append(_GList(
+                    _google_list_style(tag_style), _list_numbering_start(n.attrs)
+                ))
+            else:
+                if self.list:
+                    self.list.pop()
+            self.lastWasList = True
+        else:
+            self.lastWasList = False
+
+        if tag == "li":
+            self.pbr()
+            if start:
+                li = self.list[-1] if self.list else _GList("ul", 0)
+                # re-nest the flat export from li margin-left (:658-660)
+                self.o("  " * self.google_nest_count(tag_style))
+                if li.name == "ul":
+                    self.o(self.ul_item_mark + " ")
+                elif li.name == "ol":
+                    li.num += 1
+                    self.o(str(li.num) + ". ")
+                self.start = True
+
+        if tag in ("table", "tr", "td", "th"):
+            # plain default table stream ('c1| c2' + '---|---', :705-733);
+            # the pad/bypass/ignore family stays a block-writer feature
+            if tag == "table" and start:
+                self.table_start = True
+            if tag in ("td", "th") and start:
+                if self.split_next_td:
+                    self.o("| ")
+                self.split_next_td = True
+            if tag == "tr" and start:
+                self.td_count = 0
+            if tag == "tr" and not start:
+                self.split_next_td = False
+                self.soft_br()
+            if tag == "tr" and not start and self.table_start:
+                self.o("|".join(["---"] * self.td_count))
+                self.soft_br()
+                self.table_start = False
+            if tag in ("td", "th") and start:
+                self.td_count += 1
+
+        if tag == "pre":
+            if start:
+                self.startpre = True
+                self.pre = True
+            else:
+                self.pre = False
+                if self.mark_code:
+                    self.out("\n[/code]")
+            self.p()
+
+    # -- data (vendored handle_data :878-925) --------------------------------
+    def handle_data(self, data: str) -> None:
+        if not data:
+            return
+        if self.stressed:
+            data = data.strip()
+            self.stressed = False
+            self.preceding_stressed = True
+        elif self.preceding_stressed:
+            if (
+                data
+                and _STRESS_NEXT_RE.match(data[0])
+                and self.current_tag not in _HEADINGS
+                and self.current_tag not in ("a", "code", "pre")
+            ):
+                data = " " + data
+            self.preceding_stressed = False
+        if self.maybe_automatic_link is not None:
+            href = self.maybe_automatic_link
+            if (
+                href == data
+                and _RE_ABS_URL.match(href)
+                and self.use_automatic_links
+            ):
+                self.o("<" + data + ">")
+                self.empty_link = False
+                return
+            self.o("[")
+            self.maybe_automatic_link = None
+            self.empty_link = False
+        if not self.code and not self.pre:
+            if not self.unicode_snob:
+                # same documented dialect divergence as _MdWriter.escape:
+                # entity-origin is unrecoverable post-DOM, so UNIFIABLE
+                # translation applies to ALL text
+                data = data.translate(_UNIFIABLE_TRANS)
+            data = escape_md_section(
+                data, snob=self.escape_snob, escape_dot=self.escape_dot,
+                escape_plus=self.escape_plus, escape_dash=self.escape_dash,
+            )
+        self.preceding_data = data
+        self.o(data, puredata=True)
+
+    # -- DOM walk ------------------------------------------------------------
+    def walk(self, n: DomNode) -> None:
+        tag = n.tag
+        if tag in ("script", "noscript", "template", "iframe"):
+            return
+        if tag == "style":
+            # vendored accumulates css as the stream passes it (:897-899)
+            self.style_def.update(_dumb_css_parser(n.get_text()))
+            return
+        if tag == "head":
+            # head is quiet there (:396-401); only its styles matter
+            self.quiet += 1
+            for c in n.children:
+                if isinstance(c, DomNode):
+                    self.walk(c)
+            self.quiet -= 1
+            return
+        parent_style = self.tag_styles[-1] if self.tag_styles else {}
+        tag_style = _element_style(n.attrs, self.style_def, parent_style)
+        self.tag_styles.append(tag_style)
+        self.handle_tag(n, tag, True, tag_style, parent_style)
+        for c in n.children:
+            if isinstance(c, str):
+                self.handle_data(c)
+            else:
+                self.walk(c)
+        self.tag_styles.pop()
+        self.handle_tag(n, tag, False, tag_style, parent_style)
+
+    def finish(self) -> str:
+        self.pbr()
+        self.o("", force="end")
+        return "".join(self.parts)
+
+
+def _google_markdown(
+    html: str,
+    base_url: str,
+    ignore_links: bool,
+    ignore_images: bool,
+    protect_links: bool,
+    options: dict,
+) -> str:
+    """Render in google_doc mode.  Accepts the shared option surface;
+    options meaningless in this dialect (wrap_links, the table-family
+    trio, mark_code aside) are ignored, as the vendored mode ignores
+    them.  body_width wrapping reuses the block writer's _optwrap."""
+    allowed = {
+        "body_width", "escape_snob", "ignore_emphasis", "emphasis_mark",
+        "strong_mark", "ul_item_mark", "unicode_snob", "escape_dot",
+        "escape_plus", "escape_dash", "use_automatic_links",
+        "skip_internal_links", "ignore_mailto_links", "images_to_alt",
+        "default_image_alt", "images_as_html", "images_with_size",
+        "open_quote", "close_quote", "mark_code", "hide_strikethrough",
+        "google_list_indent",
+    }
+    kw = {k: v for k, v in options.items() if k in allowed}
+    w = _GoogleWriter(base_url, ignore_links, ignore_images, protect_links, **kw)
+    root = parse_dom(html or "")
+    for c in root.children:
+        if isinstance(c, DomNode):
+            w.walk(c)
+        else:
+            w.handle_data(c)
+    text = w.finish()
+    if w.body_width:
+        text = _optwrap(text, w.body_width, w.ul_item_mark, True)
+    return text
 
 
 def convert_links_to_citations(markdown: str, base_url: str = "") -> tuple[str, str]:
@@ -946,7 +1670,9 @@ def generate_markdown(
         "escape_dash", "use_automatic_links", "skip_internal_links",
         "images_to_alt", "default_image_alt", "open_quote", "close_quote",
         "mark_code", "wrap_links", "pad_tables", "bypass_tables",
-        "ignore_tables",
+        "ignore_tables", "ignore_mailto_links", "images_as_html",
+        "images_with_size", "google_doc", "hide_strikethrough",
+        "google_list_indent",
     )
     opts = {k: v for k, v in (html2text_options or {}).items() if k in _known}
     try:

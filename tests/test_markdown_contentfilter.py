@@ -550,3 +550,122 @@ def test_markdown_table_modes_xcheck():
             want = ref(src, **mode)
             got = html_to_markdown(src, base, **mode)
             assert got == want, (name, mode, repr(got), repr(want))
+
+
+def test_markdown_image_mailto_options_xcheck():
+    """ignore_mailto_links + images_as_html + images_with_size
+    (html2text/__init__.py:71-75,516-521,562-580) — cross-executed
+    byte-identical against the vendored package in the block writer."""
+    from crawl4ai_spark.functions.markdown import html_to_markdown
+
+    h2t = _ref_html2text()
+    base = "https://h8.example.com/page"
+
+    def ref(html, **kw):
+        h = h2t.HTML2Text(baseurl=base)
+        h.body_width = 0
+        h.single_line_break = True
+        for k, v in kw.items():
+            setattr(h, k, v)
+        return h.handle(html)
+
+    mail = ('<p>write <a href="mailto:a@b.c">me</a> or '
+            '<a href="/contact">form</a></p>')
+    imgs = ('<p>x <img src="/i.png" alt="pic" width="64" height="32"> '
+            '<img src="/j.png" alt="plain"> y</p>')
+    img_h_only = '<p><img src="/k.png" height="9"></p>'
+    for html, kw in [
+        (mail, {"ignore_mailto_links": True}),
+        (mail, {}),
+        (imgs, {"images_as_html": True}),
+        (imgs, {"images_with_size": True}),
+        (img_h_only, {"images_with_size": True}),
+        (imgs, {"images_with_size": True, "default_image_alt": "dflt"}),
+        (imgs, {}),
+    ]:
+        assert html_to_markdown(html, base, **kw) == ref(html, **kw), kw
+
+
+def test_markdown_google_doc_xcheck():
+    """google_doc mode (html2text/__init__.py:79,237-307,331-347,373-377,
+    477-480,637-668,776-783; utils.py:21-160) — the Google-Docs-export
+    dialect cross-executed byte-identical on the full behavior matrix:
+    style-class emphasis (bold/italic/fixed/strikethrough) with parent
+    suppression and the drop-white-space/empty-emphasis quirks, soft
+    p/div boundaries vs height-styled hard breaks, marks straddling
+    queued breaks, flat-list re-nesting from li margin-left,
+    list-style-type ol/ul detection, headers staying clean, and
+    hide_strikethrough silencing line-through runs."""
+    from crawl4ai_spark.functions.markdown import html_to_markdown
+
+    h2t = _ref_html2text()
+    base = "https://g.example.com/doc"
+
+    def ref(html, **kw):
+        h = h2t.HTML2Text(baseurl=base)
+        h.body_width = 0
+        h.single_line_break = True
+        h.google_doc = True
+        h.emphasis_mark = "*"
+        h.unicode_snob = True
+        for k, v in kw.items():
+            setattr(h, k, v)
+        return h.handle(html)
+
+    style = (
+        "<style>.b{font-weight:700}.i{font-style:italic}"
+        ".bi{font-weight:bold;font-style:italic}"
+        ".st{text-decoration:line-through}.mono{font-family:courier new}"
+        ".h{height:11pt}.lst0{margin-left:36pt}.lst1{margin-left:72pt}"
+        "ul.x{list-style-type:disc}</style>"
+    )
+    fixtures = {
+        "plain_p": "<p class=c><span>hello world</span></p><p><span>second para</span></p>",
+        "height_p": '<p class=h><span>has height</span></p><p class=h><span>second</span></p>',
+        "bold_span": "<p class=h><span>a </span><span class=b>bold</span><span> z</span></p>",
+        "bold_spaces": "<p class=h><span>a</span><span class=b> bold </span><span>z</span></p>",
+        "italic_bold": "<p class=h><span class=bi>both</span><span> tail</span></p>",
+        "empty_emphasis": "<p class=h><span class=b> </span><span>after</span></p>",
+        "nested_same": '<p class=h><span class=b>outer <span class=b>inner</span> done</span></p>',
+        "strike": "<p class=h><span>keep </span><span class=st>gone</span><span> end</span></p>",
+        "strike_bold": '<p class=h><span class="st b">bs</span><span> t</span></p>',
+        "mono": "<p class=h><span>x </span><span class=mono>code bit</span><span> y</span></p>",
+        "list_flat": ('<ul class=x><li class=lst0><span>one</span></li>'
+                      '<li class=lst0><span>two</span></li></ul>'
+                      '<p class=h><span>after</span></p>'),
+        "list_nested": ('<ul class=x><li class=lst0><span>one</span></li></ul>'
+                        '<ul class=x><li class=lst1><span>sub</span></li></ul>'
+                        '<ul class=x><li class=lst0><span>two</span></li></ul>'),
+        "ol_styled": ('<ol style="list-style-type:decimal">'
+                      '<li class=lst0><span>first</span></li>'
+                      '<li class=lst0><span>second</span></li></ol>'),
+        "ul_default_ol": '<ul><li class=lst0><span>notype</span></li></ul>',
+        "header_clean": ('<h1 class=b><span>Title</span></h1>'
+                         '<p class=h><span class=b>bold body</span></p>'),
+        "inline_style": ('<p class=h><span style="font-weight:bold">direct</span>'
+                         '<span> t</span></p>'),
+        "p_level_bold": '<p class="h b"><span>all bold</span></p>',
+        "link_in_bold": '<p class=h><span class=b>see <a href="/x">lnk</a> here</span></p>',
+        "br": "<p class=h><span>l1<br>l2</span></p>",
+        "blockquote": "<blockquote><p class=h><span class=i>quoted</span></p></blockquote>",
+        "auto_link": ('<p class=h><span>go <a href="https://a.test/x">'
+                      "https://a.test/x</a> now</span></p>"),
+        "titled_link": '<p class=h><a href="/r" title="T0">rel</a></p>',
+        "img": '<p class=h>x <img src="/i.png" alt="pic"> y</p>',
+        "hr": '<p class=h><span>a</span></p><hr><p class=h><span>b</span></p>',
+        "full_doc": ("<html><head>{s}</head><body>"
+                     '<h2><span>Sec</span></h2><p class=h><span class=i>lead </span>'
+                     '<span class=b>big</span></p>'
+                     '<ul class=x><li class=lst0><span>pt</span></li></ul>'
+                     "</body></html>"),
+        "table_plain": ('<table><tr><th>h1</th><th>h2</th></tr>'
+                        "<tr><td>a</td><td>b</td></tr></table>"),
+    }
+    for name, body in fixtures.items():
+        html = body.format(s=style) if "{s}" in body else style + body
+        want, got = ref(html), html_to_markdown(html, base, google_doc=True)
+        assert got == want, (name, repr(got), repr(want))
+        if "strike" in name:
+            want = ref(html, hide_strikethrough=True)
+            got = html_to_markdown(html, base, google_doc=True, hide_strikethrough=True)
+            assert got == want, (name, "hide", repr(got), repr(want))
