@@ -65,17 +65,26 @@ def quality_score_expr(text: Column) -> Column:
 
 def lang_id_expr(text: Column) -> Column:
     """Stopword-vote language ID: the language with the most stopword hits
-    wins; ties broken by language code order; no hits → 'unknown'."""
+    wins; ties broken by language code order; no hits → 'unknown'.
+
+    Shaped as array_max over (hits, -ord, lang) structs rather than a
+    when-chain fold: the fold re-embeds the whole previous chain twice
+    per language (2^L expression blowup), which pushed the fused
+    corpus_clean filter past Janino's 64 KB method limit and dropped the
+    scan stage to interpreted execution.  The struct comparison is
+    field-ordered, so max = most hits, ties to the earliest language
+    code; NULL text yields NULL hits in every entry and falls through to
+    'unknown' exactly as the fold did."""
     low = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    best_lang = F.lit("unknown")
-    best_hits = F.lit(0)
-    for lang in sorted(LANG_STOPWORDS):
+    entries = []
+    for i, lang in enumerate(sorted(LANG_STOPWORDS)):
         words = LANG_STOPWORDS[lang]
         hits = sum((F.instr(low, f" {w} ") > 0).cast("int") for w in words)
-        better = hits > best_hits
-        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(better, hits).otherwise(best_hits)
-    return best_lang
+        entries.append(F.struct(
+            hits.alias("hits"), F.lit(-i).alias("ord"), F.lit(lang).alias("lang"),
+        ))
+    best = F.array_max(F.array(*entries))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown"))
 
 
 def fingerprint_expr(text: Column, prefix_tokens: int = 64) -> Column:
